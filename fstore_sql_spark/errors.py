@@ -1,0 +1,88 @@
+"""Engine error types.
+
+The reference raises SQL errors with exact message texts
+(``/root/reference/schema.sql:84,108,134``); we preserve those strings so the
+reference test suite's ``test_expect_error`` regexes would still match
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+
+class FStoreError(Exception):
+    """Base class for all engine errors."""
+
+
+class StreamFinalizedError(FStoreError):
+    """T1 — append to a closed stream (/root/reference/schema.sql:75-96)."""
+
+    MESSAGE = (
+        "last event for this decider stream is already final. "
+        "the stream is closed, you can not append events to it."
+    )
+
+    def __init__(self, message: str | None = None):
+        super().__init__(message or self.MESSAGE)
+
+
+class FirstEventError(FStoreError):
+    """T2 — null previous_id on non-empty stream (/root/reference/schema.sql:99-120)."""
+
+    MESSAGE = "previous_id can only be null for the first decider event"
+
+    def __init__(self, message: str | None = None):
+        super().__init__(message or self.MESSAGE)
+
+
+class PreviousIdError(FStoreError):
+    """T3 — previous_id not found in the same stream (/root/reference/schema.sql:124-146)."""
+
+    MESSAGE = "previous_id must be in the same decider"
+
+    def __init__(self, message: str | None = None):
+        super().__init__(message or self.MESSAGE)
+
+
+class OptimisticLockError(FStoreError):
+    """C2 — duplicate non-null previous_id: two writers raced on the same
+    predecessor; the reference surfaces this as a UNIQUE violation on
+    ``previous_id`` (/root/reference/schema.sql:43-44)."""
+
+    def __init__(self, previous_id: str):
+        super().__init__(
+            f'duplicate key value violates unique constraint "events_previous_id_key" '
+            f"(previous_id={previous_id})"
+        )
+
+
+class DuplicateEventIdError(FStoreError):
+    """C1 — duplicate event_id (/root/reference/schema.sql:31-32)."""
+
+    def __init__(self, event_id: str):
+        super().__init__(
+            f'duplicate key value violates unique constraint "events_event_id_key" '
+            f"(event_id={event_id})"
+        )
+
+
+class UnregisteredEventError(FStoreError):
+    """C3 — (decider, event, event_version) not in the registry
+    (/root/reference/schema.sql:53)."""
+
+    def __init__(self, decider: str, event: str, event_version: int):
+        super().__init__(
+            f'insert or update on table "events" violates foreign key constraint '
+            f'"events_decider_event_event_version_fkey" '
+            f"({decider}, {event}, {event_version}) not registered"
+        )
+
+
+class DuplicateRegistrationError(FStoreError):
+    """C4 — duplicate (decider, event, event_version) registration
+    (/root/reference/schema.sql:20)."""
+
+    def __init__(self, decider: str, event: str, event_version: int):
+        super().__init__(
+            f'duplicate key value violates unique constraint "deciders_pkey" '
+            f"({decider}, {event}, {event_version})"
+        )

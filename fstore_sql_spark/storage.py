@@ -1,0 +1,171 @@
+"""Parquet-backed storage with an append-only log + versioned state snapshots.
+
+Why not plain ``df.write.mode("overwrite")`` for mutable state: Spark cannot
+overwrite a path it is concurrently reading, and a crashed overwrite leaves a
+torn table.  Instead every state-table update writes a brand-new snapshot
+directory ``<table>/v{N}`` and then atomically flips a ``_LATEST`` pointer
+file (os.replace is atomic on POSIX).  Readers always load a complete,
+immutable snapshot.  This is a miniature of what Delta's transaction log
+does; on a real cluster the ``TableStorage`` interface maps 1:1 onto Delta:
+
+    append_log    → Delta append (``delta.appendOnly=true``)
+    write_state   → Delta MERGE / overwrite with snapshot isolation
+    manifest      → Delta commit version (doubles as the XID8 analogue,
+                    /root/reference/schema.sql:51-52)
+
+The event log itself is append-only parquet (one directory, one or more
+files per committed batch), mirroring the reference's append-only ``events``
+heap table with UPDATE/DELETE-ignoring rules (/root/reference/schema.sql:66-72)
+— the engine simply exposes no mutating verbs on it (SURVEY.md §2.3 R3/R4).
+
+Scale notes (100 TB): append batches are repartitioned by ``decider_id``
+before write so row groups are clustered by the partition key; parquet
+min/max stats then prune ``get_events``-style point lookups the way the
+reference's ``decider_index`` B-tree does (/root/reference/schema.sql:56).
+State tables (views, consumer locks) are orders of magnitude smaller than
+the log and always broadcastable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LATEST = "_LATEST"
+_MANIFEST = "_MANIFEST.json"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+@dataclass
+class Manifest:
+    """Log-level metadata: current max offset + commit counter.
+
+    ``commit_id`` is the engine's monotone transaction marker (the XID8
+    analogue); ``max_offset`` caches the BIGSERIAL head so offset assignment
+    is O(1) instead of a max() scan per append (SURVEY.md §7.4).
+    """
+
+    max_offset: int = 0
+    commit_id: int = 0
+
+
+class ParquetStore:
+    """Single-writer parquet store for one EventStore instance.
+
+    Concurrency model (SURVEY.md §7.3 item 4, §7.5): appends are serialized
+    through this object (one committer), which makes offset assignment exact
+    and validation race-free.  A process-level lock guards the manifest; on
+    a cluster the single-committer role is a driver-side service or Delta's
+    optimistic-concurrency conflict detection.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._lock = threading.RLock()
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------ #
+    # append-only log
+    # ------------------------------------------------------------------ #
+
+    def _log_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}{_MANIFEST}")
+
+    def read_manifest(self, table: str) -> Manifest:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return Manifest()
+        with open(path, encoding="utf-8") as f:
+            d = json.load(f)
+        return Manifest(max_offset=d["max_offset"], commit_id=d["commit_id"])
+
+    def write_manifest(self, table: str, manifest: Manifest) -> None:
+        _atomic_write(
+            self._manifest_path(table),
+            json.dumps({"max_offset": manifest.max_offset, "commit_id": manifest.commit_id}),
+        )
+
+    def init_log(self, table: str, schema: StructType) -> None:
+        """Idempotent bootstrap: empty parquet dir with the fixed schema
+        (the DDL-bootstrap analogue, SURVEY.md §2.2 'DDL bootstrap')."""
+        path = self._log_dir(table)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            empty = self.spark.createDataFrame([], schema)
+            empty.write.mode("overwrite").parquet(path)
+            self.write_manifest(table, Manifest())
+
+    def append_log(self, table: str, df: DataFrame, cluster_by: str | None = None) -> None:
+        """Append a committed batch.  ``cluster_by`` repartitions so row
+        groups are clustered on the partition key (data-skipping analogue of
+        the reference's B-tree indexes)."""
+        if cluster_by is not None:
+            df = df.repartition(cluster_by)
+        df.write.mode("append").parquet(self._log_dir(table))
+
+    def read_log(self, table: str, schema: StructType) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(self._log_dir(table))
+
+    # ------------------------------------------------------------------ #
+    # versioned state snapshots
+    # ------------------------------------------------------------------ #
+
+    def _state_dir(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}_state")
+
+    def _latest_path(self, table: str) -> str:
+        return os.path.join(self._state_dir(table), _LATEST)
+
+    def init_state(self, table: str, schema: StructType) -> None:
+        base = self._state_dir(table)
+        os.makedirs(base, exist_ok=True)
+        if not os.path.exists(self._latest_path(table)):
+            empty = self.spark.createDataFrame([], schema)
+            self.write_state(table, empty)
+
+    def state_version(self, table: str) -> int:
+        path = self._latest_path(table)
+        if not os.path.exists(path):
+            return -1
+        with open(path, encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def write_state(self, table: str, df: DataFrame) -> int:
+        """Write a complete new snapshot, then flip the pointer."""
+        with self._lock:
+            version = self.state_version(table) + 1
+            target = os.path.join(self._state_dir(table), f"v{version:08d}")
+            df.write.mode("overwrite").parquet(target)
+            _atomic_write(self._latest_path(table), str(version))
+            self._gc_state(table, keep=4)
+            return version
+
+    def read_state(self, table: str, schema: StructType) -> DataFrame:
+        version = self.state_version(table)
+        target = os.path.join(self._state_dir(table), f"v{version:08d}")
+        return self.spark.read.schema(schema).parquet(target)
+
+    def _gc_state(self, table: str, keep: int) -> None:
+        """Drop snapshots older than the last ``keep`` (Delta VACUUM analogue)."""
+        base = self._state_dir(table)
+        versions = sorted(
+            d for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()
+        )
+        for d in versions[:-keep]:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)

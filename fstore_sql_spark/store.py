@@ -1,0 +1,723 @@
+"""EventStore — the engine facade (SURVEY.md §2.1 A1–A9).
+
+Every API function of the reference (``/root/reference/schema.sql:325-468``)
+is re-expressed as a declarative DataFrame program:
+
+==========================  =================================================
+reference function          engine method
+==========================  =================================================
+register_decider_event A1   EventStore.register_decider_event
+append_event           A2   EventStore.append_event / append_batch
+get_events             A3   EventStore.get_events
+get_last_event         A4   EventStore.get_last_event
+register_view          A5   EventStore.register_view
+stream_events          A6   EventStore.stream_events
+ack_event              A7   EventStore.ack_event
+nack_event             A8   EventStore.nack_event
+schedule_nack_event    A9   EventStore.schedule_nack_event
+==========================  =================================================
+
+Design decisions (SURVEY.md §7):
+
+- **Set-based validation** (§2.3): the reference fires three plpgsql row
+  triggers + three constraints per inserted row; we validate a whole batch
+  with semi/anti joins against the log snapshot plus window functions for
+  intra-batch chain checks — strictly better asymptotics for bulk appends.
+- **Offset assignment** (§7.4): appends are serialized through the single
+  committer; ``offset = manifest.max_offset + row_number() OVER (ORDER BY
+  seq)``.  Unique, globally monotonic in commit order, per-stream ascending
+  — exactly BIGSERIAL minus rollback gaps (gaps are permitted; the
+  reference's tests assert only monotonicity).
+- **Derive, don't dual-write** (§7.5): the ``locks`` table's high-watermark
+  columns (``offset``, ``offset_final``) are a pure function of ``events``
+  and are recomputed at read time; only genuine consumer state
+  (``last_offset``, ``locked_until``) is persisted.  An append is visible to
+  streaming the moment the log commit lands — no events↔locks atomicity gap.
+- **NOW() freezing** (§7.3 item 6): Postgres freezes NOW() per transaction;
+  each engine API call computes one timestamp on the driver and injects it
+  as a literal, so a call behaves like one reference transaction.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid as _uuid
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fstore_sql_spark import errors
+from fstore_sql_spark.schemas import (
+    DECIDERS_SCHEMA,
+    EVENTS_SCHEMA,
+    LOCKS_STATE_SCHEMA,
+    VIEWS_SCHEMA,
+)
+from fstore_sql_spark.storage import Manifest, ParquetStore
+
+_EVENTS = "events"
+_DECIDERS = "deciders"
+_VIEWS = "views"
+_LOCKS = "locks"
+
+# Default unlock instant: NOW() - 1ms (/root/reference/schema.sql:190-191).
+_UNLOCK_DELTA = timedelta(milliseconds=1)
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class EventStore:
+    """A PySpark-native event store rooted at ``path``.
+
+    One instance is the single committer for its path (SURVEY.md §7.3/§7.5);
+    reads are safe from anywhere.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.storage = ParquetStore(spark, path)
+        self._commit_lock = threading.RLock()
+        self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
+        self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
+        self.storage.init_state(_VIEWS, VIEWS_SCHEMA)
+        self.storage.init_state(_LOCKS, LOCKS_STATE_SCHEMA)
+
+    # ------------------------------------------------------------------ #
+    # table accessors
+    # ------------------------------------------------------------------ #
+
+    def events(self) -> DataFrame:
+        """The append-only event log (/root/reference/schema.sql:27-54)."""
+        return self.storage.read_log(_EVENTS, EVENTS_SCHEMA)
+
+    def deciders(self) -> DataFrame:
+        return self.storage.read_state(_DECIDERS, DECIDERS_SCHEMA)
+
+    def views(self) -> DataFrame:
+        return self.storage.read_state(_VIEWS, VIEWS_SCHEMA)
+
+    def locks(self) -> DataFrame:
+        """Reference-shaped ``locks`` rows (/root/reference/schema.sql:180-200).
+
+        Persisted consumer state joined with high-watermarks derived from the
+        log: ``offset`` = partition max offset, ``offset_final`` = final flag
+        of the partition's last event — exactly what trigger T6 maintains
+        eagerly in the reference (/root/reference/schema.sql:240-263), but
+        computed instead of dual-written (SURVEY.md §7.5).
+        """
+        state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
+        # Per-partition high-watermark: max offset + final flag of last event.
+        # max_by == DISTINCT ON (decider_id) ... ORDER BY offset DESC
+        # (/root/reference/schema.sql:290-294).
+        hwm = (
+            self.events()
+            .groupBy("decider_id")
+            .agg(
+                F.max("offset").alias("offset"),
+                F.max_by("final", "offset").alias("offset_final"),
+            )
+        )
+        return state.join(hwm, "decider_id", "inner").select(
+            "view",
+            "decider_id",
+            "offset",
+            "last_offset",
+            "locked_until",
+            "offset_final",
+            "created_at",
+            "updated_at",
+        )
+
+    def register_sql_views(self, prefix: str = "") -> None:
+        """Expose all four tables as temp views so ``spark.sql`` works over
+        the store (SURVEY.md §7.1 step 7)."""
+        self.events().createOrReplaceTempView(f"{prefix}events")
+        self.deciders().createOrReplaceTempView(f"{prefix}deciders")
+        self.views().createOrReplaceTempView(f"{prefix}views")
+        self.locks().createOrReplaceTempView(f"{prefix}locks")
+
+    # ------------------------------------------------------------------ #
+    # A1 register_decider_event  (/root/reference/schema.sql:325-332)
+    # ------------------------------------------------------------------ #
+
+    def register_decider_event(
+        self,
+        decider: str,
+        event: str,
+        description: str,
+        event_version: int = 1,
+    ) -> DataFrame:
+        """INSERT into deciders RETURNING; duplicate PK ⇒ error (C4)."""
+        with self._commit_lock:
+            existing = self.deciders()
+            dup = (
+                existing.filter(
+                    (F.col("decider") == decider)
+                    & (F.col("event") == event)
+                    & (F.col("event_version") == event_version)
+                ).count()
+                > 0
+            )
+            if dup:
+                raise errors.DuplicateRegistrationError(decider, event, event_version)
+            row = self.spark.createDataFrame(
+                [(decider, event, int(event_version), description)], DECIDERS_SCHEMA
+            )
+            self.storage.write_state(_DECIDERS, existing.unionByName(row))
+            return row
+
+    # ------------------------------------------------------------------ #
+    # A2 append_event  (/root/reference/schema.sql:336-343 + §2.3 triggers)
+    # ------------------------------------------------------------------ #
+
+    def append_event(
+        self,
+        event: str,
+        event_id: str,
+        decider: str,
+        decider_id: str,
+        data: str = "{}",
+        command_id: str | None = None,
+        previous_id: str | None = None,
+        event_version: int = 1,
+        final: bool = False,
+    ) -> DataFrame:
+        """Append one event, running every §2.3 invariant.  Returns the
+        inserted row (RETURNING * analogue) including assigned offset.
+
+        ``final`` is an engine extension: the reference's ``append_event``
+        cannot set the flag (its tests INSERT finals directly); exposing it
+        keeps the column reachable through the API.
+        """
+        return self.append_batch(
+            [
+                {
+                    "event": event,
+                    "event_id": event_id,
+                    "event_version": int(event_version),
+                    "decider": decider,
+                    "decider_id": decider_id,
+                    "data": data,
+                    "command_id": command_id or str(_uuid.uuid4()),
+                    "previous_id": previous_id,
+                    "final": bool(final),
+                }
+            ]
+        )
+
+    def append_batch(self, rows_or_df, validate: bool = True) -> DataFrame:
+        """Append a batch of events in client order (the micro-batch write
+        path, SURVEY.md §3.1 'Spark design').
+
+        Accepts a list of dicts or a DataFrame with columns
+        (event, event_id, event_version, decider, decider_id, data,
+        command_id, previous_id, final) and an optional ``seq`` long column
+        giving intra-batch order (defaults to list order / an ascending id).
+
+        Validation program (all set-based — SURVEY.md §2.3):
+          T1 stream-finalized, T2 first-event-null-previous,
+          T3 previous-id-in-same-decider, C1 event_id unique,
+          C2 previous_id unique (the optimistic lock), C3 registry FK.
+        """
+        with self._commit_lock:
+            now = _utcnow()
+            cand = self._as_candidates(rows_or_df)
+            cand = cand.persist()
+            try:
+                if validate:
+                    self._validate_batch(cand)
+                manifest = self.storage.read_manifest(_EVENTS)
+                new_streams = self._new_stream_keys(cand)
+                appended = self._commit(cand, manifest, now)
+                # T6: lock rows for partitions born in this batch
+                # (/root/reference/schema.sql:240-263).
+                self._t6_new_partition_locks(new_streams, now)
+                return appended
+            finally:
+                cand.unpersist()
+
+    def _as_candidates(self, rows_or_df) -> DataFrame:
+        if isinstance(rows_or_df, DataFrame):
+            df = rows_or_df
+            if "seq" not in df.columns:
+                w = Window.orderBy(F.monotonically_increasing_id())
+                df = df.withColumn("seq", F.row_number().over(w).cast("long"))
+            if "final" not in df.columns:
+                df = df.withColumn("final", F.lit(False))
+            if "event_version" not in df.columns:
+                df = df.withColumn("event_version", F.lit(1).cast("long"))
+            return df.select(
+                "event",
+                "event_id",
+                F.col("event_version").cast("long").alias("event_version"),
+                "decider",
+                "decider_id",
+                "data",
+                "command_id",
+                "previous_id",
+                F.col("final").cast("boolean").alias("final"),
+                F.col("seq").cast("long").alias("seq"),
+            )
+        prepared = []
+        for i, r in enumerate(rows_or_df):
+            prepared.append(
+                (
+                    r["event"],
+                    r["event_id"],
+                    int(r.get("event_version", 1)),
+                    r["decider"],
+                    r["decider_id"],
+                    r.get("data", "{}"),
+                    r.get("command_id") or str(_uuid.uuid4()),
+                    r.get("previous_id"),
+                    bool(r.get("final", False)),
+                    int(r.get("seq", i)),
+                )
+            )
+        return self.spark.createDataFrame(
+            prepared,
+            "event string, event_id string, event_version long, decider string, "
+            "decider_id string, data string, command_id string, previous_id string, "
+            "final boolean, seq long",
+        )
+
+    def _stream_tails(self, cand: DataFrame) -> DataFrame:
+        """Per existing (decider_id, decider) stream touched by the batch:
+        the tail event_id, final flag and event count.  The semi join
+        restricts the log scan to relevant partitions — the pushdown
+        analogue of the reference's ``decider_index`` probe
+        (/root/reference/schema.sql:56)."""
+        keys = cand.select("decider_id", "decider").distinct()
+        relevant = self.events().join(F.broadcast(keys), ["decider_id", "decider"], "leftsemi")
+        return relevant.groupBy("decider_id", "decider").agg(
+            F.max("offset").alias("tail_offset"),
+            F.max_by("event_id", "offset").alias("tail_event_id"),
+            F.max_by("final", "offset").alias("tail_final"),
+            F.count(F.lit(1)).alias("n_existing"),
+        )
+
+    def _new_stream_keys(self, cand: DataFrame) -> list[tuple[str, str]]:
+        keys = cand.select("decider_id", "decider").distinct()
+        existing = (
+            self.events()
+            .join(F.broadcast(keys), ["decider_id", "decider"], "leftsemi")
+            .select("decider_id", "decider")
+            .distinct()
+        )
+        fresh = keys.join(existing, ["decider_id", "decider"], "leftanti")
+        return [(r["decider_id"], r["decider"]) for r in fresh.collect()]
+
+    def _validate_batch(self, cand: DataFrame) -> None:
+        """The §2.3 invariants as one annotated-candidates program.
+
+        Checks are evaluated in the reference's trigger firing order
+        (alphabetical trigger names then constraints, SURVEY.md §3.1):
+        T1, T2, T3, then C1/C2/C3.
+        """
+        events = self.events()
+        tails = self._stream_tails(cand)
+
+        w = Window.partitionBy("decider_id", "decider").orderBy("seq")
+        ann = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .withColumn("prev_batch_event_id", F.lag("event_id").over(w))
+            .withColumn("prev_batch_final", F.lag("final").over(w))
+            .join(F.broadcast(tails), ["decider_id", "decider"], "left")
+        )
+        ann = ann.persist()
+        try:
+            # T1 — reject appends to a finalized stream
+            # (/root/reference/schema.sql:75-96): the effective predecessor
+            # (existing tail for rn==1, else prior batch row) must not be final.
+            t1 = ann.filter(
+                F.when(F.col("rn") == 1, F.coalesce(F.col("tail_final"), F.lit(False)))
+                .otherwise(F.coalesce(F.col("prev_batch_final"), F.lit(False)))
+            )
+            if t1.limit(1).count() > 0:
+                raise errors.StreamFinalizedError()
+
+            # T2 — null previous_id only for the first event of a stream
+            # (/root/reference/schema.sql:99-120).
+            t2 = ann.filter(
+                F.col("previous_id").isNull()
+                & ((F.col("rn") > 1) | F.col("tail_event_id").isNotNull())
+            )
+            if t2.limit(1).count() > 0:
+                raise errors.FirstEventError()
+
+            # T3 — non-null previous_id must name an event of the SAME stream
+            # (/root/reference/schema.sql:124-146): any existing event of the
+            # stream or an earlier batch row of the stream.
+            nonnull = ann.filter(F.col("previous_id").isNotNull())
+            sat_existing = nonnull.join(
+                events.select(
+                    F.col("decider_id"),
+                    F.col("decider"),
+                    F.col("event_id").alias("previous_id"),
+                ),
+                ["decider_id", "decider", "previous_id"],
+                "leftsemi",
+            )
+            earlier = cand.select(
+                "decider_id",
+                "decider",
+                F.col("event_id").alias("previous_id"),
+                F.col("seq").alias("pred_seq"),
+            )
+            sat_batch = (
+                nonnull.join(earlier, ["decider_id", "decider", "previous_id"], "inner")
+                .filter(F.col("pred_seq") < F.col("seq"))
+                .select(nonnull.columns)
+            )
+            t3 = nonnull.join(
+                sat_existing.select("event_id").unionByName(sat_batch.select("event_id")),
+                "event_id",
+                "leftanti",
+            )
+            if t3.limit(1).count() > 0:
+                raise errors.PreviousIdError()
+
+            # C1 — event_id globally unique (/root/reference/schema.sql:31-32).
+            dup_in_batch = (
+                cand.groupBy("event_id").count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup_in_batch:
+                raise errors.DuplicateEventIdError(dup_in_batch[0]["event_id"])
+            dup_existing = (
+                cand.join(events, "event_id", "leftsemi").limit(1).collect()
+            )
+            if dup_existing:
+                raise errors.DuplicateEventIdError(dup_existing[0]["event_id"])
+
+            # C2 — previous_id unique among non-nulls: the optimistic lock
+            # (/root/reference/schema.sql:43-44).  Two writers racing on the
+            # same predecessor ⇒ OptimisticLockError.
+            pid = cand.filter(F.col("previous_id").isNotNull())
+            dup_pid_batch = (
+                pid.groupBy("previous_id").count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup_pid_batch:
+                raise errors.OptimisticLockError(dup_pid_batch[0]["previous_id"])
+            dup_pid_existing = (
+                pid.join(
+                    events.filter(F.col("previous_id").isNotNull()).select("previous_id"),
+                    "previous_id",
+                    "leftsemi",
+                )
+                .limit(1)
+                .collect()
+            )
+            if dup_pid_existing:
+                raise errors.OptimisticLockError(dup_pid_existing[0]["previous_id"])
+
+            # C3 — composite FK (decider, event, event_version) → deciders
+            # (/root/reference/schema.sql:53).
+            unreg = (
+                cand.join(
+                    F.broadcast(self.deciders()),
+                    ["decider", "event", "event_version"],
+                    "leftanti",
+                )
+                .limit(1)
+                .collect()
+            )
+            if unreg:
+                r = unreg[0]
+                raise errors.UnregisteredEventError(
+                    r["decider"], r["event"], r["event_version"]
+                )
+        finally:
+            ann.unpersist()
+
+    def _commit(self, cand: DataFrame, manifest: Manifest, now: datetime) -> DataFrame:
+        """Assign offsets + commit metadata, append to the log.
+
+        Offsets: ``max_offset + row_number() OVER (ORDER BY seq)`` — the
+        single-partition window is safe because append batches are
+        micro-batches serialized through the committer (SURVEY.md §7.4); a
+        100 TB backfill arrives as many such batches, each clustered by
+        ``decider_id`` on write.
+        """
+        txn = manifest.commit_id + 1
+        w = Window.orderBy("seq")
+        finished = (
+            cand.withColumn(
+                "offset", (F.lit(manifest.max_offset) + F.row_number().over(w)).cast("long")
+            )
+            .withColumn("created_at", F.lit(now))
+            .withColumn("transaction_id", F.lit(txn).cast("long"))
+            .select([f.name for f in EVENTS_SCHEMA.fields])
+        )
+        finished = finished.persist()
+        n = finished.count()
+        self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
+        self.storage.write_manifest(
+            _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
+        )
+        out = self.spark.createDataFrame(finished.collect(), EVENTS_SCHEMA)
+        finished.unpersist()
+        return out
+
+    def _t6_new_partition_locks(self, new_streams: list[tuple[str, str]], now: datetime) -> None:
+        """T6 insert branch (/root/reference/schema.sql:244-252): one lock
+        row per registered view for each partition born in this batch, with
+        ``last_offset = 0`` and unlocked lease.  The update branch
+        (refresh of offset/offset_final) is derived at read time instead
+        (SURVEY.md §7.5)."""
+        if not new_streams:
+            return
+        view_names = [r["view"] for r in self.views().select("view").collect()]
+        if not view_names:
+            return
+        rows = [
+            (v, did, 0, now - _UNLOCK_DELTA, now, now)
+            for v in view_names
+            for (did, _dec) in {(d, dec) for d, dec in new_streams}
+        ]
+        updates = self.spark.createDataFrame(rows, LOCKS_STATE_SCHEMA)
+        self._merge_locks_state(updates, insert_only=True)
+
+    # ------------------------------------------------------------------ #
+    # A3 get_events / A4 get_last_event (/root/reference/schema.sql:348-367)
+    # ------------------------------------------------------------------ #
+
+    def get_events(self, decider_id: str, decider: str) -> DataFrame:
+        """Replay one entity stream in offset order — a pushdown-filtered
+        scan + sort, the index-scan analogue (SURVEY.md §3.2)."""
+        return (
+            self.events()
+            .filter((F.col("decider_id") == decider_id) & (F.col("decider") == decider))
+            .orderBy("offset")
+        )
+
+    def get_last_event(self, decider_id: str, decider: str) -> DataFrame:
+        """Last event of a stream.  Faithful quirk: the reference body
+        filters ONLY on decider_id despite taking v_decider
+        (/root/reference/schema.sql:359-367, SURVEY.md §2.1 A4) — it matters
+        when two decider types share a decider_id."""
+        return (
+            self.events()
+            .filter(F.col("decider_id") == decider_id)
+            .orderBy(F.col("offset").desc())
+            .limit(1)
+        )
+
+    # ------------------------------------------------------------------ #
+    # A5 register_view + T7 backfill (/root/reference/schema.sql:376-393,
+    #                                 268-309)
+    # ------------------------------------------------------------------ #
+
+    def register_view(
+        self,
+        view: str,
+        start_at: datetime | None = None,
+        lock_timeout_s: int = 300,
+        pooling_delay_s: int | None = None,
+        edge_function_url: str | None = None,
+    ) -> DataFrame:
+        """UPSERT into views (ON CONFLICT DO UPDATE analogue), then run the
+        T7 lock backfill for every existing partition."""
+        with self._commit_lock:
+            now = _utcnow()
+            start_at = start_at or now
+            existing = self.views()
+            prior = existing.filter(F.col("view") == view).collect()
+            created_at = prior[0]["created_at"] if prior else now
+            row = self.spark.createDataFrame(
+                [
+                    (
+                        view,
+                        start_at,
+                        int(lock_timeout_s),
+                        int(pooling_delay_s) if pooling_delay_s is not None else None,
+                        edge_function_url,
+                        created_at,
+                        now,  # T4: updated_at auto-bump (/root/reference/schema.sql:206-220)
+                    )
+                ],
+                VIEWS_SCHEMA,
+            )
+            merged = existing.filter(F.col("view") != view).unionByName(row)
+            self.storage.write_state(_VIEWS, merged)
+            self._t7_backfill(view, start_at, now)
+            return row
+
+    def _t7_backfill(self, view: str, start_at: datetime, now: datetime) -> None:
+        """T7 (/root/reference/schema.sql:268-309), decorrelated
+        (SURVEY.md §2.4): for every existing partition
+        ``last_offset = COALESCE((first offset with created_at >= start_at) - 1,
+        partition max offset)`` — i.e. start from event-time position
+        ``start_at``, or mark fully consumed if nothing is newer."""
+        events = self.events()
+        per_part = events.groupBy("decider_id").agg(F.max("offset").alias("max_offset"))
+        first_after = (
+            events.filter(F.col("created_at") >= F.lit(start_at))
+            .groupBy("decider_id")
+            .agg(F.min("offset").alias("first_after"))
+        )
+        backfill = (
+            per_part.join(first_after, "decider_id", "left")
+            .select(
+                F.lit(view).alias("view"),
+                "decider_id",
+                F.coalesce(F.col("first_after") - 1, F.col("max_offset"))
+                .cast("long")
+                .alias("last_offset"),
+                F.lit(now - _UNLOCK_DELTA).alias("locked_until"),
+                F.lit(now).alias("created_at"),
+                F.lit(now).alias("updated_at"),
+            )
+        )
+        self._merge_locks_state(backfill, insert_only=False)
+
+    def _merge_locks_state(self, updates: DataFrame, insert_only: bool) -> None:
+        """MERGE INTO locks_state ON (view, decider_id) — Delta MERGE
+        analogue over snapshot storage.  ``insert_only`` mirrors the
+        reference's ON CONFLICT DO NOTHING-style insert branch of T6."""
+        state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
+        keys = ["view", "decider_id"]
+        if insert_only:
+            fresh = updates.join(state, keys, "leftanti")
+            merged = state.unionByName(fresh)
+        else:
+            kept = state.join(updates.select(*keys), keys, "leftanti")
+            merged = kept.unionByName(updates.select(*state.columns))
+        self.storage.write_state(_LOCKS, merged)
+
+    # ------------------------------------------------------------------ #
+    # A6 stream_events (/root/reference/schema.sql:402-430)
+    # ------------------------------------------------------------------ #
+
+    def stream_events(self, view: str, limit: int = 1, seconds: int = 300) -> DataFrame:
+        """The delivery kernel: claim ≤ ``limit`` unlocked partitions with
+        unread events, lease them for ``seconds``, return the next unread
+        event of each (≤ 1 event per partition, distinct partitions,
+        /root/reference/schema.sql:399-400).
+
+        Claim concurrency: the reference uses ``FOR UPDATE SKIP LOCKED``
+        (/root/reference/schema.sql:411); here claims per store are
+        serialized through the committer lock — the single-coordinator
+        design of SURVEY.md §3.3/§7.5.  On Delta, a racing claim surfaces
+        as a commit conflict → retry/skip, the SKIP LOCKED analogue.
+        """
+        with self._commit_lock:
+            now = _utcnow()
+            locks = self.locks()
+            # CTE `locked_view` (/root/reference/schema.sql:405-411): unlocked,
+            # has unread, ordered by high-watermark offset, limit.
+            claimable = (
+                locks.filter(
+                    (F.col("view") == view)
+                    & (F.col("locked_until") < F.lit(now))
+                    & (F.col("last_offset") < F.col("offset"))
+                )
+                .orderBy("offset")
+                .limit(int(limit))
+                .select("view", "decider_id", "last_offset")
+            )
+            claimed = claimable.collect()
+            if not claimed:
+                return self.events().limit(0)
+            # CTE `update_locks` (/root/reference/schema.sql:412-417): lease.
+            lease_until = now + timedelta(seconds=int(seconds))
+            lease_rows = self.spark.createDataFrame(
+                [(view, r["decider_id"]) for r in claimed], "view string, decider_id string"
+            ).select(
+                "view",
+                "decider_id",
+                F.lit(lease_until).alias("locked_until"),
+                F.lit(now).alias("updated_at"),
+            )
+            self._update_locks_columns(lease_rows)
+            # CTE `next_offset` (/root/reference/schema.sql:418-423): per
+            # claimed partition, MIN(offset) above last_offset — broadcast
+            # the tiny claimed set against the log.
+            claimed_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(r["decider_id"], r["last_offset"]) for r in claimed],
+                    "decider_id string, last_offset long",
+                )
+            )
+            events = self.events()
+            next_offsets = (
+                events.join(claimed_df, "decider_id", "inner")
+                .filter(F.col("offset") > F.col("last_offset"))
+                .groupBy("decider_id")
+                .agg(F.min("offset").alias("offset"))
+            )
+            # Final semi join + sort (/root/reference/schema.sql:424-428).
+            return events.join(
+                F.broadcast(next_offsets.select("offset")), "offset", "leftsemi"
+            ).orderBy("offset")
+
+    def _update_locks_columns(self, updates: DataFrame) -> None:
+        """Partial-column MERGE: update only the columns present in
+        ``updates`` (beyond the keys) for matching (view, decider_id) rows;
+        T5 updated_at bump included by callers
+        (/root/reference/schema.sql:223-237)."""
+        state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
+        keys = ["view", "decider_id"]
+        upd_cols = [c for c in updates.columns if c not in keys]
+        upd = updates.select(
+            *keys, *[F.col(c).alias(f"__new_{c}") for c in upd_cols]
+        )
+        merged = state.join(F.broadcast(upd), keys, "left").select(
+            *keys,
+            *[
+                F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+                if c in upd_cols
+                else F.col(c)
+                for c in [f.name for f in LOCKS_STATE_SCHEMA.fields if f.name not in keys]
+            ],
+        )
+        self.storage.write_state(_LOCKS, merged)
+
+    # ------------------------------------------------------------------ #
+    # A7/A8/A9 ack / nack / schedule_nack
+    # (/root/reference/schema.sql:436-468)
+    # ------------------------------------------------------------------ #
+
+    def ack_event(self, view: str, decider_id: str, offset: int) -> DataFrame:
+        """Commit + release: last_offset = offset, locked_until = NOW()
+        (/root/reference/schema.sql:436-446)."""
+        now = _utcnow()
+        upd = self.spark.createDataFrame(
+            [(view, decider_id, int(offset))], "view string, decider_id string, last_offset long"
+        ).select(
+            "view",
+            "decider_id",
+            "last_offset",
+            F.lit(now).alias("locked_until"),
+            F.lit(now).alias("updated_at"),
+        )
+        with self._commit_lock:
+            self._update_locks_columns(upd)
+        return self.locks().filter(
+            (F.col("view") == view) & (F.col("decider_id") == decider_id)
+        )
+
+    def nack_event(self, view: str, decider_id: str) -> DataFrame:
+        """Release without committing ⇒ immediate redelivery
+        (/root/reference/schema.sql:449-457)."""
+        return self.schedule_nack_event(view, decider_id, 0)
+
+    def schedule_nack_event(self, view: str, decider_id: str, milliseconds: int = 0) -> DataFrame:
+        """Delayed retry: locked_until = NOW() + interval
+        (/root/reference/schema.sql:460-468)."""
+        now = _utcnow()
+        upd = self.spark.createDataFrame(
+            [(view, decider_id)], "view string, decider_id string"
+        ).select(
+            "view",
+            "decider_id",
+            F.lit(now + timedelta(milliseconds=int(milliseconds))).alias("locked_until"),
+            F.lit(now).alias("updated_at"),
+        )
+        with self._commit_lock:
+            self._update_locks_columns(upd)
+        return self.locks().filter(
+            (F.col("view") == view) & (F.col("decider_id") == decider_id)
+        )

@@ -1,0 +1,151 @@
+"""Event-sourcing core tests, mirroring the reference suite
+(/root/reference/tests/unit/event-sourcing/*.sql and
+ tests/integration/end-to-end/test_readme_examples.sql)."""
+
+import uuid
+
+import pytest
+
+from fstore_sql_spark import (
+    DuplicateEventIdError,
+    DuplicateRegistrationError,
+    FirstEventError,
+    OptimisticLockError,
+    PreviousIdError,
+    StreamFinalizedError,
+    UnregisteredEventError,
+)
+
+
+def uid() -> str:
+    return str(uuid.uuid4())
+
+
+def test_register_decider_event(store):
+    # test_register_decider_event.sql: basic registration + returned row
+    out = store.register_decider_event("decider1", "event1", "first event").collect()
+    assert len(out) == 1
+    assert out[0]["decider"] == "decider1"
+    assert out[0]["event_version"] == 1
+    # versioned registration is a distinct key (…:48-71)
+    store.register_decider_event("decider1", "event1", "v2", event_version=2)
+    assert store.deciders().count() == 2
+
+
+def test_register_duplicate_fails(store):
+    store.register_decider_event("d", "e", "x")
+    with pytest.raises(DuplicateRegistrationError):
+        store.register_decider_event("d", "e", "y")
+
+
+def test_readme_flow(store):
+    """README.md:96-124 flow: register → append 2 chained events →
+    get_events returns both, ordered, linked."""
+    store.register_decider_event("decider1", "event1", "first")
+    store.register_decider_event("decider1", "event2", "second")
+    e1, e2 = uid(), uid()
+    r1 = store.append_event("event1", e1, "decider1", "stream-1", '{"a":1}').collect()
+    assert r1[0]["offset"] == 1
+    assert r1[0]["previous_id"] is None
+    r2 = store.append_event(
+        "event2", e2, "decider1", "stream-1", '{"b":2}', previous_id=e1
+    ).collect()
+    assert r2[0]["offset"] == 2
+    got = store.get_events("stream-1", "decider1").collect()
+    assert [r["event_id"] for r in got] == [e1, e2]
+    assert got[1]["previous_id"] == e1
+    last = store.get_last_event("stream-1", "decider1").collect()
+    assert last[0]["event_id"] == e2
+
+
+def test_append_unregistered_event_fails(store):
+    with pytest.raises(UnregisteredEventError):
+        store.append_event("nope", uid(), "decider1", "s1")
+
+
+def test_append_wrong_version_fails(store):
+    # test_foreign_key_uniqueness_constraints.sql:46-67
+    store.register_decider_event("d", "e", "x", event_version=1)
+    with pytest.raises(UnregisteredEventError):
+        store.append_event("e", uid(), "d", "s1", event_version=2)
+
+
+def test_sequencing_triggers(store):
+    store.register_decider_event("d", "e", "x")
+    e1 = uid()
+    store.append_event("e", e1, "d", "s1")
+    # T2: null previous_id on non-empty stream
+    with pytest.raises(FirstEventError, match="previous_id can only be null"):
+        store.append_event("e", uid(), "d", "s1")
+    # T3: previous_id from another stream
+    store.append_event("e", uid(), "d", "s2")
+    with pytest.raises(PreviousIdError, match="must be in the same decider"):
+        store.append_event("e", uid(), "d", "s2", previous_id=e1)
+    # C2: optimistic lock — second claim of the same predecessor
+    store.append_event("e", uid(), "d", "s1", previous_id=e1)
+    with pytest.raises(OptimisticLockError):
+        store.append_event("e", uid(), "d", "s1", previous_id=e1)
+
+
+def test_final_stream_closed(store):
+    # test_event_sequencing_triggers.sql:12-46
+    store.register_decider_event("d", "e", "x")
+    e1 = uid()
+    store.append_event("e", e1, "d", "s1")
+    store.append_event("e", uid(), "d", "s1", previous_id=e1, final=True)
+    last = store.get_last_event("s1", "d").collect()[0]
+    with pytest.raises(StreamFinalizedError, match="stream is closed"):
+        store.append_event("e", uid(), "d", "s1", previous_id=last["event_id"])
+
+
+def test_duplicate_event_id_fails(store):
+    store.register_decider_event("d", "e", "x")
+    e1 = uid()
+    store.append_event("e", e1, "d", "s1")
+    with pytest.raises(DuplicateEventIdError):
+        store.append_event("e", e1, "d", "s2")
+
+
+def test_shared_decider_id_across_types(store):
+    """test_get_events.sql:76-110 — same decider_id under two decider types;
+    get_events filters by both; get_last_event only by decider_id (quirk)."""
+    store.register_decider_event("typeA", "e", "x")
+    store.register_decider_event("typeB", "e", "x")
+    a1 = uid()
+    store.append_event("e", a1, "typeA", "shared")
+    store.append_event("e", uid(), "typeB", "shared")
+    assert store.get_events("shared", "typeA").count() == 1
+    assert store.get_events("shared", "typeB").count() == 1
+    # quirk: last event ignores the decider filter → returns typeB's event
+    last = store.get_last_event("shared", "typeA").collect()[0]
+    assert last["decider"] == "typeB"
+
+
+def test_batch_append_chain(store):
+    """Bulk path: a chained batch in one append_batch call."""
+    store.register_decider_event("d", "e", "x")
+    ids = [uid() for _ in range(5)]
+    rows = []
+    for i, eid in enumerate(ids):
+        rows.append(
+            {
+                "event": "e",
+                "event_id": eid,
+                "decider": "d",
+                "decider_id": "s1",
+                "previous_id": ids[i - 1] if i else None,
+            }
+        )
+    out = store.append_batch(rows).collect()
+    assert [r["offset"] for r in sorted(out, key=lambda r: r["offset"])] == [1, 2, 3, 4, 5]
+    got = store.get_events("s1", "d").collect()
+    assert [r["event_id"] for r in got] == ids
+
+
+def test_offsets_global_monotonic(store):
+    store.register_decider_event("d", "e", "x")
+    store.append_event("e", uid(), "d", "s1")
+    store.append_event("e", uid(), "d", "s2")
+    store.append_event("e", uid(), "d", "s3")
+    offsets = [r["offset"] for r in store.events().orderBy("offset").collect()]
+    assert offsets == [1, 2, 3]

@@ -1,0 +1,163 @@
+"""Event-streaming tests, mirroring
+/root/reference/tests/unit/event-streaming/*.sql and
+ tests/integration/*. Pull-delivery semantics (SURVEY.md §2.5):
+one event per partition per call, distinct partitions, at-least-once,
+ack commits the consumer offset."""
+
+import uuid
+from datetime import datetime, timedelta, timezone
+
+
+def uid() -> str:
+    return str(uuid.uuid4())
+
+
+def now_utc() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def seed(store, n_partitions=3, events_per=2):
+    store.register_decider_event("d", "e", "x")
+    rows = []
+    prev: dict[str, str] = {}
+    for i in range(n_partitions * events_per):
+        part = f"p{i % n_partitions}"
+        eid = uid()
+        rows.append(
+            {
+                "event": "e",
+                "event_id": eid,
+                "decider": "d",
+                "decider_id": part,
+                "previous_id": prev.get(part),
+            }
+        )
+        prev[part] = eid
+    store.append_batch(rows)
+
+
+def test_register_view(store):
+    out = store.register_view("v1", lock_timeout_s=60).collect()
+    assert out[0]["view"] == "v1"
+    assert out[0]["lock_timeout_s"] == 60
+    # upsert on duplicate (test_register_view.sql:74-110)
+    out2 = store.register_view("v1", lock_timeout_s=120).collect()
+    assert out2[0]["lock_timeout_s"] == 120
+    assert store.views().count() == 1
+
+
+def test_backfill_before_events(store):
+    """View registered before events exist: T6 gives new partitions
+    last_offset=0 → everything is delivered."""
+    store.register_view("v1")
+    seed(store, n_partitions=2, events_per=1)
+    locks = store.locks().orderBy("decider_id").collect()
+    assert [r["last_offset"] for r in locks] == [0, 0]
+    assert [r["offset"] for r in locks] == [1, 2]
+
+
+def test_backfill_after_events_start_past(store):
+    """View registered after events with start_at in the past: T7 sets
+    last_offset = first offset after start_at − 1 ⇒ full replay."""
+    seed(store, n_partitions=2, events_per=2)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    locks = {r["decider_id"]: r for r in store.locks().collect()}
+    # p0 events at offsets 1,3 — last_offset = 0; p1 at 2,4 — last_offset = 1
+    assert locks["p0"]["last_offset"] == 0
+    assert locks["p1"]["last_offset"] == 1
+
+
+def test_backfill_start_future_marks_consumed(store):
+    """start_at after all events ⇒ last_offset = partition max ⇒ nothing
+    delivered (/root/reference/schema.sql:275-287 COALESCE else-branch)."""
+    seed(store, n_partitions=2, events_per=2)
+    store.register_view("v1", start_at=now_utc() + timedelta(hours=1))
+    assert store.stream_events("v1", limit=10).count() == 0
+
+
+def test_stream_basic_and_ordering(store):
+    seed(store, n_partitions=3, events_per=2)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    # one event per partition per call, distinct partitions
+    got = store.stream_events("v1", limit=10).collect()
+    assert len(got) == 3
+    assert len({r["decider_id"] for r in got}) == 3
+    # each is the FIRST unread of its partition (offsets 1,2,3 for p0,p1,p2)
+    assert sorted(r["offset"] for r in got) == [1, 2, 3]
+
+
+def test_stream_limit_and_lease(store):
+    seed(store, n_partitions=3, events_per=1)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    first = store.stream_events("v1", limit=1).collect()
+    assert len(first) == 1
+    # claimed partition is leased: a second call must pick a different one
+    second = store.stream_events("v1", limit=1).collect()
+    assert len(second) == 1
+    assert second[0]["decider_id"] != first[0]["decider_id"]
+
+
+def test_empty_view_streams_nothing(store):
+    # test_stream_events.sql:81-100
+    seed(store)
+    store.register_view("v_empty", start_at=now_utc() + timedelta(hours=1))
+    assert store.stream_events("v_empty", limit=5).count() == 0
+
+
+def test_ack_advances_and_releases(store):
+    seed(store, n_partitions=1, events_per=3)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    e1 = store.stream_events("v1", limit=1).collect()[0]
+    assert e1["offset"] == 1
+    # unacked: partition leased, nothing redelivered
+    assert store.stream_events("v1", limit=1).count() == 0
+    store.ack_event("v1", e1["decider_id"], e1["offset"])
+    e2 = store.stream_events("v1", limit=1).collect()[0]
+    assert e2["offset"] == 2
+    store.ack_event("v1", e2["decider_id"], e2["offset"])
+    e3 = store.stream_events("v1", limit=1).collect()[0]
+    assert e3["offset"] == 3
+    store.ack_event("v1", e3["decider_id"], e3["offset"])
+    assert store.stream_events("v1", limit=1).count() == 0
+
+
+def test_nack_redelivers(store):
+    # test_acknowledgment_functions.sql:14-119
+    seed(store, n_partitions=1, events_per=1)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    e1 = store.stream_events("v1", limit=1).collect()[0]
+    assert store.stream_events("v1", limit=1).count() == 0  # leased
+    store.nack_event("v1", e1["decider_id"])
+    redelivered = store.stream_events("v1", limit=1).collect()[0]
+    assert redelivered["offset"] == e1["offset"]  # at-least-once
+
+
+def test_schedule_nack_delays(store):
+    seed(store, n_partitions=1, events_per=1)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    e1 = store.stream_events("v1", limit=1).collect()[0]
+    store.schedule_nack_event("v1", e1["decider_id"], milliseconds=3_600_000)
+    # still leased for another hour
+    assert store.stream_events("v1", limit=1).count() == 0
+
+
+def test_multiple_views_independent(store):
+    # test_multi_decider_scenarios / test_lock_contention shape
+    seed(store, n_partitions=2, events_per=1)
+    past = now_utc() - timedelta(hours=1)
+    store.register_view("v1", start_at=past)
+    store.register_view("v2", start_at=past)
+    a = store.stream_events("v1", limit=10).collect()
+    b = store.stream_events("v2", limit=10).collect()
+    assert len(a) == 2 and len(b) == 2  # leases are per-view
+
+
+def test_new_partition_after_registration_delivered(store):
+    """T6 insert branch: partitions born after registration get
+    last_offset=0 even with a future start_at
+    (/root/reference/schema.sql:244-252)."""
+    store.register_decider_event("d", "e", "x")
+    store.register_view("v1", start_at=now_utc() + timedelta(hours=1))
+    store.append_event("e", uid(), "d", "newpart")
+    got = store.stream_events("v1", limit=5).collect()
+    assert len(got) == 1 and got[0]["decider_id"] == "newpart"
