@@ -1,0 +1,639 @@
+"""Query surface over the driver testdata — every operator from
+SURVEY.md §2 re-expressed on the shared parquet tables, each paired with a
+DuckDB oracle SQL string (the driver's t2 correctness gate).
+
+Two registries:
+    QUERIES : dict[name, fn(spark, sf_dir) -> DataFrame]   (Spark impls)
+    ORACLES : dict[name, str]                              (DuckDB SQL)
+
+Conventions for cross-engine determinism:
+- money aggregates go through DECIMAL(18,2) so sums are exact and
+  engine-order-independent; final values cast to DOUBLE
+- averages are computed as exact-decimal SUM cast to DOUBLE divided by
+  COUNT (double division of identical operands is bit-identical)
+- every computed column is aliased identically on both sides (the driver
+  sorts columns by name before hashing)
+- top-k queries order by a unique tiebreaker
+
+The ``es_*`` queries exercise the event-store operators (SURVEY.md §2.1/§2.4)
+on the testdata ``events`` table under the FIXTURES.md §6 mapping:
+decider_id = user_id, offset = event_id, created_at = ts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# Event-time cutoff used by the stream-position queries (mid-range of the
+# testdata's Jan-2024 event window, valid at every scale factor).
+CUTOFF = "2024-01-15 00:00:00"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table.
+
+    The driver's ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; we read nanos as long and rebuild a microsecond
+    TimestampType column (floor division — identical to how DuckDB's client
+    truncates ns→µs, so oracle comparisons agree; floor is monotone, so
+    min/max/range predicates commute with the conversion).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------- #
+# Event-store API analogues (SURVEY.md §2.1 A3/A4/A6, §2.4 T6/T7)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "es_get_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE user_id = 7
+    """,
+)
+def es_get_events(spark, sf_dir):
+    """A3 get_events (/root/reference/schema.sql:348-356): replay one
+    partition's stream in offset order — pushdown-filtered scan + sort."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "es_get_last_event",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE user_id = 7
+    ORDER BY event_id DESC LIMIT 1
+    """,
+)
+def es_get_last_event(spark, sf_dir):
+    """A4 get_last_event (/root/reference/schema.sql:359-367): top-1 by
+    offset — Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("event_id").desc())
+        .limit(1)
+    )
+
+
+@query(
+    "es_high_watermark",
+    """
+    SELECT user_id, CAST(MAX(event_id) AS BIGINT) AS hwm_offset,
+           ARG_MAX(event_type, event_id) AS last_event_type
+    FROM events GROUP BY user_id
+    """,
+)
+def es_high_watermark(spark, sf_dir):
+    """T6 high-watermark derivation (/root/reference/schema.sql:240-263):
+    per-partition max offset + attribute of the last event (max_by ==
+    DISTINCT ON ... ORDER BY offset DESC)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("hwm_offset"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+        )
+    )
+
+
+@query(
+    "es_t7_backfill",
+    f"""
+    SELECT user_id,
+           CAST(COALESCE(
+               MIN(CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN event_id END) - 1,
+               MAX(event_id)) AS BIGINT) AS last_offset
+    FROM events GROUP BY user_id
+    """,
+)
+def es_t7_backfill(spark, sf_dir):
+    """T7 lock backfill (/root/reference/schema.sql:268-309), decorrelated
+    per SURVEY.md §2.4: consumer position = (first offset at-or-after
+    start_at) − 1, else partition max (fully consumed)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("ts") >= F.lit(CUTOFF).cast("timestamp"), F.col("event_id")))
+            - 1,
+            F.max("event_id"),
+        )
+        .cast("long")
+        .alias("last_offset")
+    )
+
+
+@query(
+    "es_stream_next_offset",
+    f"""
+    WITH last_off AS (
+        SELECT user_id,
+               COALESCE(MAX(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN event_id END), 0)
+                   AS last_offset
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(MIN(e.event_id) AS BIGINT) AS next_offset
+    FROM events e JOIN last_off l ON e.user_id = l.user_id
+    WHERE e.event_id > l.last_offset
+    GROUP BY e.user_id
+    """,
+)
+def es_stream_next_offset(spark, sf_dir):
+    """A6 stream_events `next_offset` CTE (/root/reference/schema.sql:418-423):
+    per claimed partition, MIN(offset) above the consumer's last_offset.
+    The locks side is derived from the same cutoff as es_t7_backfill; the
+    join is a broadcast (locks ≪ events at any scale)."""
+    e = load(spark, sf_dir, "events")
+    last_off = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("ts") < F.lit(CUTOFF).cast("timestamp"), F.col("event_id"))),
+            F.lit(0),
+        ).alias("last_offset")
+    )
+    return (
+        e.join(F.broadcast(last_off), "user_id")
+        .filter(F.col("event_id") > F.col("last_offset"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("next_offset"))
+    )
+
+
+@query(
+    "es_ordering_lag",
+    """
+    SELECT user_id, event_id,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_event_id
+    FROM events
+    """,
+)
+def es_ordering_lag(spark, sf_dir):
+    """The ordering-violation assertion window
+    (/root/reference/tests/utils/assertions.sql:94-103): LAG over offset
+    order, partitioned so the sort never needs a global exchange."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.lag("event_id").over(w).alias("prev_event_id"))
+    )
+
+
+@query(
+    "es_last_per_partition",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def es_last_per_partition(spark, sf_dir):
+    """DISTINCT ON (decider_id) ... ORDER BY offset DESC
+    (/root/reference/schema.sql:290-294) as a rank-1 window dedup."""
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "es_registry_antijoin",
+    """
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_unregistered
+    FROM events e
+    ANTI JOIN (VALUES ('click'), ('view'), ('purchase'), ('signup')) r(event)
+        ON e.event_type = r.event
+    GROUP BY e.event_type
+    """,
+)
+def es_registry_antijoin(spark, sf_dir):
+    """C3 registry validation (/root/reference/schema.sql:53): anti join of
+    candidate events against the (broadcast) decider registry; survivors
+    are the FK violations."""
+    registry = F.broadcast(
+        spark.createDataFrame(
+            [("click",), ("view",), ("purchase",), ("signup",)], ["event"]
+        )
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .join(registry, F.col("event_type") == F.col("event"), "leftanti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unregistered"))
+    )
+
+
+_UUID_SQL = (
+    "md5(CAST(event_id AS VARCHAR))"
+)
+
+
+@query(
+    "es_ingest_mapping",
+    f"""
+    SELECT CAST(user_id AS VARCHAR) AS decider_id,
+           'user' AS decider,
+           event_type AS event,
+           CAST(1 AS BIGINT) AS event_version,
+           ts AS created_at,
+           CAST(event_id AS BIGINT) AS "offset",
+           concat(substr({_UUID_SQL},1,8),'-',substr({_UUID_SQL},9,4),'-',
+                  substr({_UUID_SQL},13,4),'-',substr({_UUID_SQL},17,4),'-',
+                  substr({_UUID_SQL},21,12)) AS event_uuid,
+           LAG(concat(substr({_UUID_SQL},1,8),'-',substr({_UUID_SQL},9,4),'-',
+                  substr({_UUID_SQL},13,4),'-',substr({_UUID_SQL},17,4),'-',
+                  substr({_UUID_SQL},21,12)))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS previous_id
+    FROM events
+    """,
+)
+def es_ingest_mapping(spark, sf_dir):
+    """FIXTURES.md §6 bulk-ingest mapping: testdata events → store schema
+    with deterministic UUIDs and the per-stream previous_id chain
+    (/root/reference/schema.sql:43-44) built by a partitioned LAG window —
+    no shuffle beyond the per-user hash partitioning."""
+    m = F.md5(F.col("event_id").cast("string"))
+    uuid_col = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("decider_id"),
+        F.lit("user").alias("decider"),
+        F.col("event_type").alias("event"),
+        F.lit(1).cast("long").alias("event_version"),
+        F.col("ts").alias("created_at"),
+        F.col("event_id").alias("offset"),
+        uuid_col.alias("event_uuid"),
+        F.lag(uuid_col).over(w).alias("previous_id"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Analytics surface (SURVEY.md §7.1 step 7, BENCH B5)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the flagship scan+aggregate.  Whole-stage-codegen
+    hash aggregate with map-side partials; only |groups| rows shuffle."""
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, aggregate, top-k.
+    customer is broadcast (small side); the orders⋈lineitem join shuffles
+    on orderkey; the LIMIT is a TakeOrderedAndProject, not a global sort."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join — every dimension broadcast, one shuffle
+    for the orders⋈lineitem equi join + final group-by."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    dims = F.broadcast(
+        c.join(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        o.join(dims, o.o_custkey == F.col("c_custkey"))
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, total_spent FROM (
+        SELECT n.n_name, c.c_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, c.c_custkey
+               ) AS rn
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name, c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def top_customers_per_nation(spark, sf_dir):
+    """Rank-per-group: aggregate then windowed row_number with a unique
+    tiebreaker — the agg shuffle partitioning (by custkey↔nation) is
+    reused by the window's partitioning where possible."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    spent = (
+        o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                           .select("c_custkey", "n_name")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("spent_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spent_dec").desc(), F.col("c_custkey"))
+    return (
+        spent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", F.col("spent_dec").cast("double").alias("total_spent"))
+    )
+
+
+@query(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark, sf_dir):
+    """Event-time tumbling window (SURVEY.md §7.7): the reference has no
+    windowed aggregation; this is the Spark-native extension.  Expressed
+    with date_trunc so the batch and streaming (F.window) plans agree."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "daily_moving_average",
+    """
+    SELECT day, n_events,
+           AVG(n_events) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS ma3
+    FROM (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    """,
+)
+def daily_moving_average(spark, sf_dir):
+    """Sliding frame over a tumbling rollup: ROWS BETWEEN 2 PRECEDING — the
+    30-row outer window is trivially single-partition after the agg."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(-2, 0)
+    return daily.select("day", "n_events", F.avg("n_events").over(w).alias("ma3"))
+
+
+@query(
+    "user_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second',
+                                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization (gaps-and-islands): 30-min inactivity gap — the batch
+    equivalent of Structured Streaming's session_window (SURVEY.md §7.7).
+    All three windows share the user_id hash partitioning: one shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w2).alias("session_id")
+    )
+    return numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "json_value_by_type",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_value_by_type(spark, sf_dir):
+    """Schema-on-read JSON payload access (JSONB analogue, SURVEY.md §1.2):
+    get_json_object stays JVM-side (no Python UDF in the hot path)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_k"))
+    )
+
+
+@query(
+    "parts_with_sales_semi",
+    """
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part p
+    SEMI JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def parts_with_sales_semi(spark, sf_dir):
+    """Left-semi join (the EXISTS-probe shape of the reference's triggers,
+    /root/reference/schema.sql:78-82) as a standalone operator."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "leftsemi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "customers_without_orders_anti",
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customers_without_orders_anti(spark, sf_dir):
+    """Left-anti join (the NOT EXISTS / FK-violation shape,
+    /root/reference/schema.sql:53 and SURVEY.md §2.3 C3): customers with
+    no urgent order.  The filter is pushed below the anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
