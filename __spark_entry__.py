@@ -30,12 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import fstore_sql_spark.operators  # noqa: F401  (registers operator queries)
     from fstore_sql_spark.queries import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import fstore_sql_spark.operators  # noqa: F401
     from fstore_sql_spark.queries import ORACLES
 
     return dict(ORACLES)

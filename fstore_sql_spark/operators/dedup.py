@@ -1,0 +1,358 @@
+"""Deduplication operators: exact, normalized, MinHash+LSH, n-gram Jaccard,
+SimHash — each a composition of built-in DataFrame ops (no Python UDFs), so
+the whole pipeline stays inside whole-stage codegen and scales by shuffle
+parallelism alone.
+
+Scale design (100 TB corpus):
+- exact/normalized dedup: one hash-aggregate shuffle on the digest key
+- MinHash+LSH: shingle explode → per-doc min-hash aggregate (map-side
+  partial) → band self-join on the band key.  The self-join shuffles only
+  (band, doc_id) pairs — |bands|·|docs| rows, not |docs|² — and skewed
+  mega-buckets are handled by AQE skew-join splitting.
+- Jaccard verification runs only on LSH candidates (bounded output).
+- SimHash: explode tokens → 32 conditional-sum aggregates → one shuffle.
+
+The driver-gate queries run on a corpus with planted duplicates
+(documents ∪ first-25-docs re-keyed) so the positive path is exercised —
+the raw synthetic corpus has no duplicates at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.queries import load, query
+
+N_PLANTED = 25
+_SHIFT = 100000
+
+# --------------------------------------------------------------------- #
+# generic operator API
+# --------------------------------------------------------------------- #
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as an array column (built-in higher-order
+    functions only).  Docs shorter than n words fall back to the whole text
+    so every doc has a signature."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]))
+    return F.when(F.size(w) >= n, gram).otherwise(F.array(F.col(text_col)))
+
+
+def _shingles_sql(n: int = 3) -> str:
+    return (
+        "CASE WHEN len(string_split(text,' ')) >= 3 THEN "
+        "list_transform(range(1, len(string_split(text,' '))-1), "
+        "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+        "|| ' ' || string_split(text,' ')[i+2]) "
+        "ELSE [text] END"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 4
+) -> DataFrame:
+    """Per-doc MinHash signature: h_k = MIN(md5(seed_k ‖ shingle)).
+
+    md5-as-hash keeps the operator portable and deterministic; lexicographic
+    MIN over fixed-width hex == numeric MIN.  One explode + one hash
+    aggregate; partial aggregation means only |docs|·k values shuffle.
+    """
+    ex = df.select(id_col, F.explode(shingles_col(text_col)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 2) -> DataFrame:
+    """Band the signature (2 hashes per band) and self-join per band:
+    classic MinHash-LSH.  Returns distinct (doc_a, doc_b) with a < b."""
+    num_hashes = len([c for c in sigs.columns if c.startswith("h")])
+    per_band = num_hashes // bands
+    out = None
+    for b in range(bands):
+        cols = [f"h{b * per_band + i}" for i in range(per_band)]
+        banded = sigs.select(
+            F.col(id_col), F.concat(*[F.col(c) for c in cols]).alias("band")
+        )
+        a = banded.alias("a")
+        bb = banded.alias("b")
+        pairs = a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def jaccard_verify(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only (the verify step
+    after LSH).  Join cost is bounded by the candidate set, not |docs|²."""
+    toks = corpus.select(
+        F.col(id_col), F.explode(shingles_col()).alias("shingle")
+    ).distinct()
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col(id_col).alias("doc_a"), "shingle")
+    tb = toks.select(F.col(id_col).alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens: per-bit signed counts, then bit
+    assembly — 32 conditional sums in ONE hash aggregate (single shuffle).
+    Token hash = first 8 md5 hex chars as uint32 (portable)."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    per_bit = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return per_bit.select(id_col, sim.alias("simhash"))
+
+
+# --------------------------------------------------------------------- #
+# driver-gate queries (planted-duplicate corpus)
+# --------------------------------------------------------------------- #
+
+_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents WHERE doc_id < {N_PLANTED}
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < N_PLANTED).select(
+        (F.col("doc_id") + _SHIFT).alias("doc_id"), "text"
+    )
+    return d.select("doc_id", "text").unionByName(planted)
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_duplicates
+    FROM corpus
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: content-digest hash aggregate.  At 100 TB the digest is
+    computed scan-side and only (digest, count) partials shuffle."""
+    c = _corpus(spark, sf_dir).select(F.md5("text").alias("digest"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("digest")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("digest"))).alias("n_duplicates"),
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(text) AS digest,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Duplicate groups with a deterministic keeper (min doc_id) — the
+    'which rows to drop' half of exact dedup."""
+    return (
+        _corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@query(
+    "dedup_normalized",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))) AS BIGINT)
+               AS n_distinct_normalized
+    FROM corpus
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    """Normalization before digesting (lowercase, strip non-alphanumerics)
+    — catches formatting-only duplicates."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    return _corpus(spark, sf_dir).agg(
+        F.count_distinct(F.md5(norm)).alias("n_distinct_normalized")
+    )
+
+
+_SIGS_SQL = f"""
+    SELECT doc_id,
+           MIN(md5('0' || shingle)) AS h0, MIN(md5('1' || shingle)) AS h1,
+           MIN(md5('2' || shingle)) AS h2, MIN(md5('3' || shingle)) AS h3
+    FROM (
+        SELECT doc_id, unnest({_shingles_sql()}) AS shingle
+        FROM corpus
+    ) GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    banded AS (SELECT doc_id, h0 || h1 AS b1, h2 || h3 AS b2 FROM sigs)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+    FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+    FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs (shingle → minhash → band → bucket
+    self-join) — SURVEY.md §7.7 / the build brief's scale path for near-dup
+    detection."""
+    sigs = minhash_signatures(_corpus(spark, sf_dir))
+    return lsh_candidate_pairs(sigs)
+
+
+@query(
+    "dedup_jaccard_verified",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    banded AS (SELECT doc_id, h0 || h1 AS b1, h2 || h3 AS b2 FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_shingles_sql()}) AS shingle FROM corpus
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+    """,
+)
+def dedup_jaccard_verified(spark, sf_dir):
+    """LSH candidates verified by exact shingle-set Jaccard ≥ 0.8 — the
+    full near-dup pipeline end to end."""
+    corpus = _corpus(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(corpus))
+    return jaccard_verify(corpus, cands, threshold=0.8)
+
+
+def _simhash_sql() -> str:
+    h = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+    sums = ", ".join(
+        f"SUM(CASE WHEN ({h} & {1 << b}) != 0 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+    per_bit AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM per_bit
+    """
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints for the corpus; identical docs collide exactly,
+    near-identical docs land within small Hamming distance."""
+    return simhash(_corpus(spark, sf_dir))
+
+
+@query(
+    "dedup_simhash_buckets",
+    f"""
+    WITH sims AS ({_simhash_sql()})
+    SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM sims GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash_buckets(spark, sf_dir):
+    """SimHash collision buckets — the dedup decision output."""
+    return (
+        simhash(_corpus(spark, sf_dir))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
