@@ -1,0 +1,115 @@
+"""BENCH — headline-query benchmark (BASELINE.md self-defined targets).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect — the measurement a cluster job would see).  B1 (bulk
+append with full validation) is measured through the EventStore write path
+on the mapped events table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative of every operator family (SURVEY.md §2 + pipeline ops).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "top_customers_per_nation",
+    "hourly_event_rollup",
+    "user_sessions",
+    "es_ingest_mapping",
+    "es_stream_next_offset",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_blocked_topk",
+    "text_fingerprint",
+    "text_quality_by_source",
+    "multimodal_features",
+]
+
+
+def force(df) -> None:
+    """Execute the full plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import fstore_sql_spark.operators  # noqa: F401
+    from fstore_sql_spark import EventStore, get_spark
+    from fstore_sql_spark.queries import QUERIES, load
+
+    spark = get_spark(app_name="fstore-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # warm the JVM + file listing once (excluded from per-query timings)
+    load(spark, SF_DIR, "lineitem").count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # B1 — bulk append through the full validation + offset-assignment path
+    # (BASELINE.md): ingest the mapped events table in one batch.
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        store = EventStore(spark, tmp)
+        for ev in ("click", "view", "purchase", "signup", "error"):
+            store.register_decider_event("user", ev, f"testdata event {ev}")
+        src = QUERIES["es_ingest_mapping"](spark, SF_DIR)
+        batch = src.select(
+            "event",
+            F.col("event_uuid").alias("event_id"),
+            "event_version",
+            "decider",
+            "decider_id",
+            F.lit("{}").alias("data"),
+            F.col("event_uuid").alias("command_id"),
+            "previous_id",
+            F.col("offset").alias("seq"),
+        )
+        n = batch.count()
+        t0 = time.time()
+        store.append_batch(batch)
+        b1 = time.time() - t0
+        timings["b1_append_validate"] = round(b1, 3)
+        b1_eps = round(n / b1, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "b1_events_per_sec": b1_eps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -457,9 +457,13 @@ class EventStore:
         self.storage.write_manifest(
             _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
         )
-        out = self.spark.createDataFrame(finished.collect(), EVENTS_SCHEMA)
         finished.unpersist()
-        return out
+        # RETURNING * analogue — a lazy offset-range view of the committed
+        # log (never collects the batch to the driver; 100 TB-clean).
+        lo, hi = manifest.max_offset + 1, manifest.max_offset + n
+        return self.events().filter(
+            (F.col("offset") >= lo) & (F.col("offset") <= hi)
+        )
 
     def _t6_new_partition_locks(self, new_streams: list[tuple[str, str]], now: datetime) -> None:
         """T6 insert branch (/root/reference/schema.sql:244-252): one lock
