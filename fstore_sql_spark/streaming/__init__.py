@@ -1,0 +1,17 @@
+"""Structured-Streaming surface: push delivery (A10/T8-T10) and
+event-time windowed aggregation (the Spark-native extension, SURVEY.md §7.7).
+"""
+
+from fstore_sql_spark.streaming.push import PushDelivery
+from fstore_sql_spark.streaming.windows import (
+    sessionized_counts,
+    streaming_events,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "PushDelivery",
+    "streaming_events",
+    "windowed_event_counts",
+    "sessionized_counts",
+]

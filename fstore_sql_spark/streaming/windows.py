@@ -1,0 +1,65 @@
+"""Event-time windowed aggregation over the event log — the Spark-native
+capability the reference lacks (SURVEY.md §2.5/§7.7, BASELINE.json north
+star: "Structured Streaming + event-time windows").
+
+``streaming_events`` opens the store's append-only parquet log as a file
+source; the windowed aggregations put watermarks on ``created_at`` so state
+is bounded and late events beyond the watermark are dropped — semantics the
+transactional reference simply doesn't define.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.schemas import EVENTS_SCHEMA
+
+
+def streaming_events(spark: SparkSession, store_path: str) -> DataFrame:
+    """readStream over the event log (file source discovers each committed
+    append batch; at cluster scale the same code reads a Delta source)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(f"{store_path}/events")
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) event-time counts per
+    decider type.  Works identically on a batch DataFrame (window() is the
+    same expression in both engines' plans)."""
+    w = (
+        F.window("created_at", window, slide)
+        if slide
+        else F.window("created_at", window)
+    )
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("created_at", watermark)
+    return src.groupBy(w.alias("win"), F.col("decider")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("decider_id").alias("approx_partitions"),
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (inactivity gap) per decider stream —
+    ``session_window`` keeps per-key state until watermark + gap expiry."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("created_at", watermark)
+    return src.groupBy(
+        F.session_window("created_at", gap).alias("session"),
+        F.col("decider_id"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
