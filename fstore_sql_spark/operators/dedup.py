@@ -35,11 +35,27 @@ _SHIFT = 100000
 def shingles_col(text_col: str = "text", n: int = 3):
     """Word n-gram shingles as an array column (built-in higher-order
     functions only).  Docs shorter than n words fall back to the whole text
-    so every doc has a signature."""
-    w = F.split(F.col(text_col), " ")
+    so every doc has a signature.
+
+    Implementation note: the words array MUST be a named column before the
+    transform lambda touches it — a `split()` expression referenced inside
+    the lambda is inlined and re-evaluated per element, turning shingling
+    into O(words²) per document (measured 5-20s on a 500-doc corpus; ~100ms
+    with the materialized array)."""
+    w = F.col("__words")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     gram = F.transform(idx, lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]))
-    return F.when(F.size(w) >= n, gram).otherwise(F.array(F.col(text_col)))
+    shingle = F.when(F.size(w) >= n, gram).otherwise(F.array(F.col(text_col)))
+    return shingle
+
+
+def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) exploded pairs, with the words array materialized once
+    per row (see shingles_col note)."""
+    return (
+        df.withColumn("__words", F.split(F.col(text_col), " "))
+        .select(id_col, F.explode(shingles_col(text_col)).alias("shingle"))
+    )
 
 
 def _shingles_sql(n: int = 3) -> str:
@@ -61,7 +77,7 @@ def minhash_signatures(
     MIN over fixed-width hex == numeric MIN.  One explode + one hash
     aggregate; partial aggregation means only |docs|·k values shuffle.
     """
-    ex = df.select(id_col, F.explode(shingles_col(text_col)).alias("shingle"))
+    ex = with_shingles(df, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")))).alias(f"h{k}")
         for k in range(num_hashes)
@@ -69,28 +85,50 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 2) -> DataFrame:
-    """Band the signature (2 hashes per band) and self-join per band:
-    classic MinHash-LSH.  Returns distinct (doc_a, doc_b) with a < b."""
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signature (2 hashes per band) and emit candidate pairs per
+    bucket.  Returns distinct (doc_a, doc_b) with a < b.
+
+    Scale shape: instead of a per-band self-join (which would compute the
+    signature subplan once per join side per band — 4× at 2 bands — and
+    shuffle |docs| rows per band), all bands explode into ONE (band_idx,
+    band) keyed aggregate; pairs are generated inside each bucket with
+    higher-order array functions.  One explode + one shuffle total.
+    Mega-buckets (degenerate bands) are capped at ``max_bucket`` docs —
+    the standard LSH skew guard; the cap keeps worst-case pair fan-out
+    bounded (capped buckets keep their ``max_bucket`` smallest doc ids,
+    deterministically)."""
     num_hashes = len([c for c in sigs.columns if c.startswith("h")])
     per_band = num_hashes // bands
-    out = None
-    for b in range(bands):
-        cols = [f"h{b * per_band + i}" for i in range(per_band)]
-        banded = sigs.select(
-            F.col(id_col), F.concat(*[F.col(c) for c in cols]).alias("band")
+    band_cols = [
+        F.concat(*[F.col(f"h{b * per_band + i}") for i in range(per_band)])
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band")
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all i<j pairs within a bucket (ids sorted ⇒ doc_a < doc_b)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        a = banded.alias("a")
-        bb = banded.alias("b")
-        pairs = a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
 
 
 def jaccard_verify(
@@ -101,12 +139,12 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only (the verify step
     after LSH).  Join cost is bounded by the candidate set, not |docs|²."""
-    toks = corpus.select(
-        F.col(id_col), F.explode(shingles_col()).alias("shingle")
-    ).distinct()
+    toks = with_shingles(corpus, id_col).distinct()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = toks.select(F.col(id_col).alias("doc_a"), "shingle")
     tb = toks.select(F.col(id_col).alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+    # duplicate candidate rows would double-count intersections
+    candidates = candidates.select("doc_a", "doc_b").distinct()
     inter = (
         candidates.join(ta, "doc_a")
         .join(
