@@ -637,3 +637,386 @@ def customers_without_orders_anti(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Analytics batch 2 — remaining operator shapes from SURVEY.md §2.2
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-side conjunctive predicate + single
+    aggregate — every filter reaches PushedFilters, zero shuffle rows
+    beyond one partial per task."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    SEMI JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a non-equi residual — the same
+    join-plus-residual pattern as the reference's delivery kernel
+    (/root/reference/schema.sql:421-422) as a leftsemi join."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q14_promo_effect",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END)
+               AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional aggregate ratio."""
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate + HAVING + top-k with unique tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctions across both join sides
+    — Catalyst extracts the common l_quantity range for scan pushdown."""
+    one = F.lit(1).cast("decimal(18,2)")
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark, sf_dir):
+    """ROLLUP hierarchy aggregate (subtotals + grand total) — the
+    grouping-sets operator family; NULL group keys coalesced to a stable
+    label for hashing."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "t6_views_cross_join",
+    f"""
+    WITH hwm AS (
+        SELECT user_id, MAX(event_id) AS max_offset,
+               ARG_MAX(event_type, event_id) AS last_type
+        FROM events GROUP BY user_id
+    )
+    SELECT v.view_name, CAST(h.user_id AS BIGINT) AS user_id,
+           CAST(h.max_offset AS BIGINT) AS max_offset, h.last_type
+    FROM (VALUES ('view_a'), ('view_b'), ('view_c')) v(view_name)
+    CROSS JOIN hwm h
+    """,
+)
+def t6_views_cross_join(spark, sf_dir):
+    """T6's implicit cross join (/root/reference/schema.sql:244-251): one
+    lock row per registered view per partition — tiny dim × aggregate,
+    broadcast nested loop."""
+    views = spark.createDataFrame(
+        [("view_a",), ("view_b",), ("view_c",)], ["view_name"]
+    )
+    hwm = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("max_offset"),
+            F.max_by("event_type", "event_id").alias("last_type"),
+        )
+    )
+    return F.broadcast(views).crossJoin(hwm)
+
+
+@query(
+    "lease_expiry_intervals",
+    f"""
+    SELECT user_id,
+           MAX(ts) + INTERVAL 300 SECOND AS lease_until,
+           MAX(ts) + INTERVAL 300 SECOND < TIMESTAMP '{CUTOFF}' AS expired
+    FROM events GROUP BY user_id
+    """,
+)
+def lease_expiry_intervals(spark, sf_dir):
+    """Interval arithmetic on timestamps — the lease computation shape
+    (locked_until = NOW() + (v_seconds||'s')::INTERVAL,
+    /root/reference/schema.sql:413)."""
+    lease = F.max("ts") + F.expr("INTERVAL 300 SECOND")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            lease.alias("lease_until"),
+            (lease < F.lit(CUTOFF).cast("timestamp")).alias("expired"),
+        )
+    )
+
+
+@query(
+    "generate_series_running",
+    """
+    SELECT user_id, i,
+           CAST(SUM(i) OVER (PARTITION BY user_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+    FROM (
+        SELECT user_id, unnest(generate_series(1, 5)) AS i
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5)
+    )
+    """,
+)
+def generate_series_running(spark, sf_dir):
+    """generate_series + explode + running sum — the reference's test-data
+    generator shape (json_agg(generate_series(1,100)),
+    /root/reference/tests/performance/benchmarks/test_stress_conditions.sql:38)."""
+    users = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        users.select("user_id", F.explode(F.sequence(F.lit(1), F.lit(5))).alias("i"))
+        .select("user_id", "i", F.sum("i").over(w).cast("long").alias("running"))
+    )
+
+
+@query(
+    "scalar_function_showcase",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           concat('doc-', lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS doc_key,
+           repeat('*', CAST(floor(n_chars / 100) AS INT)) AS size_bar,
+           upper(lang) AS lang_uc,
+           CAST(floor(date_part('epoch', TIMESTAMP '2024-01-15 00:00:00')) AS BIGINT)
+               AS epoch_cutoff
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def scalar_function_showcase(spark, sf_dir):
+    """Scalar-function parity row (SURVEY.md §2.2 scalar table): concat,
+    lpad, repeat, upper, epoch extraction — all JVM built-ins."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+            ).alias("doc_key"),
+            F.repeat(F.lit("*"), F.floor(F.col("n_chars") / 100).cast("int")).alias("size_bar"),
+            F.upper("lang").alias("lang_uc"),
+            F.unix_timestamp(F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .alias("epoch_cutoff"),
+        )
+    )
+
+
+@query(
+    "event_types_set_ops",
+    f"""
+    SELECT event_type, 'both_halves' AS presence FROM (
+        SELECT event_type FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+        INTERSECT
+        SELECT event_type FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    )
+    UNION ALL
+    SELECT event_type, 'first_half_only' AS presence FROM (
+        SELECT event_type FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+        EXCEPT
+        SELECT event_type FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    )
+    """,
+)
+def event_types_set_ops(spark, sf_dir):
+    """Set operators (INTERSECT / EXCEPT / UNION ALL) — beyond-reference
+    completeness (the reference uses none, SURVEY.md §2.2)."""
+    e = load(spark, sf_dir, "events")
+    first = e.filter(F.col("ts") < F.lit(CUTOFF).cast("timestamp")).select("event_type")
+    second = e.filter(F.col("ts") >= F.lit(CUTOFF).cast("timestamp")).select("event_type")
+    both = first.intersect(second).select(
+        "event_type", F.lit("both_halves").alias("presence")
+    )
+    only_first = first.exceptAll(second).distinct().select(
+        "event_type", F.lit("first_half_only").alias("presence")
+    )
+    return both.unionByName(only_first)
+
+
+@query(
+    "asof_last_event_before",
+    f"""
+    SELECT user_id,
+           CAST(ARG_MAX(event_id, ts) AS BIGINT) AS event_id,
+           ARG_MAX(event_type, ts) AS event_type,
+           MAX(ts) AS ts
+    FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+    GROUP BY user_id
+    """,
+)
+def asof_last_event_before(spark, sf_dir):
+    """Point-in-time (as-of) lookup: per partition, the last event strictly
+    before a timestamp — an as-of join against a constant time, the
+    max_by/DISTINCT ON pattern under a pushdown filter."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", "ts").alias("event_id"),
+            F.max_by("event_type", "ts").alias("event_type"),
+            F.max("ts").alias("ts"),
+        )
+    )
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HLL++) per event type — the approximate-
+    distinct sketch; sketch internals differ across engines so this is a
+    rows-only check (exact distinct is covered elsewhere)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
