@@ -82,8 +82,23 @@ class ParquetStore:
     # append-only log
     # ------------------------------------------------------------------ #
 
-    def _log_dir(self, table: str) -> str:
+    def _log_base(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _log_gen(self, table: str) -> int:
+        path = os.path.join(self._log_base(table), _LATEST)
+        if not os.path.exists(path):
+            return 0
+        with open(path, encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def _log_dir(self, table: str, gen: int | None = None) -> str:
+        """Logs live in generation subdirectories; compaction writes a new
+        generation and flips the pointer, so readers always see a complete
+        snapshot (same discipline as state tables)."""
+        if gen is None:
+            gen = self._log_gen(table)
+        return os.path.join(self._log_base(table), f"g{gen:06d}")
 
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}{_MANIFEST}")
@@ -105,10 +120,12 @@ class ParquetStore:
     def init_log(self, table: str, schema: StructType) -> None:
         """Idempotent bootstrap: empty parquet dir with the fixed schema
         (the DDL-bootstrap analogue, SURVEY.md §2.2 'DDL bootstrap')."""
+        os.makedirs(self._log_base(table), exist_ok=True)
         path = self._log_dir(table)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             empty = self.spark.createDataFrame([], schema)
             empty.write.mode("overwrite").parquet(path)
+            _atomic_write(os.path.join(self._log_base(table), _LATEST), "0")
             self.write_manifest(table, Manifest())
 
     def append_log(self, table: str, df: DataFrame, cluster_by: str | None = None) -> None:
@@ -121,6 +138,27 @@ class ParquetStore:
 
     def read_log(self, table: str, schema: StructType) -> DataFrame:
         return self.spark.read.schema(schema).parquet(self._log_dir(table))
+
+    def log_file_count(self, table: str) -> int:
+        return sum(
+            1 for f in os.listdir(self._log_dir(table)) if f.endswith(".parquet")
+        )
+
+    def compact_log(self, table: str, df: DataFrame, keep_gens: int = 2) -> None:
+        """OPTIMIZE analogue: rewrite the log as a new generation, flip the
+        pointer, GC old generations.  The caller provides the (repartitioned
+        / sorted) DataFrame; it must read from the CURRENT generation, which
+        stays intact until the pointer flips."""
+        with self._lock:
+            new_gen = self._log_gen(table) + 1
+            df.write.mode("overwrite").parquet(self._log_dir(table, new_gen))
+            _atomic_write(os.path.join(self._log_base(table), _LATEST), str(new_gen))
+            base = self._log_base(table)
+            gens = sorted(
+                d for d in os.listdir(base) if d.startswith("g") and d[1:].isdigit()
+            )
+            for d in gens[:-keep_gens]:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # ------------------------------------------------------------------ #
     # versioned state snapshots

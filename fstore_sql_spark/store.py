@@ -131,6 +131,28 @@ class EventStore:
             "updated_at",
         )
 
+    def compact(self, target_partitions: int | None = None) -> int:
+        """OPTIMIZE analogue: rewrite the event log clustered by
+        ``decider_id`` and sorted by (decider_id, offset) within files, so
+        parquet min/max stats prune stream replays like the reference's
+        ``decider_index`` B-tree (/root/reference/schema.sql:56).  Run
+        periodically after many small appends (each append batch writes its
+        own files).  Returns the new file count.
+
+        Readers are snapshot-safe (generation-pointer flip); concurrent
+        APPENDS must be quiesced — the commit lock enforces that in-process.
+        """
+        with self._commit_lock:
+            events = self.events()
+            if target_partitions is None:
+                n = events.count()
+                target_partitions = max(1, n // 2_000_000)
+            compacted = events.repartition(target_partitions, "decider_id").sortWithinPartitions(
+                "decider_id", "offset"
+            )
+            self.storage.compact_log(_EVENTS, compacted)
+            return self.storage.log_file_count(_EVENTS)
+
     def register_sql_views(self, prefix: str = "") -> None:
         """Expose all four tables as temp views so ``spark.sql`` works over
         the store (SURVEY.md §7.1 step 7)."""
