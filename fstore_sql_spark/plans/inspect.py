@@ -1,0 +1,101 @@
+"""Extract scale-relevant facts from a DataFrame's physical plan.
+
+Everything here reads the *formatted explain* output (the same text
+``df.explain("formatted")`` prints), which is stable across Spark 3.4+ and
+carries the three facts that decide 100 TB viability:
+
+- ``PushedFilters`` / ``ReadSchema`` on each parquet scan — did predicate
+  pushdown and column pruning reach the data source?
+- ``Exchange`` operators — how many shuffles does the plan pay?
+- join strategy nodes (``BroadcastHashJoin`` vs ``SortMergeJoin``) — is the
+  small side broadcast?
+
+These are assertions about the *plan*, not the data, so they run in
+milliseconds and hold at any scale factor.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The full formatted explain string (plan tree + node details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans, flattened.
+
+    Empty list ⇒ no filter reached any scan (fine for full-table reads,
+    a red flag for point lookups like A3/A4).
+    """
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Per-scan list of columns actually read (ReadSchema) — verifies
+    column pruning: a 2-column projection must not read 11 columns."""
+    plan = formatted_plan(df)
+    out: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        body = m.group(1).strip()
+        cols = [c.split(":")[0].strip() for c in body.split(",")] if body else []
+        out.append(cols)
+    return out
+
+
+def _count_nodes(df: DataFrame, name_pattern: str) -> int:
+    """Count plan-tree nodes by name.  Formatted explain lists each node
+    once in the tree as ``(<id>) <Name>`` — count those lines only, so the
+    per-node detail section doesn't double-count."""
+    plan = formatted_plan(df)
+    return len(re.findall(rf"\(\d+\) {name_pattern}\b", plan))
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Total Exchange operators (shuffle + broadcast) in the plan."""
+    return _count_nodes(df, r"(?:Exchange|BroadcastExchange)")
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges only — each is a full repartition of its input,
+    the dominant cost at 100 TB.  Broadcast exchanges excluded."""
+    return _count_nodes(df, r"Exchange")
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return _count_nodes(df, r"(?:BroadcastHashJoin|BroadcastNestedLoopJoin)")
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return _count_nodes(df, r"SortMergeJoin")
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans — fewer, wider spans mean
+    more of the plan runs as fused JVM bytecode (Tungsten)."""
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
+    return len(ids)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when ORDER BY + LIMIT planned as top-k (TakeOrderedAndProject)
+    rather than a global sort — the A4 get_last_event requirement."""
+    return "TakeOrderedAndProject" in formatted_plan(df)

@@ -42,6 +42,19 @@ _LATEST = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
 
 
+def current_log_dir(root: str, table: str) -> str:
+    """Resolve a log table's current generation directory from the
+    ``_LATEST`` pointer (0 if the pointer doesn't exist yet).  Shared by
+    batch reads (``ParquetStore``) and the streaming source so both always
+    see the same snapshot of the log layout."""
+    pointer = os.path.join(root, table, _LATEST)
+    gen = 0
+    if os.path.exists(pointer):
+        with open(pointer, encoding="utf-8") as f:
+            gen = int(f.read().strip())
+    return os.path.join(root, table, f"g{gen:06d}")
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -97,7 +110,7 @@ class ParquetStore:
         generation and flips the pointer, so readers always see a complete
         snapshot (same discipline as state tables)."""
         if gen is None:
-            gen = self._log_gen(table)
+            return current_log_dir(self.root, table)
         return os.path.join(self._log_base(table), f"g{gen:06d}")
 
     def _manifest_path(self, table: str) -> str:

@@ -14,15 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fstore_sql_spark.schemas import EVENTS_SCHEMA
+from fstore_sql_spark.storage import current_log_dir
 
 
 def streaming_events(spark: SparkSession, store_path: str) -> DataFrame:
     """readStream over the event log (file source discovers each committed
-    append batch; at cluster scale the same code reads a Delta source)."""
+    append batch; at cluster scale the same code reads a Delta source).
+
+    The path resolves to the log's *current generation* directory
+    (compaction writes a new generation and flips a pointer — see
+    ``ParquetStore.compact_log``).  A running stream is pinned to the
+    generation it started on; restart streams after compacting, exactly as
+    a file-source stream over a table rewritten by OPTIMIZE would be.
+    """
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 64)
-        .parquet(f"{store_path}/events")
+        .parquet(current_log_dir(store_path, "events"))
     )
 
 

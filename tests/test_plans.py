@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the scale posture of every headline operator,
+pinned as tests (SURVEY.md §4: what the reference gets from Postgres indexes
+and the planner, we must get from Catalyst — verifiably).
+
+These tests inspect the plan, not the data, so they are fast and their
+guarantees are scale-independent: a filter that reaches PushedFilters at
+sf0.001 reaches it at 100 TB; a plan with one shuffle at sf0.001 has one
+shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fstore_sql_spark.plans import inspect as P
+from fstore_sql_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return QUERIES[name](spark, SF)
+
+
+class TestPushdown:
+    def test_point_lookup_pushes_filter_to_scan(self, spark):
+        # A3 get_events: the decider_id equality must reach the parquet scan
+        # (the analogue of the reference's decider_index, schema.sql:56).
+        pushed = P.pushed_filters(q(spark, "es_get_events"))
+        assert any("user_id" in f for f in pushed), pushed
+
+    def test_point_lookup_prunes_columns(self, spark):
+        # 5-column projection must not read the 6-column events table.
+        cols = P.scan_columns(q(spark, "es_get_events"))
+        assert cols and all("props" not in c for c in cols), cols
+
+    def test_q6_all_predicates_pushed(self, spark):
+        # Q6's conjunctive range predicates all reach the scan.
+        pushed = P.pushed_filters(q(spark, "q6_forecast_revenue"))
+        assert any("l_shipdate" in f for f in pushed), pushed
+        assert any("l_discount" in f for f in pushed), pushed
+        assert any("l_quantity" in f for f in pushed), pushed
+
+    def test_q1_reads_only_needed_columns(self, spark):
+        cols = P.scan_columns(q(spark, "q1_pricing_summary"))
+        assert cols, "expected a file scan"
+        for scan in cols:
+            assert "l_orderkey" not in scan, scan  # not referenced by Q1
+
+
+class TestJoinStrategy:
+    def test_q3_broadcasts_dimension(self, spark):
+        # customer (filtered dim) must broadcast; no sort-merge join.
+        df = q(spark, "q3_top_orders")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_q5_star_join_single_shuffle(self, spark):
+        # All dims broadcast ⇒ the only shuffle is the final group-by.
+        df = q(spark, "q5_nation_revenue")
+        assert P.broadcast_join_count(df) >= 2
+        assert P.shuffle_exchange_count(df) == 1
+
+    def test_stream_next_offset_broadcasts_locks_side(self, spark):
+        # A6 delivery kernel: the derived locks side is tiny vs events —
+        # must be a broadcast join, never a shuffle of the events table
+        # beyond its own aggregation.
+        df = q(spark, "es_stream_next_offset")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.shuffle_exchange_count(df) <= 2
+
+
+class TestShuffleBudget:
+    """Each operator's shuffle count is its dominant scale cost — pin it."""
+
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("q1_pricing_summary", 1),     # one partial→final agg exchange
+            ("q6_forecast_revenue", 1),    # single-row agg
+            ("user_sessions", 1),          # 3 windows + agg share one hash partitioning
+            ("es_ingest_mapping", 1),      # lag window: one hash partitioning
+            ("hourly_event_rollup", 1),
+            ("es_high_watermark", 1),
+            ("es_t7_backfill", 1),
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+
+class TestTopK:
+    def test_get_last_event_is_top_k_not_global_sort(self, spark):
+        # A4 (schema.sql:359-367): ORDER BY offset DESC LIMIT 1 must plan
+        # as TakeOrderedAndProject — per-partition top-k, driver merge —
+        # never a full sort of the stream.
+        assert P.has_take_ordered(q(spark, "es_get_last_event"))
+
+    def test_q3_limit_is_top_k(self, spark):
+        assert P.has_take_ordered(q(spark, "q3_top_orders"))
