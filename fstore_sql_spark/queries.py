@@ -1020,3 +1020,329 @@ def approx_distinct_users(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Analytics batch 3 — outer joins, scalar subqueries, pivot/cube,
+# full window-function family, percentiles, SQL surface
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT order_count, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY order_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join (null-preserving — customers with
+    zero orders count as 0) + double aggregation.  The outer join shuffles
+    on custkey once; the second aggregate is tiny."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar subquery (global MAX) against a derived
+    aggregate — decorrelated as a broadcast join of the 1-row max, so the
+    revenue aggregate is computed once and reused (no correlated re-scan).
+    Decimal revenue keeps the equality exact across engines."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("r"))
+    )
+    max_rev = rev.agg(F.max("r").alias("max_r"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.r == F.col("max_r"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH a AS (
+        SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.c < a.s
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated AVG subquery (qty < 0.2*avg per part),
+    decorrelated into a self-aggregation join (SURVEY.md §4.2).  The
+    threshold is algebraically rearranged (qty*5*cnt < sum) so the
+    comparison stays in exact decimal arithmetic — no cross-engine float
+    drift at the boundary."""
+    l = load(spark, sf_dir, "lineitem")
+    a = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        l.join(a, l.l_partkey == F.col("a_partkey"))
+        .filter(_dec("l_quantity") * 5 * F.col("c") < F.col("s"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_daily_event_counts",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {", ".join(
+               f"CAST(COALESCE(COUNT(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_event_counts(spark, sf_dir):
+    """PIVOT (long→wide reshape): one column per event type.  Pivot values
+    are pinned explicitly — never inferred with a collect at scale — so the
+    plan is a single hash aggregate with conditional counts."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@query(
+    "cube_lineitem_stats",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_stats(spark, sf_dir):
+    """CUBE (all grouping-set combinations) — the remaining member of the
+    grouping-sets family (ROLLUP covered by rollup_order_stats)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "window_function_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS BIGINT) AS drnk,
+           CAST(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS DOUBLE) AS prnk,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS INT) AS quartile,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_orderkey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS first_orderkey
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_function_family(spark, sf_dir):
+    """The analytic-function family beyond the reference's LAG/ROW_NUMBER
+    (SURVEY.md §2.2): rank, dense_rank, percent_rank, ntile, lead,
+    first_value — all six share one window spec, so Catalyst plans a single
+    sort within one hash partitioning."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+        )
+    )
+
+
+@query(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE) AS median,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (PERCENTILE_CONT).
+    l_quantity is integral, so interpolation yields exact halves — bitwise
+    identical across engines."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("median"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        )
+    )
+
+
+@query(
+    "event_halves_full_outer",
+    f"""
+    WITH a AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}' GROUP BY event_type
+    ), b AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}' GROUP BY event_type
+    )
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_first_half,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_second_half
+    FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    """,
+)
+def event_halves_full_outer(spark, sf_dir):
+    """FULL OUTER join of two aggregates — the null-preserving comparison
+    shape (both sides post-aggregation, so the join inputs are tiny)."""
+    e = load(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("ts") < F.lit(CUTOFF).cast("timestamp"))
+        .groupBy(F.col("event_type").alias("et_a"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        e.filter(F.col("ts") >= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy(F.col("event_type").alias("et_b"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, a.et_a == b.et_b, "full_outer")
+        .select(
+            F.coalesce("et_a", "et_b").alias("event_type"),
+            F.coalesce("n_a", F.lit(0)).alias("n_first_half"),
+            F.coalesce("n_b", F.lit(0)).alias("n_second_half"),
+        )
+    )
+
+
+@query(
+    "sql_surface_in_subquery",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_surface_in_subquery(spark, sf_dir):
+    """The spark.sql() text surface (SURVEY.md §1.4 'tables as API'):
+    IN-subqueries written as SQL — Catalyst's RewritePredicateSubquery turns
+    both into left-semi joins, same plan as the DataFrame form."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sql_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM sql_customer
+        WHERE c_custkey IN (SELECT o_custkey FROM sql_orders
+                            WHERE o_orderpriority = '1-URGENT')
+          AND c_custkey IN (SELECT o_custkey FROM sql_orders
+                            WHERE o_orderpriority = '5-LOW')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "supplier_balance_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+           CAST(MAX(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_balance_by_nation(spark, sf_dir):
+    """Supplier dimension rollup (broadcast dim join + aggregate) — covers
+    the supplier table in the §2 surface."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_balance"),
+            F.max(_dec("s_acctbal")).cast("double").alias("max_balance"),
+        )
+    )
