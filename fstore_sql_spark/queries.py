@@ -291,15 +291,9 @@ def es_ingest_mapping(spark, sf_dir):
     with deterministic UUIDs and the per-stream previous_id chain
     (/root/reference/schema.sql:43-44) built by a partitioned LAG window —
     no shuffle beyond the per-user hash partitioning."""
-    m = F.md5(F.col("event_id").cast("string"))
-    uuid_col = F.concat_ws(
-        "-",
-        F.substring(m, 1, 8),
-        F.substring(m, 9, 4),
-        F.substring(m, 13, 4),
-        F.substring(m, 17, 4),
-        F.substring(m, 21, 12),
-    )
+    from fstore_sql_spark.functions import deterministic_uuid
+
+    uuid_col = deterministic_uuid(F.col("event_id").cast("string"))
     w = Window.partitionBy("user_id").orderBy("event_id")
     return load(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("decider_id"),
