@@ -747,3 +747,28 @@ class EventStore:
         return self.locks().filter(
             (F.col("view") == view) & (F.col("decider_id") == decider_id)
         )
+
+    # ------------------------------------------------------------------ #
+    # unregister_view — DELETE FROM views + FK ON DELETE CASCADE on locks
+    # (/root/reference/schema.sql:199; extensions T10,
+    #  /root/reference/extensions.sql:113-126)
+    # ------------------------------------------------------------------ #
+
+    def unregister_view(self, view: str) -> DataFrame:
+        """Delete a consumer registration and cascade-delete its locks in
+        one logical operation (the reference gets the cascade from the
+        ``locks.view → views.view ON DELETE CASCADE`` FK).  Returns the
+        deleted view rows (RETURNING analogue).  Any push-delivery query
+        for the view should be stopped by the caller (T10's
+        cron.unschedule ⇔ ``PushDelivery.stop`` / ``sync``)."""
+        with self._commit_lock:
+            deleted = self.views().filter(F.col("view") == view).cache()
+            deleted.count()  # materialize before the state flip
+            self.storage.write_state(
+                _VIEWS, self.views().filter(F.col("view") != view)
+            )
+            state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
+            self.storage.write_state(
+                _LOCKS, state.filter(F.col("view") != view)
+            )
+            return deleted

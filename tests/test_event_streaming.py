@@ -161,3 +161,26 @@ def test_new_partition_after_registration_delivered(store):
     store.append_event("e", uid(), "d", "newpart")
     got = store.stream_events("v1", limit=5).collect()
     assert len(got) == 1 and got[0]["decider_id"] == "newpart"
+
+
+def test_unregister_view_cascades_locks(store):
+    """T10 + FK cascade (/root/reference/schema.sql:199): deleting a view
+    removes its locks; other views' locks survive."""
+    from datetime import datetime, timedelta, timezone
+
+    import uuid as _uuid
+
+    past = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(hours=1)
+    store.register_decider_event("d", "e", "x")
+    store.append_event("e", str(_uuid.uuid4()), "d", "p1")
+    store.register_view("gone", start_at=past)
+    store.register_view("stays", start_at=past)
+    assert store.locks().filter("view = 'gone'").count() == 1
+
+    deleted = store.unregister_view("gone")
+    assert [r["view"] for r in deleted.collect()] == ["gone"]
+    assert store.views().filter("view = 'gone'").count() == 0
+    assert store.locks().filter("view = 'gone'").count() == 0
+    assert store.locks().filter("view = 'stays'").count() == 1
+    # idempotent: deleting again returns empty, changes nothing
+    assert store.unregister_view("gone").count() == 0
