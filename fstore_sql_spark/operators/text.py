@@ -129,15 +129,15 @@ def text_quality_filter(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint: min digest over all char 8-grams
-    (winnowing with window = whole doc).  explode + min aggregate; partial
-    aggregation keeps the shuffle at one row per doc."""
+    (winnowing with window = whole doc).  Computed per-row as
+    array_min(transform(...)) — no explode, no shuffle: the aggregate
+    collapses inside the row before anything leaves the scan stage."""
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 6, F.lit(1)))
-    subs = F.transform(idx, lambda i: F.substring(F.col("text"), i, 8))
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(subs).alias("sub"))
-        .groupBy("doc_id")
-        .agg(F.min(F.md5("sub")).alias("fingerprint"))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_min(
+            F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, 8)))
+        ).alias("fingerprint"),
     )
 
 
