@@ -3,6 +3,7 @@ event-time windowed aggregation (the Spark-native extension, SURVEY.md §7.7).
 """
 
 from fstore_sql_spark.streaming.push import PushDelivery
+from fstore_sql_spark.streaming.stateful import chain_monitor
 from fstore_sql_spark.streaming.windows import (
     sessionized_counts,
     streaming_events,
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_events",
     "windowed_event_counts",
     "sessionized_counts",
+    "chain_monitor",
 ]
