@@ -29,11 +29,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q13_order_distribution",
+    "q17_small_quantity_revenue",
     "top_customers_per_nation",
+    "window_function_family",
     "hourly_event_rollup",
     "user_sessions",
     "es_ingest_mapping",
     "es_stream_next_offset",
+    "skew_salted_revenue",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ann_topk_bruteforce",

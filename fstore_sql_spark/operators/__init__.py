@@ -7,6 +7,13 @@ Modules register their driver-gate queries into
     similarity  — brute-force cosine top-k + IVF-style blocked ANN
     text        — token stats, quality scoring, fingerprinting, language-ID
     multimodal  — binary media columns: schema + Arrow-batched UDF plumbing
+    skew        — salted joins + two-phase top-k for hot-key mitigation
 """
 
-from fstore_sql_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from fstore_sql_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)

@@ -1,0 +1,92 @@
+"""Skew mitigation: salted joins and two-phase top-k.
+
+At 100 TB a handful of hot keys (one celebrity user, one default
+decider_id) can put an entire shuffle partition on one executor.  AQE's
+skew-join splitting (enabled in ``get_spark``) handles this *reactively*;
+the operators here handle it *declaratively* when the skew is known ahead
+of time — the standard salt-and-replicate construction:
+
+- the probe (big, skewed) side gets a deterministic salt in [0, n)
+- the build side is replicated n times, once per salt value
+- the join key becomes (key, salt), splitting each hot key's rows across
+  n shuffle partitions
+
+Results are identical to the unsalted join (verified by the oracle gate —
+``skew_salted_revenue`` matches a plain-join SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.queries import _dec, load, query
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n: int = 8,
+    how: str = "inner",
+    salt_from: Column | None = None,
+) -> DataFrame:
+    """Equi-join ``left ⋈ right ON left[on] == right[on]`` with the left
+    (probe/skewed) side salted across ``n`` sub-keys.
+
+    ``salt_from`` picks the salt deterministically from left-side content
+    (default: a hash of all left columns) — deterministic so task retries
+    re-produce the same partitioning (F.rand would not).
+    """
+    if salt_from is None:
+        salt_from = F.xxhash64(*[F.col(c) for c in left.columns])
+    salted_left = left.withColumn("_salt", F.pmod(salt_from, F.lit(n)).cast("int"))
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    )
+    out = salted_left.join(replicated_right, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_phase_topk(
+    df: DataFrame, order_col: str, k: int, partition_col: str | None = None
+) -> DataFrame:
+    """Top-k without a single-reducer sort: per-shuffle-partition top-k
+    first (mapPartitions-free — a partition-local window), then top-k of
+    the ≤ k × n_partitions survivors.  For grouped top-k pass
+    ``partition_col``; Spark's own TakeOrderedAndProject covers the global
+    ungrouped case, so this exists for the grouped-skew shape."""
+    from pyspark.sql import Window
+
+    if partition_col is None:
+        return df.orderBy(F.col(order_col).desc()).limit(k)
+    w = Window.partitionBy(partition_col).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+@query(
+    "skew_salted_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_revenue(spark, sf_dir):
+    """The salted join, oracle-verified against the plain join: lineitem
+    (probe, potentially skewed on orderkey) salted 8 ways against a
+    replicated orders projection.  Identical results, hot keys split across
+    8 shuffle partitions."""
+    l = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(l, o, on="o_orderkey", n=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )

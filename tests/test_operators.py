@@ -86,3 +86,61 @@ def test_frame_sample_grid(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = multimodal.frame_sample(media, every_ms=1000).collect()
     assert [(r["frame_idx"], r["ts_ms"]) for r in out] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+class TestSkewOperators:
+    def test_salted_join_matches_plain_join(self, spark, sf_dir):
+        from fstore_sql_spark.operators.skew import salted_join
+        from fstore_sql_spark.queries import load
+
+        l = load(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ).select("o_orderkey", "l_extendedprice")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        plain = l.join(o, "o_orderkey").count()
+        salted = salted_join(l, o, on="o_orderkey", n=4).count()
+        assert plain == salted
+
+    def test_salted_join_splits_hot_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators.skew import salted_join
+
+        # one hot key with 1000 rows
+        left = spark.range(1000).select(
+            F.lit(1).alias("k"), F.col("id").alias("payload")
+        )
+        right = spark.createDataFrame([(1, "x")], ["k", "v"])
+        out = salted_join(left, right, on="k", n=4)
+        assert out.count() == 1000
+        # the salt spreads the hot key over >1 distinct salt value
+        n_salts = (
+            left.withColumn(
+                "_salt", F.pmod(F.xxhash64("k", "payload"), F.lit(4))
+            )
+            .select("_salt")
+            .distinct()
+            .count()
+        )
+        assert n_salts > 1
+
+    def test_two_phase_topk_grouped(self, spark, sf_dir):
+        from fstore_sql_spark.operators.skew import two_phase_topk
+        from fstore_sql_spark.queries import load
+
+        o = load(spark, sf_dir, "orders")
+        got = two_phase_topk(o, "o_totalprice", 2, partition_col="o_orderpriority")
+        # ≤2 rows per group, and each group's rows are its true max-2
+        from pyspark.sql import functions as F
+
+        counts = got.groupBy("o_orderpriority").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
+        top1 = {
+            r["o_orderpriority"]: r["m"]
+            for r in o.groupBy("o_orderpriority").agg(F.max("o_totalprice").alias("m")).collect()
+        }
+        got_max = {
+            r["o_orderpriority"]: r["m"]
+            for r in got.groupBy("o_orderpriority").agg(F.max("o_totalprice").alias("m")).collect()
+        }
+        assert got_max == top1
