@@ -187,3 +187,42 @@ def text_langid(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---- BPE-ish regex tokenizer ------------------------------------------ #
+
+# GPT-2-style pretokenizer, simplified to the subset with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): word runs, digit runs,
+# punctuation runs, each optionally space-prefixed.  No lookahead (RE2
+# lacks it).
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_token_counts",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
+               AS total_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
+               / SUM(len(string_split(text, ' '))) AS bpe_per_word
+    FROM documents GROUP BY source
+    """,
+)
+def text_bpe_token_counts(spark, sf_dir):
+    """BPE-ish token budget accounting (SURVEY.md training-data ops):
+    subword-style pretokenization via regexp_extract_all — JVM-side regex,
+    no Python in the loop; the per-word ratio approximates tokens-per-word
+    for budget planning."""
+    bpe_n = F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)"))
+    ws_n = F.size(F.split(F.col("text"), " "))
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_n).alias("total_bpe_tokens"),
+            (F.sum(bpe_n).cast("double") / F.sum(ws_n)).alias("bpe_per_word"),
+        )
+    )

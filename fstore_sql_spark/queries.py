@@ -1340,3 +1340,41 @@ def supplier_balance_by_nation(spark, sf_dir):
             F.max(_dec("s_acctbal")).cast("double").alias("max_balance"),
         )
     )
+
+
+@query(
+    "sliding_window_rollup",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(to_timestamp(floor(date_part('epoch', ts) / 1800) * 1800)
+                    AS TIMESTAMP) AS b
+        FROM events
+    )
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT event_type,
+               unnest([b, b - INTERVAL 30 MINUTE]) AS win_start
+        FROM g
+    ) GROUP BY win_start, event_type
+    """,
+)
+def sliding_window_rollup(spark, sf_dir):
+    """Sliding event-time window (1 h window, 30 min slide): each event
+    lands in 2 overlapping windows — F.window's batch form, identical
+    expression in Structured Streaming (SURVEY.md §7.7).  The oracle
+    materializes the same assignment by exploding the two candidate
+    window starts."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
