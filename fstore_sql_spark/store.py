@@ -249,11 +249,12 @@ class EventStore:
             cand = self._as_candidates(rows_or_df)
             cand = cand.persist()
             try:
+                n = cand.count()  # materialize the cache once, up front
                 if validate:
                     self._validate_batch(cand)
                 manifest = self.storage.read_manifest(_EVENTS)
                 new_streams = self._new_stream_keys(cand)
-                appended = self._commit(cand, manifest, now)
+                appended = self._commit(cand, manifest, now, n=n)
                 # T6: lock rows for partitions born in this batch
                 # (/root/reference/schema.sql:240-263).
                 self._t6_new_partition_locks(new_streams, now)
@@ -321,7 +322,9 @@ class EventStore:
             F.count(F.lit(1)).alias("n_existing"),
         )
 
-    def _new_stream_keys(self, cand: DataFrame) -> list[tuple[str, str]]:
+    def _new_stream_keys(self, cand: DataFrame) -> DataFrame:
+        """Partitions born in this batch, as a DataFrame — never collected
+        (a 100 TB backfill batch can open millions of streams)."""
         keys = cand.select("decider_id", "decider").distinct()
         existing = (
             self.events()
@@ -329,15 +332,18 @@ class EventStore:
             .select("decider_id", "decider")
             .distinct()
         )
-        fresh = keys.join(existing, ["decider_id", "decider"], "leftanti")
-        return [(r["decider_id"], r["decider"]) for r in fresh.collect()]
+        return keys.join(existing, ["decider_id", "decider"], "leftanti")
 
     def _validate_batch(self, cand: DataFrame) -> None:
-        """The §2.3 invariants as one annotated-candidates program.
+        """The §2.3 invariants as ONE annotated-candidates program.
 
-        Checks are evaluated in the reference's trigger firing order
-        (alphabetical trigger names then constraints, SURVEY.md §3.1):
-        T1, T2, T3, then C1/C2/C3.
+        Every check becomes a boolean flag column on the candidate rows
+        (window counts for intra-batch uniqueness, left joins against
+        column-pruned event scans for global uniqueness/predecessor
+        checks), folded by a single aggregate — one Spark action for the
+        whole validation instead of one per rule.  Violations are raised
+        in the reference's trigger firing order (alphabetical trigger
+        names then constraints, SURVEY.md §3.1): T1, T2, T3, C1, C2, C3.
         """
         events = self.events()
         tails = self._stream_tails(cand)
@@ -345,141 +351,186 @@ class EventStore:
         w = Window.partitionBy("decider_id", "decider").orderBy("seq")
         ann = (
             cand.withColumn("rn", F.row_number().over(w))
-            .withColumn("prev_batch_event_id", F.lag("event_id").over(w))
             .withColumn("prev_batch_final", F.lag("final").over(w))
             .join(F.broadcast(tails), ["decider_id", "decider"], "left")
         )
-        ann = ann.persist()
-        try:
-            # T1 — reject appends to a finalized stream
-            # (/root/reference/schema.sql:75-96): the effective predecessor
-            # (existing tail for rn==1, else prior batch row) must not be final.
-            t1 = ann.filter(
-                F.when(F.col("rn") == 1, F.coalesce(F.col("tail_final"), F.lit(False)))
-                .otherwise(F.coalesce(F.col("prev_batch_final"), F.lit(False)))
-            )
-            if t1.limit(1).count() > 0:
-                raise errors.StreamFinalizedError()
 
-            # T2 — null previous_id only for the first event of a stream
-            # (/root/reference/schema.sql:99-120).
-            t2 = ann.filter(
-                F.col("previous_id").isNull()
-                & ((F.col("rn") > 1) | F.col("tail_event_id").isNotNull())
-            )
-            if t2.limit(1).count() > 0:
-                raise errors.FirstEventError()
+        # Existing-event probes, all column-pruned scans joined as flags.
+        # event_id / previous_id are unique in the log (C1/C2 invariants we
+        # maintain), so each left join matches at most one row.
+        ex_eid = events.select("event_id").withColumn("eid_exists", F.lit(True))
+        ex_pid = (
+            events.filter(F.col("previous_id").isNotNull())
+            .select("previous_id")
+            .withColumn("pid_exists", F.lit(True))
+        )
+        # T3: predecessor present in the same existing stream…
+        ex_pred = events.select(
+            "decider_id", "decider", F.col("event_id").alias("previous_id")
+        ).withColumn("pred_in_log", F.lit(True))
+        # …or earlier in the batch (event_id intra-batch unique per C1).
+        earlier = cand.select(
+            "decider_id",
+            "decider",
+            F.col("event_id").alias("previous_id"),
+            F.col("seq").alias("pred_seq"),
+        )
+        registry = F.broadcast(
+            self.deciders()
+            .select("decider", "event", "event_version")
+            .withColumn("registered", F.lit(True))
+        )
 
-            # T3 — non-null previous_id must name an event of the SAME stream
-            # (/root/reference/schema.sql:124-146): any existing event of the
-            # stream or an earlier batch row of the stream.
-            nonnull = ann.filter(F.col("previous_id").isNotNull())
-            sat_existing = nonnull.join(
-                events.select(
-                    F.col("decider_id"),
-                    F.col("decider"),
-                    F.col("event_id").alias("previous_id"),
-                ),
-                ["decider_id", "decider", "previous_id"],
-                "leftsemi",
-            )
-            earlier = cand.select(
-                "decider_id",
-                "decider",
-                F.col("event_id").alias("previous_id"),
-                F.col("seq").alias("pred_seq"),
-            )
-            sat_batch = (
-                nonnull.join(earlier, ["decider_id", "decider", "previous_id"], "inner")
-                .filter(F.col("pred_seq") < F.col("seq"))
-                .select(nonnull.columns)
-            )
-            t3 = nonnull.join(
-                sat_existing.select("event_id").unionByName(sat_batch.select("event_id")),
-                "event_id",
-                "leftanti",
-            )
-            if t3.limit(1).count() > 0:
-                raise errors.PreviousIdError()
+        flagged = (
+            ann.join(ex_eid, "event_id", "left")
+            .join(ex_pid, "previous_id", "left")
+            .join(ex_pred, ["decider_id", "decider", "previous_id"], "left")
+            .join(earlier, ["decider_id", "decider", "previous_id"], "left")
+            .join(registry, ["decider", "event", "event_version"], "left")
+        )
 
-            # C1 — event_id globally unique (/root/reference/schema.sql:31-32).
-            dup_in_batch = (
-                cand.groupBy("event_id").count().filter(F.col("count") > 1).limit(1).collect()
-            )
-            if dup_in_batch:
-                raise errors.DuplicateEventIdError(dup_in_batch[0]["event_id"])
-            dup_existing = (
-                cand.join(events, "event_id", "leftsemi").limit(1).collect()
-            )
-            if dup_existing:
-                raise errors.DuplicateEventIdError(dup_existing[0]["event_id"])
+        nonnull_pid = F.col("previous_id").isNotNull()
+        t1_viol = F.when(
+            F.col("rn") == 1, F.coalesce(F.col("tail_final"), F.lit(False))
+        ).otherwise(F.coalesce(F.col("prev_batch_final"), F.lit(False)))
+        t2_viol = F.col("previous_id").isNull() & (
+            (F.col("rn") > 1) | F.col("tail_event_id").isNotNull()
+        )
+        t3_viol = nonnull_pid & ~(
+            F.coalesce(F.col("pred_in_log"), F.lit(False))
+            | F.coalesce(F.col("pred_seq") < F.col("seq"), F.lit(False))
+        )
+        c1e = F.coalesce(F.col("eid_exists"), F.lit(False))
+        c2e = nonnull_pid & F.coalesce(F.col("pid_exists"), F.lit(False))
+        c3 = ~F.coalesce(F.col("registered"), F.lit(False))
 
-            # C2 — previous_id unique among non-nulls: the optimistic lock
-            # (/root/reference/schema.sql:43-44).  Two writers racing on the
-            # same predecessor ⇒ OptimisticLockError.
-            pid = cand.filter(F.col("previous_id").isNotNull())
-            dup_pid_batch = (
-                pid.groupBy("previous_id").count().filter(F.col("count") > 1).limit(1).collect()
-            )
-            if dup_pid_batch:
-                raise errors.OptimisticLockError(dup_pid_batch[0]["previous_id"])
-            dup_pid_existing = (
-                pid.join(
-                    events.filter(F.col("previous_id").isNotNull()).select("previous_id"),
-                    "previous_id",
-                    "leftsemi",
-                )
-                .limit(1)
-                .collect()
-            )
-            if dup_pid_existing:
-                raise errors.OptimisticLockError(dup_pid_existing[0]["previous_id"])
+        # Intra-batch duplicates (C1/C2 batch halves) via count vs distinct
+        # inside the same aggregate — no per-key window shuffle; the
+        # offending value is looked up lazily only on the (rare) failure.
+        v = flagged.agg(
+            F.max(t1_viol).alias("t1"),
+            F.max(t2_viol).alias("t2"),
+            F.max(t3_viol).alias("t3"),
+            F.count("event_id").alias("n_eid"),
+            F.count_distinct("event_id").alias("n_eid_distinct"),
+            F.count("previous_id").alias("n_pid"),
+            F.count_distinct("previous_id").alias("n_pid_distinct"),
+            F.max(F.when(c1e, F.col("event_id"))).alias("c1_eid"),
+            F.max(F.when(c2e, F.col("previous_id"))).alias("c2_pid"),
+            F.max(
+                F.when(c3, F.struct("decider", "event", "event_version"))
+            ).alias("c3_row"),
+        ).collect()[0]
 
-            # C3 — composite FK (decider, event, event_version) → deciders
-            # (/root/reference/schema.sql:53).
-            unreg = (
-                cand.join(
-                    F.broadcast(self.deciders()),
-                    ["decider", "event", "event_version"],
-                    "leftanti",
-                )
-                .limit(1)
-                .collect()
+        if v["t1"]:
+            raise errors.StreamFinalizedError()
+        if v["t2"]:
+            raise errors.FirstEventError()
+        if v["t3"]:
+            raise errors.PreviousIdError()
+        if v["n_eid"] != v["n_eid_distinct"]:
+            dup = (
+                cand.groupBy("event_id").count().filter(F.col("count") > 1).first()
             )
-            if unreg:
-                r = unreg[0]
-                raise errors.UnregisteredEventError(
-                    r["decider"], r["event"], r["event_version"]
-                )
-        finally:
-            ann.unpersist()
+            raise errors.DuplicateEventIdError(dup["event_id"])
+        if v["c1_eid"] is not None:
+            raise errors.DuplicateEventIdError(v["c1_eid"])
+        if v["n_pid"] != v["n_pid_distinct"]:
+            dup = (
+                cand.filter(F.col("previous_id").isNotNull())
+                .groupBy("previous_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .first()
+            )
+            raise errors.OptimisticLockError(dup["previous_id"])
+        if v["c2_pid"] is not None:
+            raise errors.OptimisticLockError(v["c2_pid"])
+        if v["c3_row"] is not None:
+            r = v["c3_row"]
+            raise errors.UnregisteredEventError(
+                r["decider"], r["event"], r["event_version"]
+            )
 
-    def _commit(self, cand: DataFrame, manifest: Manifest, now: datetime) -> DataFrame:
-        """Assign offsets + commit metadata, append to the log.
+    # Batches above this many rows use the parallel two-phase numbering;
+    # below it, a plain global-window row_number (one small single-task
+    # sort beats the extra exchange + cache for micro-batches).  Tests
+    # lower it to force the parallel path on small data.
+    OFFSET_PARALLEL_THRESHOLD = 1_000_000
 
-        Offsets: ``max_offset + row_number() OVER (ORDER BY seq)`` — the
-        single-partition window is safe because append batches are
-        micro-batches serialized through the committer (SURVEY.md §7.4); a
-        100 TB backfill arrives as many such batches, each clustered by
-        ``decider_id`` on write.
+    def _assign_offsets(self, cand: DataFrame, base_offset: int) -> DataFrame:
+        """Contiguous offsets in global ``seq`` order WITHOUT a
+        single-partition sort (SURVEY.md §7.4, the BIGSERIAL analogue).
+
+        Two-phase numbering: range-partition by ``seq`` (partition ids are
+        then ordered by seq range), count rows per partition, turn the
+        counts into per-partition base offsets (a window over the tiny
+        counts table), and add a partition-local row_number.  Every stage
+        is parallel — a 10⁹-row backfill batch numbers at full cluster
+        width, where ``row_number() OVER (ORDER BY seq)`` would funnel all
+        rows through one task.
         """
-        txn = manifest.commit_id + 1
-        w = Window.orderBy("seq")
-        finished = (
-            cand.withColumn(
-                "offset", (F.lit(manifest.max_offset) + F.row_number().over(w)).cast("long")
+        ranged = cand.repartitionByRange("seq").sortWithinPartitions("seq")
+        # MUST be materialized before the plan forks: the counts branch and
+        # the main branch would otherwise re-execute the range exchange
+        # independently, and AQE may coalesce them to DIFFERENT partition
+        # counts — _pid spaces then disagree and the inner join silently
+        # drops rows.  The persist pins one physical partitioning that both
+        # branches read.  (Caller unpersists via the returned handle.)
+        withpid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+        counts = withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+        wb = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        bases = counts.select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).cast("long").alias("_base"),
+        )
+        wl = Window.partitionBy("_pid").orderBy("seq")
+        assigned = (
+            withpid.join(F.broadcast(bases), "_pid")
+            .withColumn(
+                "offset",
+                (F.lit(base_offset) + F.col("_base") + F.row_number().over(wl)).cast(
+                    "long"
+                ),
             )
-            .withColumn("created_at", F.lit(now))
+            .drop("_pid", "_base")
+        )
+        return assigned, withpid
+
+    def _commit(
+        self, cand: DataFrame, manifest: Manifest, now: datetime, n: int | None = None
+    ) -> DataFrame:
+        """Assign offsets + commit metadata, append to the log.  Appends
+        are serialized through the committer (single-writer, SURVEY.md
+        §7.5), so ``base_offset`` is exact and the result is gap-free."""
+        txn = manifest.commit_id + 1
+        if n is None:
+            n = cand.count()
+        pinned = None
+        if n > self.OFFSET_PARALLEL_THRESHOLD:
+            assigned, pinned = self._assign_offsets(cand, manifest.max_offset)
+        else:
+            w = Window.orderBy("seq")
+            assigned = cand.withColumn(
+                "offset",
+                (F.lit(manifest.max_offset) + F.row_number().over(w)).cast("long"),
+            )
+        finished = (
+            assigned.withColumn("created_at", F.lit(now))
             .withColumn("transaction_id", F.lit(txn).cast("long"))
             .select([f.name for f in EVENTS_SCHEMA.fields])
         )
         finished = finished.persist()
-        n = finished.count()
-        self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
-        self.storage.write_manifest(
-            _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
-        )
-        finished.unpersist()
+        try:
+            assert finished.count() == n
+            self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
+            self.storage.write_manifest(
+                _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
+            )
+        finally:
+            finished.unpersist()
+            if pinned is not None:
+                pinned.unpersist()
         # RETURNING * analogue — a lazy offset-range view of the committed
         # log (never collects the batch to the driver; 100 TB-clean).
         lo, hi = manifest.max_offset + 1, manifest.max_offset + n
@@ -487,23 +538,33 @@ class EventStore:
             (F.col("offset") >= lo) & (F.col("offset") <= hi)
         )
 
-    def _t6_new_partition_locks(self, new_streams: list[tuple[str, str]], now: datetime) -> None:
+    def _t6_new_partition_locks(self, new_streams: DataFrame, now: datetime) -> None:
         """T6 insert branch (/root/reference/schema.sql:244-252): one lock
         row per registered view for each partition born in this batch, with
         ``last_offset = 0`` and unlocked lease.  The update branch
         (refresh of offset/offset_final) is derived at read time instead
-        (SURVEY.md §7.5)."""
-        if not new_streams:
+        (SURVEY.md §7.5).  Implemented as views × fresh-keys cross join —
+        fully distributed, nothing collected (T6's own shape,
+        /root/reference/schema.sql:244-251 ``FROM views AS t1``)."""
+        # Fast path: most appends extend existing streams — skip the locks
+        # state write entirely when the batch opened no new partitions.
+        if new_streams.first() is None:
             return
-        view_names = [r["view"] for r in self.views().select("view").collect()]
-        if not view_names:
+        views = self.views().select("view")
+        if views.first() is None:  # no consumers registered — T6 is a no-op
             return
-        rows = [
-            (v, did, 0, now - _UNLOCK_DELTA, now, now)
-            for v in view_names
-            for (did, _dec) in {(d, dec) for d, dec in new_streams}
-        ]
-        updates = self.spark.createDataFrame(rows, LOCKS_STATE_SCHEMA)
+        updates = (
+            F.broadcast(views)
+            .crossJoin(new_streams.select("decider_id").distinct())
+            .select(
+                "view",
+                "decider_id",
+                F.lit(0).cast("long").alias("last_offset"),
+                F.lit(now - _UNLOCK_DELTA).alias("locked_until"),
+                F.lit(now).alias("created_at"),
+                F.lit(now).alias("updated_at"),
+            )
+        )
         self._merge_locks_state(updates, insert_only=True)
 
     # ------------------------------------------------------------------ #

@@ -149,3 +149,47 @@ def test_offsets_global_monotonic(store):
     store.append_event("e", uid(), "d", "s3")
     offsets = [r["offset"] for r in store.events().orderBy("offset").collect()]
     assert offsets == [1, 2, 3]
+
+
+def test_large_batch_offsets_contiguous(store, spark):
+    """Regression: offset assignment across MULTIPLE range partitions must
+    write every row exactly once with contiguous offsets in seq order.
+    (A plan-fork bug once let AQE coalesce the two branches of the
+    two-phase numbering to different partition counts, silently dropping
+    rows at the _pid join.)"""
+    from pyspark.sql import functions as F
+
+    store.OFFSET_PARALLEL_THRESHOLD = 1000  # force the two-phase path
+    store.register_decider_event("d", "e", "")
+    n = 5000
+    batch = (
+        spark.range(n)
+        .select(
+            F.lit("e").alias("event"),
+            F.concat(F.lit("ev-"), F.col("id")).alias("event_id"),
+            F.lit(1).cast("long").alias("event_version"),
+            F.lit("d").alias("decider"),
+            F.concat(F.lit("p"), F.col("id")).alias("decider_id"),
+            F.lit("{}").alias("data"),
+            F.concat(F.lit("c-"), F.col("id")).alias("command_id"),
+            F.lit(None).cast("string").alias("previous_id"),
+            F.lit(False).alias("final"),
+            F.col("id").alias("seq"),
+        )
+        .repartition(8)  # force a multi-partition candidate frame
+    )
+    store.append_batch(batch)
+    ev = store.events()
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.min("offset").alias("lo"),
+        F.max("offset").alias("hi"),
+        F.count_distinct("offset").alias("nd"),
+    ).collect()[0]
+    assert agg["n"] == n and agg["nd"] == n, agg
+    assert agg["lo"] == 1 and agg["hi"] == n, agg
+    # offsets follow seq order: offset == seq + 1 for this batch
+    mismatched = ev.filter(
+        F.col("offset") != F.col("decider_id").substr(2, 20).cast("long") + 1
+    ).count()
+    assert mismatched == 0
