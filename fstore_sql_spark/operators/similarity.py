@@ -162,3 +162,93 @@ def embedding_neardup_pairs(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= 0.995)
     )
+
+
+# ---- real IVF: k-means coarse quantizer + cell-probed search ----------- #
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Fit an IVF coarse quantizer (k-means centroids) and assign every
+    vector to its nearest cell.
+
+    Returns (assigned_df with a ``cell`` column, centroids) where
+    centroids is a list of (cell_id, center_vector).  The k-means fit
+    uses Spark MLlib (distributed, seeded); at query time only the
+    ``nprobe`` nearest cells are scanned, bounding search cost to
+    nprobe/k of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = embeddings.withColumn(
+        "_features", array_to_vector(_as_double(F.col(vec_col)))
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="cell").fit(
+        with_vec
+    )
+    assigned = model.transform(with_vec).drop("_features")
+    centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest to ``query_vec`` probing only the ``nprobe`` cells
+    whose centroids are closest to the query — the IVF search kernel.
+
+    The cell filter is pushed into the scan (an IN-list over the tiny
+    probed-cell set); cosine is computed only for vectors inside probed
+    cells, so cost is ~(nprobe/k_cells)·|corpus| instead of |corpus|.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: -cos(c[1], list(map(float, query_vec)))
+        )[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probed))
+        .select(
+            id_col,
+            "cell",
+            F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+@query("ann_ivf_kmeans_topk")  # rows-only: k-means fit has no SQL oracle
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """End-to-end IVF: fit a 8-cell k-means quantizer over the embeddings
+    table, then answer one query probing 3 cells.  Seeded, so results are
+    stable run-to-run; the fit itself is the non-SQL-expressible part
+    (rows-only driver check)."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(e, k=8)
+    qvec = [r["embedding"] for r in e.filter(F.col("vec_id") == 0).collect()][0]
+    return ivf_topk(
+        assigned, centroids, [float(x) for x in qvec], k=5, nprobe=3
+    )
