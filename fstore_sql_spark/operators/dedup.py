@@ -394,3 +394,103 @@ def dedup_simhash_buckets(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---- near-dup clusters: iterative connected components ----------------- #
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Cluster candidate pairs into components: each node gets the MIN
+    doc_id reachable from it (the canonical representative a dedup pass
+    keeps).  Iterative min-label propagation — the classic Spark shape for
+    algorithms SQL can't express in one pass:
+
+    - one hash-partitioned join + aggregate per round (label flows one hop)
+    - ``localCheckpoint`` truncates lineage each round so plans stay flat
+      (on a cluster with a checkpoint dir, ``checkpoint`` — same contract)
+    - convergence detected by the monotone sum of labels reaching a
+      fixpoint, one cheap agg per round
+
+    Near-dup components are short chains in practice, so rounds ≈ cluster
+    diameter ≪ max_iter.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # fixpoint: no label moved
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    banded AS (SELECT doc_id, h0 || h1 AS b1, h2 || h3 AS b2 FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        WITH RECURSIVE r(node, root) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+        ) SELECT * FROM r
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (not just pairs): LSH candidates → iterative
+    connected components; cluster id = min doc_id of the component.  The
+    DuckDB oracle computes the same fixpoint with a recursive CTE —
+    cross-checking Spark's iterative dataflow against SQL transitive
+    closure."""
+    pairs = lsh_candidate_pairs(minhash_signatures(_corpus(spark, sf_dir)))
+    return connected_components(pairs)

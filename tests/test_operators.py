@@ -144,3 +144,23 @@ class TestSkewOperators:
             for r in got.groupBy("o_orderpriority").agg(F.max("o_totalprice").alias("m")).collect()
         }
         assert got_max == top1
+
+
+class TestConnectedComponents:
+    def test_chain_triangle_and_isolated_pair(self, spark):
+        from fstore_sql_spark.operators.dedup import connected_components
+
+        # chain 1-2-3-4, triangle 10-11-12 (+ edge), pair 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            ["doc_a", "doc_b"],
+        )
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+        }
