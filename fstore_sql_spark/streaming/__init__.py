@@ -2,6 +2,7 @@
 event-time windowed aggregation (the Spark-native extension, SURVEY.md §7.7).
 """
 
+from fstore_sql_spark.streaming.projections import StreamProjection
 from fstore_sql_spark.streaming.push import PushDelivery
 from fstore_sql_spark.streaming.stateful import chain_monitor
 from fstore_sql_spark.streaming.windows import (
@@ -12,6 +13,7 @@ from fstore_sql_spark.streaming.windows import (
 
 __all__ = [
     "PushDelivery",
+    "StreamProjection",
     "streaming_events",
     "windowed_event_counts",
     "sessionized_counts",

@@ -126,3 +126,43 @@ def test_batch_session_window_matches_streaming_shape(store):
     store.append_event("e", uid(), "d", "p1")
     out = sessionized_counts(store.events()).collect()
     assert len(out) == 1 and out[0]["n_events"] == 1
+
+
+def test_stream_projection_folds_and_restarts(store, spark, tmp_path):
+    """CQRS view model via foreachBatch: folds incrementally, and a
+    restarted query resumes from the checkpoint without double-counting."""
+    from fstore_sql_spark.streaming.projections import StreamProjection
+
+    store.register_decider_event("d", "e", "x")
+    prev = {}
+    for i in range(4):
+        part = f"p{i % 2}"
+        eid = uid()
+        store.append_event(
+            "e", eid, "d", part, data=f'{{"amt": {i + 1}}}',
+            previous_id=prev.get(part),
+        )
+        prev[part] = eid
+
+    proj = StreamProjection(
+        spark, store.storage.root, str(tmp_path / "proj"), value_json_key="amt"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = proj.start(available_now=True, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = {r["decider_id"]: r for r in proj.read().collect()}
+    assert got["p0"]["n_events"] == 2 and got["p1"]["n_events"] == 2
+    assert got["p0"]["total_value"] == 1 + 3  # amts 1,3
+    assert got["p1"]["total_value"] == 2 + 4
+    assert got["p0"]["last_event"] == "e"
+
+    # append more, restart from the same checkpoint: only the new batch folds
+    store.append_event("e", uid(), "d", "p0", data='{"amt": 10}',
+                       previous_id=prev["p0"])
+    q2 = proj.start(available_now=True, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    got2 = {r["decider_id"]: r for r in proj.read().collect()}
+    assert got2["p0"]["n_events"] == 3
+    assert got2["p0"]["total_value"] == 14
+    assert got2["p1"]["n_events"] == 2  # untouched stream unchanged
