@@ -494,3 +494,53 @@ def dedup_clusters(spark, sf_dir):
     closure."""
     pairs = lsh_candidate_pairs(minhash_signatures(_corpus(spark, sf_dir)))
     return connected_components(pairs)
+
+
+@query(
+    "dedup_levenshtein_pairs",
+    f"""
+    WITH blocked AS (
+        SELECT doc_id, text, source, n_chars // 50 AS len_bucket
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT)
+               AS edit_distance
+    FROM blocked a
+    JOIN blocked b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40
+    """,
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs with blocking: candidate pairs are
+    restricted to the same (source, length-bucket) block before the O(L²)
+    levenshtein runs — the blocked-comparison pattern that keeps pairwise
+    metrics tractable (cost Σ|block|², never |corpus|²).  Distance is
+    computed on an 80-char prefix: a cheap upper-bound screen."""
+    blocked = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.substring("text", 1, 80).alias("prefix"),
+            "source",
+            (F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        )
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"),
+        "source", "len_bucket",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"),
+        "source", "len_bucket",
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(b, ["source", "len_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 40)
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
+    )
