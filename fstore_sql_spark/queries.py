@@ -1140,14 +1140,19 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 )
 def pivot_daily_event_counts(spark, sf_dir):
     """PIVOT (long→wide reshape): one column per event type.  Pivot values
-    are pinned explicitly — never inferred with a collect at scale — so the
-    plan is a single hash aggregate with conditional counts."""
+    are pinned explicitly — never inferred with a collect at scale — and
+    the reshape is written as conditional counts in ONE hash aggregate:
+    ``df.pivot()`` would plan two aggregates + two shuffles (pivotfirst),
+    this form shuffles once."""
     return (
         load(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, _EVENT_TYPES)
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                for t in _EVENT_TYPES
+            ]
+        )
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pytest
 
+import fstore_sql_spark.operators  # noqa: F401  (registers operator queries)
 from fstore_sql_spark.plans import inspect as P
 from fstore_sql_spark.queries import QUERIES
 
@@ -98,3 +99,36 @@ class TestTopK:
 
     def test_q3_limit_is_top_k(self, spark):
         assert P.has_take_ordered(q(spark, "q3_top_orders"))
+
+
+class TestBatch3Plans:
+    def test_q13_outer_join_single_shuffle_pair(self, spark):
+        # outer join shuffles on custkey; second agg is tiny — ≤ 3 total
+        df = q(spark, "q13_order_distribution")
+        assert P.shuffle_exchange_count(df) <= 3
+
+    def test_q15_reuses_revenue_aggregate(self, spark):
+        # scalar-subquery decorrelation: revenue computed once, max broadcast
+        df = q(spark, "q15_top_supplier")
+        assert P.broadcast_join_count(df) >= 2
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_q17_threshold_join_shuffles_on_partkey_only(self, spark):
+        df = q(spark, "q17_small_quantity_revenue")
+        # self-agg + join + final single-row agg: ≤ 3 exchanges
+        assert P.shuffle_exchange_count(df) <= 3
+
+    def test_pivot_is_single_aggregate(self, spark):
+        df = q(spark, "pivot_daily_event_counts")
+        assert P.shuffle_exchange_count(df) <= 1
+
+    def test_window_family_single_sort(self, spark):
+        # six analytic functions over ONE window spec: one exchange
+        df = q(spark, "window_function_family")
+        assert P.shuffle_exchange_count(df) <= 1
+
+    def test_levenshtein_filter_not_pushed_but_block_join_broadcast(self, spark):
+        df = q(spark, "dedup_levenshtein_pairs")
+        # doc_id < 150 must reach both scans
+        pushed = P.pushed_filters(df)
+        assert any("doc_id" in f for f in pushed), pushed
