@@ -132,3 +132,21 @@ class TestBatch3Plans:
         # doc_id < 150 must reach both scans
         pushed = P.pushed_filters(df)
         assert any("doc_id" in f for f in pushed), pushed
+
+
+class TestTpchFamilyPlans:
+    def test_q7_broadcasts_both_nation_roles(self, spark):
+        df = q(spark, "q7_volume_shipping")
+        assert P.broadcast_join_count(df) >= 2
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_q9_single_fact_shuffle(self, spark):
+        df = q(spark, "q9_product_profit")
+        # part + supplier⋈nation broadcast; lineitem⋈orders + final agg
+        assert P.broadcast_join_count(df) >= 2
+        assert P.shuffle_exchange_count(df) <= 2
+
+    def test_q10_topk_and_pushdown(self, spark):
+        df = q(spark, "q10_returned_items")
+        assert P.has_take_ordered(df)
+        assert any("l_returnflag" in f for f in P.pushed_filters(df))
