@@ -8,11 +8,13 @@ Modules register their driver-gate queries into
     text        — token stats, quality scoring, fingerprinting, language-ID
     multimodal  — binary media columns: schema + Arrow-batched UDF plumbing
     skew        — salted joins + two-phase top-k for hot-key mitigation
+    sampling    — deterministic content-hash sampling / splits / mixing
 """
 
 from fstore_sql_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    sampling,
     similarity,
     skew,
     text,

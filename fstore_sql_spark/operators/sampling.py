@@ -1,0 +1,137 @@
+"""Deterministic sampling & dataset-mixing operators.
+
+Training-data pipelines need samples that are REPRODUCIBLE across runs,
+engines and cluster sizes — `df.sample()` is none of those (partition-
+dependent RNG).  Everything here derives the sampling decision from a
+content hash of the row's id: the same row lands on the same side of every
+split on every engine, which also makes the operators exactly verifiable
+against the DuckDB oracle.
+
+``_hash_frac`` maps an id to a uniform [0,1) fraction via the first 8 hex
+digits of md5 — identical arithmetic in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.queries import load, query
+
+_DENOM = float(16**8)  # 8 hex digits
+
+
+def _hash_frac(col: Column | str) -> Column:
+    """Uniform [0,1) fraction from a content hash of the id column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(_DENOM)
+    )
+
+
+def _hash_frac_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" / {_DENOM!r}"
+    )
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~rate of rows, chosen by id hash — stable under re-runs,
+    repartitioning, and engine changes (unlike ``df.sample``)."""
+    return df.filter(_hash_frac(id_col) < rate)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_rate: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, reproducible split: (train, test)."""
+    frac = _hash_frac(id_col)
+    return df.filter(frac >= test_rate), df.filter(frac < test_rate)
+
+
+def weighted_mix(sources: list[tuple[DataFrame, str, float]], id_col: str) -> DataFrame:
+    """Mix datasets at given rates: each (df, label, rate) contributes a
+    deterministic ~rate sample tagged with its source label — the dataset-
+    interleaving step of a pretraining mixture."""
+    parts = [
+        deterministic_sample(df, id_col, rate).withColumn("mix_source", F.lit(label))
+        for df, label, rate in sources
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "sample_deterministic_counts",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE {_hash_frac_sql("doc_id")} < 0.1
+    GROUP BY lang
+    """,
+)
+def sample_deterministic_counts(spark, sf_dir):
+    """~10% deterministic sample of documents, counted per language —
+    bit-identical membership in Spark and DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", 0.1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@query(
+    "train_test_split_counts",
+    f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CASE WHEN {_hash_frac_sql("doc_id")} < 0.2 THEN 'test'
+                    ELSE 'train' END AS split, n_chars
+        FROM documents
+    ) GROUP BY split
+    """,
+)
+def train_test_split_counts(spark, sf_dir):
+    """80/20 content-hash split: disjoint + exhaustive by construction;
+    the oracle checks the exact same membership."""
+    d = load(spark, sf_dir, "documents")
+    train, test = train_test_split(d, "doc_id", test_rate=0.2)
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "weighted_mix_counts",
+    f"""
+    SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+        SELECT 'web' AS mix_source FROM documents
+        WHERE source IN ('src0', 'src1', 'src2') AND {_hash_frac_sql("doc_id")} < 0.5
+        UNION ALL
+        SELECT 'curated' FROM documents
+        WHERE source NOT IN ('src0', 'src1', 'src2') AND {_hash_frac_sql("doc_id")} < 0.9
+    ) GROUP BY mix_source
+    """,
+)
+def weighted_mix_counts(spark, sf_dir):
+    """Pretraining-mixture shape: three sources sampled at 50%, the rest
+    at 90%, interleaved with a source tag."""
+    d = load(spark, sf_dir, "documents")
+    web = d.filter(F.col("source").isin("src0", "src1", "src2"))
+    curated = d.filter(~F.col("source").isin("src0", "src1", "src2"))
+    mixed = weighted_mix(
+        [(web, "web", 0.5), (curated, "curated", 0.9)], id_col="doc_id"
+    )
+    return mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n_docs"))

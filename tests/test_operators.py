@@ -164,3 +164,21 @@ class TestConnectedComponents:
             10: 10, 11: 10, 12: 10,
             20: 20, 21: 20,
         }
+
+
+class TestSampling:
+    def test_split_disjoint_exhaustive_stable(self, spark, sf_dir):
+        from fstore_sql_spark.operators.sampling import train_test_split
+        from fstore_sql_spark.queries import load
+
+        d = load(spark, sf_dir, "documents")
+        train, test = train_test_split(d, "doc_id", test_rate=0.2)
+        n, ntr, nte = d.count(), train.count(), test.count()
+        assert ntr + nte == n  # exhaustive
+        assert train.join(test, "doc_id", "inner").count() == 0  # disjoint
+        # stable: same membership on recompute
+        test_ids = sorted(r["doc_id"] for r in test.select("doc_id").collect())
+        _, test2 = train_test_split(d, "doc_id", test_rate=0.2)
+        assert sorted(r["doc_id"] for r in test2.select("doc_id").collect()) == test_ids
+        # rate roughly honored
+        assert 0.1 < nte / n < 0.3
