@@ -971,7 +971,7 @@ def event_types_set_ops(spark, sf_dir):
     both = first.intersect(second).select(
         "event_type", F.lit("both_halves").alias("presence")
     )
-    only_first = first.exceptAll(second).distinct().select(
+    only_first = first.subtract(second).select(
         "event_type", F.lit("first_half_only").alias("presence")
     )
     return both.unionByName(only_first)

@@ -600,15 +600,18 @@ class EventStore:
     def register_view(
         self,
         view: str,
-        start_at: datetime | None = None,
+        start_at: datetime | str | None = None,
         lock_timeout_s: int = 300,
         pooling_delay_s: int | None = None,
         edge_function_url: str | None = None,
     ) -> DataFrame:
         """UPSERT into views (ON CONFLICT DO UPDATE analogue), then run the
-        T7 lock backfill for every existing partition."""
+        T7 lock backfill for every existing partition. ``start_at`` accepts an
+        ISO-8601 string (the TEXT→TIMESTAMP cast Postgres applies to literals)."""
         with self._commit_lock:
             now = _utcnow()
+            if isinstance(start_at, str):
+                start_at = datetime.fromisoformat(start_at)
             start_at = start_at or now
             existing = self.views()
             prior = existing.filter(F.col("view") == view).collect()
