@@ -1531,3 +1531,403 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey, s.s_name, n.n_name,
+               MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS c
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2, 3, 4
+    ),
+    best AS (SELECT l_partkey, MIN(c) AS mc FROM cost GROUP BY 1)
+    SELECT p.p_partkey, p.p_name, cost.s_name, cost.n_name,
+           CAST(cost.c AS DOUBLE) AS supply_cost
+    FROM cost
+    JOIN best ON cost.l_partkey = best.l_partkey AND cost.c = best.mc
+    JOIN part p ON p.p_partkey = cost.l_partkey
+    WHERE p.p_type = 'LARGE'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part within a region.  The
+    correlated MIN subquery is decorrelated into a per-part aggregate
+    joined back on decimal equality (SURVEY.md §4.2); lineitem stands in
+    for partsupp (testdata carries no partsupp table).  The supplier→
+    nation→region chain collapses into one broadcast dim, and the 1-row-
+    per-part ``best`` aggregate is broadcast too, so the only big shuffle
+    is the (partkey, suppkey) aggregate."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+    eu_supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        l.join(eu_supp, l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("c"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("c").alias("mc")
+    )
+    return (
+        cost.join(
+            F.broadcast(best),
+            (cost.l_partkey == F.col("b_partkey")) & (cost.c == F.col("mc")),
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_type") == "LARGE")),
+            cost.l_partkey == p.p_partkey,
+        )
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("c").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS nation_volume,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_volume
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = cu.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional market volume per
+    year — an 8-table star with the nation dim in two roles (customer
+    market region, supplier origin) and a conditional-sum numerator over
+    the same rows as the denominator (one aggregate, not two scans).
+    Exact-decimal sums are exposed as numerator/denominator columns; the
+    share is their IEEE-double quotient, identical across engines."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    cu = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    am_cust = F.broadcast(
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        s.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                 F.col("n_name").alias("supp_nation"))),
+            s.s_nationkey == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    orders_window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+               l.l_partkey == p.p_partkey)
+        .join(orders_window, l.l_orderkey == F.col("o_orderkey"))
+        .join(am_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+        FROM lineitem GROUP BY 1
+    ),
+    thr AS (SELECT SUM(val) AS tot, CAST(COUNT(*) AS BIGINT) AS cnt FROM v)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v, thr WHERE v.val * thr.cnt > thr.tot
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: groups retained only when their aggregate exceeds
+    a global-scalar-subquery threshold.  The threshold ("above-average
+    part value", val*cnt > tot) is scale-free and compared in exact
+    decimals — no float boundary drift.  The 1-row global aggregate is
+    broadcast into the filter rather than re-scanning lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    v = l.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("val")
+    )
+    thr = v.agg(F.sum("val").alias("tot"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        v.join(F.broadcast(thr))
+        .filter(F.col("val") * F.col("cnt") > F.col("tot"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT CAST(date_part('year', l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: fact⋈fact join with a cross-table inequality
+    residual (shipped after order date — the receipt/commit-date lag
+    analogue; testdata has no l_shipmode, so the grouping axis is ship
+    year) and complementary conditional counts in a single aggregate."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with a NOT IN blacklist subquery.  The blacklist becomes a
+    broadcast left-anti join (no null-trap: s_suppkey is non-null); the
+    part dim is broadcast after its selective brand/size filter."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == F.col("s_suppkey"), "leftanti")
+        .join(F.broadcast(pf), l.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_part_promotion",
+    """
+    WITH qty AS (
+        SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(sq) AS tq FROM qty GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN qty ON qty.l_suppkey = s.s_suppkey
+    JOIN tot ON tot.l_partkey = qty.l_partkey
+    WHERE qty.sq * 2 > tot.tq
+      AND qty.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN-subqueries → chained semi-joins.
+    Suppliers who moved a majority (sq*2 > tq, exact decimal) of some
+    promo part's yearly volume.  The LIKE-filtered part list is a
+    broadcast semi-join; the per-part total is broadcast back against the
+    (part, supplier) aggregate — one big shuffle total."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    window = l.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    promo = p.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    qty = (
+        window.join(F.broadcast(promo), l.l_partkey == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+    )
+    tot = qty.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("sq").alias("tq")
+    )
+    winners = (
+        qty.join(F.broadcast(tot), qty.l_partkey == F.col("t_partkey"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    return (
+        F.broadcast(s)
+        .join(winners, s.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the sole-blame pattern — an EXISTS and a NOT
+    EXISTS against the same fact table (multi-supplier order, but no
+    *other* supplier returned).  Both become one-pass semi/anti joins on
+    the order key with a suppkey-inequality residual (testdata has no
+    receipt/commit dates, so l_returnflag='R' marks the "late" lines)."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            l1.l_orderkey == F.col("o_orderkey"),
+            "leftsemi",
+        )
+        .join(
+            l2,
+            (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_nationkey IN (0, 1, 2, 3)
+    ),
+    thr AS (SELECT SUM(bal) AS tot, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pool WHERE bal > 0)
+    SELECT p.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(p.bal) AS DOUBLE) AS totacctbal
+    FROM pool p, thr
+    WHERE p.bal * thr.cnt > thr.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich-but-dormant customers — a scalar AVG
+    subquery threshold plus a NOT EXISTS anti-join on recent orders
+    (nation-key buckets stand in for phone country codes).  The average
+    is compared as bal*cnt > tot in exact decimals, sidestepping
+    cross-engine AVG rounding; the 1-row threshold broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pool = c.filter(F.col("c_nationkey").isin(0, 1, 2, 3)).select(
+        "c_custkey", "c_nationkey", _dec("c_acctbal").alias("bal")
+    )
+    thr = pool.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pool.join(F.broadcast(thr))
+        .filter(F.col("bal") * F.col("cnt") > F.col("tot"))
+        .join(recent, pool.c_custkey == F.col("o_custkey"), "leftanti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )

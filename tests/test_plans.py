@@ -150,3 +150,45 @@ class TestTpchFamilyPlans:
         df = q(spark, "q10_returned_items")
         assert P.has_take_ordered(df)
         assert any("l_returnflag" in f for f in P.pushed_filters(df))
+
+
+class TestBatch4TpchPlans:
+    """Q2/Q8/Q11/Q12/Q16/Q20/Q21/Q22 shapes — budgets measured at add time
+    (sf0.001: q2=3/q8=1/q11=3/q12=1/q16=2/q20=3/q21=1/q22=2 exchanges)."""
+
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("q2_min_cost_supplier", 3),    # (part,supp) agg + per-part min + join-back
+            ("q8_market_share", 2),         # fact join + year agg
+            ("q11_important_parts", 3),     # per-part agg + global 1-row agg
+            ("q12_priority_shipping", 2),   # fact⋈fact + year agg
+            ("q16_supplier_variety", 2),    # distinct-expand + final agg
+            ("q20_part_promotion", 3),      # (part,supp) agg + per-part total + semi
+            ("q21_waiting_suppliers", 3),   # semi/anti on orderkey + name agg
+            ("q22_dormant_customers", 2),   # 1-row threshold + anti + nation agg
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_q2_broadcasts_region_chain_and_best(self, spark):
+        # supplier→nation→region collapses to one broadcast dim; the
+        # per-part min (≤ |part| rows) broadcasts back — never sort-merge.
+        df = q(spark, "q2_min_cost_supplier")
+        assert P.broadcast_join_count(df) >= 3
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_q8_star_stays_broadcast(self, spark):
+        df = q(spark, "q8_market_share")
+        assert P.broadcast_join_count(df) >= 3
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_q16_blacklist_is_broadcast_anti(self, spark):
+        df = q(spark, "q16_supplier_variety")
+        assert P.broadcast_join_count(df) >= 2
+
+    def test_q22_threshold_broadcasts(self, spark):
+        df = q(spark, "q22_dormant_customers")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
