@@ -135,3 +135,88 @@ def weighted_mix_counts(spark, sf_dir):
         [(web, "web", 0.5), (curated, "curated", 0.9)], id_col="doc_id"
     )
     return mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str, k: int) -> DataFrame:
+    """Exactly-k-per-stratum sample, chosen by content-hash order — the
+    class-balanced subset builder.  Deterministic across runs, engines and
+    partitionings (vs ``sampleBy``'s partition-dependent RNG); one shuffle
+    (the per-stratum window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, n_buckets: int = 256) -> DataFrame:
+    """Global training-order shuffle with a total position column — the
+    'shuffle the corpus before sharding' step.  A naive
+    ``row_number() OVER (ORDER BY md5(id))`` funnels all rows through ONE
+    partition; this is the two-phase scalable form:
+
+      1. bucket rows by their hash prefix (hex order == md5 order),
+      2. rank within each bucket (parallel windows),
+      3. add broadcast cumulative bucket offsets (n_buckets tiny rows).
+
+    Positions are identical to the naive global window, so the DuckDB
+    oracle can use exactly that."""
+    from pyspark.sql import Window
+
+    hx = len(f"{n_buckets - 1:x}")  # hash-prefix chars needed for n_buckets
+    keyed = df.withColumn("_k", F.md5(F.col(id_col).cast("string"))).withColumn(
+        "_b", F.conv(F.substring("_k", 1, hx), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("_b").orderBy("_k", id_col)
+    ranked = keyed.withColumn("_r", F.row_number().over(w))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn("pos", (F.col("_off") + F.col("_r")).cast("long"))
+        .drop("_k", "_b", "_r", "_off")
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 20
+    """,
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Class-balanced sampling: exactly 20 docs per language, hash-chosen."""
+    return stratified_sample(
+        load(spark, sf_dir, "documents"), "lang", "doc_id", 20
+    ).select("lang", "doc_id")
+
+
+@query(
+    "shuffle_positions",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shuffle_positions(spark, sf_dir):
+    """Deterministic global corpus shuffle — two-phase distributed rank
+    (the oracle's single global window would not scale past one
+    executor)."""
+    return deterministic_shuffle(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "pos"
+    )

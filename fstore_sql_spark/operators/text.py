@@ -226,3 +226,139 @@ def text_bpe_token_counts(spark, sf_dir):
             (F.sum(bpe_n).cast("double") / F.sum(ws_n)).alias("bpe_per_word"),
         )
     )
+
+
+_WORDS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def words_col(text_col: str = "text") -> Column:
+    """Lowercased, empty-stripped word array — the shared tokenization of
+    the vocabulary / n-gram / contamination operators below."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+
+
+@query(
+    "vocab_top_terms",
+    f"""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+    GROUP BY 1 ORDER BY freq DESC, word LIMIT 100
+    """,
+)
+def vocab_top_terms(spark, sf_dir):
+    """Vocabulary building — the canonical word-count: explode → hash
+    aggregate → top-k.  One shuffle (partial counts combine map-side);
+    the LIMIT plans as TakeOrderedAndProject, never a global sort.  The
+    (freq DESC, word ASC) tie-break makes the top-100 deterministic."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(100)
+    )
+
+
+@query(
+    "bigram_counts",
+    f"""
+    SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+             AS bg
+      FROM (SELECT {_WORDS} AS l FROM documents)
+    ) GROUP BY 1 ORDER BY freq DESC, bigram LIMIT 50
+    """,
+)
+def bigram_counts(spark, sf_dir):
+    """Adjacent-pair n-gram frequencies (language-model count-table shape): the
+    n-gram expansion happens array-side with a codegen'd transform over
+    index sequences — no self-join, no Python — then one count shuffle."""
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(_w) - 1, 0)),"
+        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(words_col().alias("_w"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "term_doc_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY 1)
+    SELECT tf.doc_id, tf.w AS word, tf.tf, dfq.df
+    FROM tf JOIN dfq ON tf.w = dfq.w
+    WHERE tf.doc_id < 20
+    """,
+)
+def term_doc_stats(spark, sf_dir):
+    """The doc-term matrix underlying TF-IDF: per-(doc, term) frequency
+    joined with corpus-wide document frequency.  TF is computed only for
+    the requested docs (filter pushes to the scan); DF spans the corpus
+    and broadcasts (|vocab| rows).  Counts stay exact integers — the
+    float idf = ln(N/df) is left to the caller, keeping the oracle
+    comparison exact."""
+    d = load(spark, sf_dir, "documents")
+    toks_all = d.select("doc_id", F.explode(words_col()).alias("word"))
+    tf = (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(words_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = (
+        toks_all.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf.join(F.broadcast(df), "word").select("doc_id", "word", "tf", "df")
+
+
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, source, g FROM (
+       SELECT doc_id, source,
+              unnest(list_transform(range(1, len(l) - 3),
+                  i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]))
+              AS g
+       FROM (SELECT doc_id, source, {_WORDS} AS l FROM documents)))
+    SELECT t.source, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS contaminated_docs
+    FROM (SELECT doc_id, source, g FROM sh WHERE source <> 'src0') t
+    JOIN (SELECT DISTINCT g FROM sh WHERE source = 'src0') b USING (g)
+    GROUP BY 1
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-gram with a
+    held-out benchmark set (source 'src0' stands in).  The benchmark
+    shingle set is small → broadcast semi-join against the training
+    shingles; per-source contaminated-doc counts come from one distinct
+    aggregate.  At 100 TB the benchmark side stays broadcastable (real
+    eval sets are tiny) so the train side is a single scan + semi-join."""
+    fivegrams = F.expr(
+        "transform(sequence(1, greatest(size(_w) - 4, 0)),"
+        " i -> concat_ws(' ', slice(_w, i, 5)))"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", words_col().alias("_w")
+    )
+    sh = d.select("doc_id", "source", F.explode(fivegrams).alias("g"))
+    bench = sh.filter(F.col("source") == "src0").select("g").distinct()
+    train = sh.filter(F.col("source") != "src0")
+    return (
+        train.join(F.broadcast(bench), "g", "leftsemi")
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("contaminated_docs"))
+    )

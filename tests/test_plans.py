@@ -192,3 +192,35 @@ class TestBatch4TpchPlans:
         df = q(spark, "q22_dormant_customers")
         assert P.broadcast_join_count(df) >= 1
         assert P.sort_merge_join_count(df) == 0
+
+
+class TestCorpusOperatorPlans:
+    """Vocabulary / n-gram / contamination / shuffle operators — the
+    training-data corpus surface (budgets measured at add time)."""
+
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("vocab_top_terms", 1),          # explode combines map-side, one agg
+            ("bigram_counts", 1),
+            ("stratified_sample_by_lang", 1),  # one per-stratum window
+            ("term_doc_stats", 3),           # tf agg + distinct + df agg (broadcast join)
+            ("benchmark_contamination", 3),  # bench distinct + semi + per-source agg
+            ("shuffle_positions", 3),        # bucket window + offsets + broadcast join
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_vocab_topk_never_global_sort(self, spark):
+        assert P.has_take_ordered(q(spark, "vocab_top_terms"))
+        assert P.has_take_ordered(q(spark, "bigram_counts"))
+
+    def test_contamination_bench_side_broadcasts(self, spark):
+        # the benchmark shingle set must broadcast — the train side is the
+        # 100 TB scan and must not shuffle for the semi-join.
+        assert P.broadcast_join_count(q(spark, "benchmark_contamination")) >= 1
+
+    def test_shuffle_positions_offsets_broadcast(self, spark):
+        # two-phase global rank: the 256-row offset table broadcasts.
+        assert P.broadcast_join_count(q(spark, "shuffle_positions")) >= 1
