@@ -45,6 +45,11 @@ HEADLINE = [
     "text_fingerprint",
     "text_quality_by_source",
     "multimodal_features",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "vocab_top_terms",
+    "benchmark_contamination",
+    "shuffle_positions",
 ]
 
 
@@ -97,6 +102,32 @@ def main() -> None:
         b1 = time.time() - t0
         timings["b1_append_validate"] = round(b1, 3)
         b1_eps = round(n / b1, 1)
+
+        # B4 — register_view T7 lock backfill against the full events table.
+        t0 = time.time()
+        store.register_view("bench_view", start_at="1990-01-01 00:00:00")
+        timings["b4_backfill_register_view"] = round(time.time() - t0, 3)
+
+        # B2 — single-partition replay + last-event point lookup.
+        some_id = batch.select("decider_id").first()[0]
+        t0 = time.time()
+        store.get_events(some_id, "user").collect()
+        store.get_last_event(some_id, "user").collect()
+        timings["b2_replay_partition"] = round(time.time() - t0, 3)
+
+        # B3 — claim→deliver→batch-ack round-trips (2 rounds × ≤100
+        # partitions; one state commit per round via ack_events).
+        delivered = 0
+        t0 = time.time()
+        for _ in range(2):
+            rows = store.stream_events("bench_view", limit=100).collect()
+            delivered += len(rows)
+            store.ack_events(
+                "bench_view", [(r["decider_id"], r["offset"]) for r in rows]
+            )
+        b3 = time.time() - t0
+        timings["b3_deliver_ack"] = round(b3, 3)
+        b3_eps = round(delivered / b3, 1) if b3 else 0.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -110,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "b1_events_per_sec": b1_eps,
+                "b3_deliver_events_per_sec": b3_eps,
             }
         )
     )

@@ -789,6 +789,35 @@ class EventStore:
             (F.col("view") == view) & (F.col("decider_id") == decider_id)
         )
 
+    def ack_events(self, view: str, acks: list[tuple[str, int]]) -> DataFrame:
+        """Batch commit: one state write for a micro-batch of
+        (decider_id, offset) acks — the consumer-side analogue of
+        ``append_batch``.  Per-pair semantics match ``ack_event``
+        (/root/reference/schema.sql:436-446); a consumer processing
+        ``stream_events(view, limit=N)`` output commits all N partitions
+        in a single O(1)-commits call instead of N row-at-a-time merges —
+        at cluster scale the per-commit latency, not the row count, is
+        the cost."""
+        if not acks:
+            return self.locks().filter(F.lit(False))
+        now = _utcnow()
+        upd = self.spark.createDataFrame(
+            [(view, d, int(o)) for d, o in acks],
+            "view string, decider_id string, last_offset long",
+        ).select(
+            "view",
+            "decider_id",
+            "last_offset",
+            F.lit(now).alias("locked_until"),
+            F.lit(now).alias("updated_at"),
+        )
+        with self._commit_lock:
+            self._update_locks_columns(upd)
+        return self.locks().filter(
+            (F.col("view") == view)
+            & F.col("decider_id").isin([d for d, _ in acks])
+        )
+
     def nack_event(self, view: str, decider_id: str) -> DataFrame:
         """Release without committing ⇒ immediate redelivery
         (/root/reference/schema.sql:449-457)."""

@@ -184,3 +184,27 @@ def test_unregister_view_cascades_locks(store):
     assert store.locks().filter("view = 'stays'").count() == 1
     # idempotent: deleting again returns empty, changes nothing
     assert store.unregister_view("gone").count() == 0
+
+
+def test_ack_events_batch_commits_multiple_partitions(store):
+    seed(store, n_partitions=3, events_per=2)
+    store.register_view("vb", start_at=now_utc() - timedelta(days=1))
+    batch = store.stream_events("vb", limit=3).collect()
+    assert len(batch) == 3
+    store.ack_events("vb", [(r["decider_id"], r["offset"]) for r in batch])
+    # every partition's consumer offset advanced; next call delivers the
+    # second event of each partition, not a redelivery.
+    again = store.stream_events("vb", limit=3).collect()
+    assert {(r["decider_id"], r["offset"]) for r in again}.isdisjoint(
+        {(r["decider_id"], r["offset"]) for r in batch}
+    )
+    assert len(again) == 3
+    store.ack_events("vb", [(r["decider_id"], r["offset"]) for r in again])
+    assert store.stream_events("vb", limit=3).collect() == []
+
+
+def test_ack_events_empty_is_noop(store):
+    seed(store, n_partitions=1, events_per=1)
+    store.register_view("ve", start_at=now_utc() - timedelta(days=1))
+    assert store.ack_events("ve", []).collect() == []
+    assert len(store.stream_events("ve", limit=1).collect()) == 1
