@@ -71,3 +71,50 @@ def sessionized_counts(
         F.session_window("created_at", gap).alias("session"),
         F.col("decider_id"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def deduped_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """At-least-once delivery → effectively-once processing: drop
+    ``event_id`` duplicates within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` holds per-key state only until the
+    watermark passes it — bounded memory at any scale, unlike a plain
+    ``dropDuplicates`` on a stream, whose state grows with the full key
+    history.  This is the Spark-native form of the reference's
+    ``event_id UNIQUE`` constraint (/root/reference/schema.sql:32) applied
+    to a redelivering consumer."""
+    return events.withWatermark("created_at", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def causation_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream self-join materializing the causation edge: each
+    event paired with its predecessor (``previous_id`` → ``event_id``,
+    /root/reference/schema.sql:43-44) as both arrive.
+
+    The event-time range bound (parent within ``lookback`` before the
+    child) is what keeps both join-state buffers finite — Spark evicts a
+    buffered parent once the child-side watermark passes its latest
+    possible match.  An unbounded-condition stream-stream join would
+    buffer forever."""
+    parents = events.select(
+        F.col("event_id").alias("parent_id"),
+        F.col("created_at").alias("parent_at"),
+    )
+    children = events.filter(F.col("previous_id").isNotNull()).select(
+        "event_id", "previous_id", "decider_id", "created_at"
+    )
+    if events.isStreaming:
+        parents = parents.withWatermark("parent_at", watermark)
+        children = children.withWatermark("created_at", watermark)
+    return children.join(
+        parents,
+        (F.col("previous_id") == F.col("parent_id"))
+        & (F.col("parent_at") <= F.col("created_at"))
+        & (F.col("parent_at") >= F.col("created_at") - F.expr(f"INTERVAL {lookback}")),
+    )

@@ -166,3 +166,63 @@ def test_stream_projection_folds_and_restarts(store, spark, tmp_path):
     assert got2["p0"]["n_events"] == 3
     assert got2["p0"]["total_value"] == 14
     assert got2["p1"]["n_events"] == 2  # untouched stream unchanged
+
+
+def test_streaming_dedup_within_watermark(store, spark, tmp_path):
+    """Redelivered (duplicate event_id) rows collapse to one — bounded
+    dedup state via dropDuplicatesWithinWatermark."""
+    from fstore_sql_spark.streaming.windows import deduped_stream
+
+    store.register_decider_event("d", "e", "x")
+    eid = uid()
+    store.append_event("e", eid, "d", "p1")
+    stream = streaming_events(spark, store.storage.root)
+    # simulate at-least-once redelivery: the same log read twice
+    dup = stream.union(stream)
+    q = (
+        deduped_stream(dup)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select event_id from dedup_out").collect()
+    assert [r["event_id"] for r in out] == [eid]
+
+
+def test_streaming_causation_join(store, spark, tmp_path):
+    """Stream-stream self-join pairs each event with its predecessor."""
+    from fstore_sql_spark.streaming.windows import causation_join
+
+    store.register_decider_event("d", "e", "x")
+    e1, e2, e3 = uid(), uid(), uid()
+    store.append_batch(
+        [
+            {"event": "e", "event_id": e1, "decider": "d", "decider_id": "p1",
+             "previous_id": None},
+            {"event": "e", "event_id": e2, "decider": "d", "decider_id": "p1",
+             "previous_id": e1},
+            {"event": "e", "event_id": e3, "decider": "d", "decider_id": "p1",
+             "previous_id": e2},
+        ]
+    )
+    stream = streaming_events(spark, store.storage.root)
+    q = (
+        causation_join(stream)
+        .writeStream.format("memory")
+        .queryName("causation_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_causation"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select event_id, previous_id from causation_out").collect()
+    got = {(r["event_id"], r["previous_id"]) for r in out}
+    assert got == {(e2, e1), (e3, e2)}
+    # batch form of the same expression agrees
+    batch = causation_join(store.events()).select("event_id", "previous_id").collect()
+    assert {(r["event_id"], r["previous_id"]) for r in batch} == got
