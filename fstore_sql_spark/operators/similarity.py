@@ -252,3 +252,81 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(
         assigned, centroids, [float(x) for x in qvec], k=5, nprobe=3
     )
+
+
+@query(
+    "knn_label_accuracy",
+    """
+    WITH ranked AS (
+        SELECT a.vec_id AS qid, a.label AS ql, b.label AS nl,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                       DESC,
+                   b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 100
+    )
+    SELECT ql AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM ranked WHERE rn = 1 GROUP BY 1
+    """,
+)
+def knn_label_accuracy(spark, sf_dir):
+    """Embedding-quality evaluation: 1-NN label agreement.  The query set
+    (vec_id < 100) broadcasts against the corpus — the scale shape is
+    score-in-place over corpus partitions, then a per-query top-1 window;
+    the corpus is never shuffled or collected.  Similarities are rounded
+    to 6 dp before ranking so the rank-1 choice (with vec_id tie-break)
+    is identical across engines."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("ql"),
+        F.col("v").alias("qv"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
+    ranked = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "ql", F.col("label").alias("nl"), "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.groupBy(F.col("ql").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("ql") == F.col("nl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+@query(
+    "label_centroids",
+    """
+    WITH dims AS (
+        SELECT label, i, AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2)
+    SELECT label, ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
+    FROM dims GROUP BY 1
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-class centroid of the embedding column — the cluster-summary /
+    class-prototype statistic.  posexplode turns the vector into
+    (dimension, value) rows so the mean is one hash aggregate keyed by
+    (label, dim) — no vector-length UDF, no collect; the centroid norm
+    summarizes the result as a scalar for exact oracle comparison."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    dims = e.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    return dims.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
