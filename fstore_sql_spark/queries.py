@@ -1931,3 +1931,144 @@ def q22_dormant_customers(spark, sf_dir):
             F.sum("bal").cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(value / 25), 12) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-bucket value histogram — the distribution-profiling scan
+    (width_bucket analogue written as floor division + cap so both
+    engines run byte-identical arithmetic).  One codegen'd aggregate."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.least(F.floor(F.col("value") / 25), F.lit(12))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "gap_filled_daily_counts",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                    INTERVAL 1 DAY))::DATE AS day),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      GROUP BY 1, 2)
+    SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+    FROM days d CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+)
+def gap_filled_daily_counts(spark, sf_dir):
+    """Time-series gap filling: a generated day spine × observed keys,
+    left-joined to actual counts with zero-fill — dashboards need the
+    empty days.  The spine is generated (sequence + explode), never
+    scanned; counts aggregate once; the spine side broadcasts (31 days ×
+    |types| rows regardless of fact size)."""
+    e = load(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    counts = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("ts").alias("c_day"), F.col("event_type").alias("c_type"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    spine = F.broadcast(days.crossJoin(types))
+    return (
+        spine.join(
+            counts,
+            (F.col("day") == F.col("c_day")) & (F.col("event_type") == F.col("c_type")),
+            "left",
+        )
+        .select("day", "event_type", F.coalesce(F.col("cn"), F.lit(0)).alias("n"))
+    )
+
+
+@query(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey < 20
+    """,
+)
+def lateral_top_orders(spark, sf_dir):
+    """Correlated LATERAL subquery through the spark.sql() surface —
+    top-2 orders per customer.  Catalyst decorrelates the LATERAL
+    ORDER-BY-LIMIT into a per-key rank (same plan family as the window
+    form); this pins the SQL-text feature itself."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 20
+        """
+    )
+
+
+@query(
+    "props_typed_projection",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           > 50 THEN 1 END) AS BIGINT) AS n_high
+    FROM events GROUP BY 1
+    """,
+)
+def props_typed_projection(spark, sf_dir):
+    """Schema-on-read JSONB analogue (SURVEY.md §1.3): the props payload
+    projected to a typed column via from_json and aggregated — the
+    registered-payload-schema pattern for the events ``data`` column.
+    from_json parses once per row into a struct (vs repeated
+    get_json_object probes per field)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    k = F.from_json(F.col("props"), StructType([StructField("k", LongType())]))["k"]
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
