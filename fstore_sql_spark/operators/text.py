@@ -362,3 +362,93 @@ def benchmark_contamination(spark, sf_dir):
         .groupBy("source")
         .agg(F.count_distinct("doc_id").alias("contaminated_docs"))
     )
+
+
+_QUALITY_SQL = f"""
+    SELECT doc_id, lang, text FROM documents
+    WHERE n_chars >= 100
+      AND len(string_split(text,' ')) >= 20
+      AND CAST(len(list_filter(string_split(text,' '),
+              w -> list_contains({_STOP_SQL}, w))) AS DOUBLE)
+              / len(string_split(text,' ')) BETWEEN 0.05 AND 0.6
+"""
+
+
+@query(
+    "corpus_curation_funnel",
+    f"""
+    WITH quality AS ({_QUALITY_SQL}),
+    deduped AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality) WHERE rn = 1),
+    sampled AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM deduped) WHERE rn <= 10)
+    SELECT r.lang, r.n_raw,
+           COALESCE(q.n, 0) AS n_quality,
+           COALESCE(d.n, 0) AS n_deduped,
+           COALESCE(s.n, 0) AS n_sampled
+    FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_raw
+          FROM documents GROUP BY 1) r
+    LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM quality GROUP BY 1) q USING (lang)
+    LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM deduped GROUP BY 1) d USING (lang)
+    LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM sampled GROUP BY 1) s USING (lang)
+    """,
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The end-to-end curation pipeline in one plan: quality filter →
+    exact dedup (keep lowest doc_id per content digest) → stratified
+    10-per-language sample, reporting the per-language survivor count at
+    every stage.  Each stage is the already-tested operator composed
+    lazily — Catalyst sees one tree, so the scan happens once and the
+    funnel counts are tiny per-lang aggregates joined at the end."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(w)
+    quality = d.filter(
+        (F.col("n_chars") >= 100) & (F.size(w) >= 20) & ratio.between(0.05, 0.6)
+    ).select("doc_id", "lang", "text")
+    dd_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(dd_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    s_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sampled = (
+        deduped.withColumn("rn", F.row_number().over(s_w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )
+
+    def stage_counts(df, name):
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        stage_counts(d, "n_raw")
+        .join(stage_counts(quality, "n_quality"), "lang", "left")
+        .join(stage_counts(deduped, "n_deduped"), "lang", "left")
+        .join(stage_counts(sampled, "n_sampled"), "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_deduped", F.lit(0)).alias("n_deduped"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
