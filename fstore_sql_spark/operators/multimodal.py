@@ -106,7 +106,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled timestamp.
     The decode itself is stubbed; the plumbing (posexplode of the sample
     grid, partition-preserving) is real."""
-    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("long")
+    n_frames = F.floor(F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast(
+        "long"
+    )
     grid = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
     return (
         media.filter(F.col("kind") == "video")
@@ -149,4 +151,43 @@ def multimodal_features(spark, sf_dir):
         "media_id",
         "n_bytes",
         *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
+@query(
+    "multimodal_frame_grid",
+    """
+    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
+    FROM (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0,
+                 greatest((n_chars * 10) // 1000 - 1, 0))) * 1000 AS ts_ms
+      FROM documents WHERE doc_id < 50)
+    GROUP BY 1
+    """,
+)
+def multimodal_frame_grid(spark, sf_dir):
+    """The video frame-sampling plan verified end-to-end: documents stand
+    in as media (duration_ms = n_chars×10), ``frame_sample`` expands the
+    per-row sample grid with posexplode (partition-preserving, no
+    shuffle), and the per-media frame counts have an exact
+    generate_series oracle."""
+    media = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        )
+    )
+    frames = frame_sample(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("ts_ms").cast("long").alias("last_ts_ms"),
     )
