@@ -4,6 +4,7 @@ Modules register their driver-gate queries into
 ``fstore_sql_spark.queries.QUERIES/ORACLES`` on import:
 
     dedup       — exact / normalized / MinHash+LSH / n-gram Jaccard / SimHash
+    grouped     — applyInPandas grouped-map custom aggregation (oracle-gated)
     similarity  — brute-force cosine top-k + IVF-style blocked ANN
     text        — token stats, quality scoring, fingerprinting, language-ID
     multimodal  — binary media columns: schema + Arrow-batched UDF plumbing
@@ -13,6 +14,7 @@ Modules register their driver-gate queries into
 
 from fstore_sql_spark.operators import (  # noqa: F401
     dedup,
+    grouped,
     multimodal,
     sampling,
     similarity,

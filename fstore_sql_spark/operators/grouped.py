@@ -1,0 +1,71 @@
+"""Grouped-map (``applyInPandas``) custom aggregation — the (b)-tier of
+SURVEY.md's custom-operator ladder: used only where the per-group logic is
+genuinely imperative; here it is deliberately paired with an exact SQL
+oracle so the Arrow grouped-map path itself is correctness-gated.
+
+Scale posture: ``applyInPandas`` shuffles once on the group key and streams
+each group through Arrow; output is one narrow row per group.  Skewed keys
+are the hazard (one giant group = one task) — for the event log the group
+key is ``user_id``/``decider_id``, the same partition axis as the store.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.queries import load, query
+
+GAP_SCHEMA = "user_id long, max_gap_s long, n_gaps long"
+
+
+def longest_gap(events: DataFrame) -> DataFrame:
+    """Per-user longest inactivity gap between consecutive events.
+
+    The per-group sort + diff is the imperative kernel; everything before
+    it (filter, projection) stays declarative so pushdown still applies.
+    Emits nothing for single-event users, matching the SQL LAG form.
+    """
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        secs = pdf["ts"].astype("int64") // 10**9
+        gaps = secs.diff().dropna()
+        if gaps.empty:
+            return pd.DataFrame(columns=["user_id", "max_gap_s", "n_gaps"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "max_gap_s": [int(gaps.max())],
+                "n_gaps": [int(len(gaps))],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandas(
+        per_group, GAP_SCHEMA
+    )
+
+
+@query(
+    "user_longest_gap",
+    """
+    SELECT user_id,
+           CAST(MAX(date_diff('second', prev_ts, ts)) AS BIGINT) AS max_gap_s,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE user_id < 50)
+    WHERE prev_ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def user_longest_gap(spark, sf_dir):
+    """The applyInPandas grouped-map path under an exact oracle: the SQL
+    LAG-window form computes identical integer gap seconds (testdata
+    timestamps are whole-second, so every definition of 'difference in
+    seconds' coincides)."""
+    return longest_gap(
+        load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    )

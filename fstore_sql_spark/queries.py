@@ -2072,3 +2072,61 @@ def props_typed_projection(spark, sf_dir):
             F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
         )
     )
+
+
+@query(
+    "customers_every_priority",
+    """
+    SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    HAVING COUNT(DISTINCT o_orderpriority) =
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def customers_every_priority(spark, sf_dir):
+    """Relational division (the 'bought ALL brands' shape): customers with
+    orders in every priority class.  The universe cardinality is a 1-row
+    scalar broadcast into the HAVING filter — one aggregate over orders,
+    no per-class joins."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+    universe = o.agg(F.countDistinct("o_orderpriority").alias("total_prio"))
+    return (
+        per_cust.join(F.broadcast(universe))
+        .filter(F.col("n_prio") == F.col("total_prio"))
+        .select("c_custkey", "n_orders")
+    )
+
+
+@query(
+    "user_mode_event_type",
+    """
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events WHERE user_id < 50 GROUP BY 1, 2)
+    WHERE rn = 1
+    """,
+)
+def user_mode_event_type(spark, sf_dir):
+    """Per-group mode (most frequent value): count aggregate + rank-1
+    window with a deterministic tie-break — the groupwise-argmax family's
+    categorical member (max_by covers the continuous one)."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
