@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import threading
 import uuid as _uuid
+from contextlib import contextmanager
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -250,17 +251,43 @@ class EventStore:
             cand = cand.persist()
             try:
                 n = cand.count()  # materialize the cache once, up front
-                if validate:
-                    self._validate_batch(cand)
-                manifest = self.storage.read_manifest(_EVENTS)
-                new_streams = self._new_stream_keys(cand)
-                appended = self._commit(cand, manifest, now, n=n)
-                # T6: lock rows for partitions born in this batch
-                # (/root/reference/schema.sql:240-263).
-                self._t6_new_partition_locks(new_streams, now)
+                with self._shuffle_sized_for(n):
+                    if validate:
+                        self._validate_batch(cand)
+                    manifest = self.storage.read_manifest(_EVENTS)
+                    new_streams = self._new_stream_keys(cand)
+                    appended = self._commit(cand, manifest, now, n=n)
+                    # T6: lock rows for partitions born in this batch
+                    # (/root/reference/schema.sql:240-263).
+                    self._t6_new_partition_locks(new_streams, now)
                 return appended
             finally:
                 cand.unpersist()
+
+    # Target rows per shuffle task on the write path: micro-batches don't
+    # need (and pay scheduling overhead for) the session-wide shuffle
+    # width sized for full-table analytics.
+    ROWS_PER_SHUFFLE_TASK = 25_000
+
+    @contextmanager
+    def _shuffle_sized_for(self, n_rows: int):
+        """Clamp ``spark.sql.shuffle.partitions`` to the committed batch
+        size for the duration of one append (never raising it above the
+        session setting, so cluster-sized batches are untouched).  Safe
+        under the single-committer rule: appends are serialized by
+        ``_commit_lock``; concurrent *readers* never depend on shuffle
+        width for correctness."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.shuffle.partitions")
+        target = max(1, min(int(prev), n_rows // self.ROWS_PER_SHUFFLE_TASK + 1))
+        if target >= int(prev):
+            yield
+            return
+        conf.set("spark.sql.shuffle.partitions", str(target))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev)
 
     def _as_candidates(self, rows_or_df) -> DataFrame:
         if isinstance(rows_or_df, DataFrame):
