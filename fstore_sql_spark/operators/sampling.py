@@ -220,3 +220,102 @@ def shuffle_positions(spark, sf_dir):
     return deterministic_shuffle(load(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "pos"
     )
+
+
+def pack_positions(
+    df: DataFrame, id_col: str, tokens: Column, bucket_width: int = 65536
+) -> DataFrame:
+    """Concat-and-chunk packing prelude: the exclusive running token total
+    (``start``) over ``id_col`` order — each document's byte-offset into
+    the virtual concatenated token stream that training chunks slice.
+
+    A naive ``SUM(tokens) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)``
+    funnels the corpus through ONE task; this is the two-phase form
+    (same trick as ``deterministic_shuffle``):
+
+      1. order-preserving range buckets ``_b = id DIV bucket_width``,
+      2. per-bucket exclusive cumsum (parallel windows, all keyed alike),
+      3. broadcast cumulative bucket totals as offsets (N/width tiny rows).
+
+    Positions equal the naive global window's, so the oracle uses that.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col), tokens.cast("long").alias("_tok")
+    ).withColumn("_b", F.expr(f"{id_col} DIV {bucket_width}"))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = keyed.withColumn("_local", F.coalesce(F.sum("_tok").over(w), F.lit(0)))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_b")
+        .agg(F.sum("_tok").alias("_n"))
+        .select("_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .select(
+            id_col,
+            F.col("_tok").alias("n_tokens"),
+            (F.col("_off") + F.col("_local")).cast("long").alias("start"),
+        )
+    )
+
+
+@query(
+    "packed_bin_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM t
+    )
+    SELECT CAST(start // 512 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(COUNT(*) FILTER (WHERE n_tokens > 0
+               AND start // 512 <> (start + n_tokens - 1) // 512) AS BIGINT)
+               AS n_split_docs
+    FROM c GROUP BY 1
+    """,
+)
+def packed_bin_stats(spark, sf_dir):
+    """Sequence packing for training (concat-and-chunk, 512-token chunks):
+    every document gets its start offset in the concatenated token stream;
+    chunk ``bin = start DIV 512``; per-bin doc/token counts plus how many
+    documents straddle a chunk boundary (the attention-mask-contamination
+    metric packing pipelines track).  The cumsum is the two-phase
+    ``pack_positions`` — no single-task global window."""
+    from fstore_sql_spark.operators.text import words_col
+
+    d = load(spark, sf_dir, "documents")
+    pos = pack_positions(d, "doc_id", F.size(words_col()))
+    return (
+        pos.withColumn("bin", F.expr("start DIV 512"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") > 0)
+                    & (
+                        F.expr("start DIV 512")
+                        != F.expr("(start + n_tokens - 1) DIV 512")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_split_docs"),
+        )
+    )

@@ -452,3 +452,137 @@ def corpus_curation_funnel(spark, sf_dir):
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    base AS (SELECT doc_id, len(l) AS n_words, len(list_distinct(l)) AS n_distinct
+             FROM w),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+                       AS bg
+            FROM w),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS top_bigram_frac
+              FROM bc GROUP BY 1)
+    SELECT base.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS dup_word_frac,
+           bstat.top_bigram_frac
+    FROM base JOIN bstat ON base.doc_id = bstat.doc_id
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and top-2-gram fraction (Rae et al. 2021's "fraction of
+    characters in most common n-gram" family) — the filters that catch
+    boilerplate and degenerate repetition.
+
+    Everything is computed array-side inside one projection — ZERO
+    shuffles, a pure narrow map over the scan, embarrassingly parallel at
+    any corpus size.  dup_word_frac compares size vs array_distinct size;
+    top_bigram_frac sorts the document's bigram array and fold-counts the
+    longest equal run (equal bigrams are adjacent after the sort, so the
+    max run length IS the max bigram multiplicity) — O(n log n) in
+    document length, never in corpus size.  The explode → groupBy(doc, bg)
+    → groupBy(doc) alternative costs two wide exchanges of the full token
+    stream; documents with fewer than two words carry no bigram and are
+    excluded (matching the oracle's inner join against the bigram
+    groups)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", words_col().alias("_w"))
+    bigrams = F.expr(
+        "array_sort(transform(sequence(1, greatest(size(_w) - 1, 0)),"
+        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))))"
+    )
+    max_run = F.expr(
+        "aggregate(_sb,"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+    return (
+        d.filter(F.size("_w") >= 2)
+        .withColumn("_sb", bigrams)
+        .select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_words"),
+            (
+                (F.size("_w") - F.size(F.array_distinct("_w"))).cast("double")
+                / F.size("_w").cast("double")
+            ).alias("dup_word_frac"),
+            (max_run.cast("double") / F.size("_sb").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, source, unnest({_WORDS}) AS w FROM documents),
+    tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT source, w AS word, tf, df,
+               CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        FROM tf JOIN dfq USING (w) CROSS JOIN n
+    )
+    SELECT source, word, tf, df, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY score DESC, word) AS rn
+        FROM scored
+    ) WHERE rn <= 15
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Characteristic terms per source, ranked by tf·idf with a linear
+    idf = N/df (a stated variant: log-damped idf would order some terms
+    differently, but ln() differs in the last ulp across libms and would
+    break the bit-exact oracle; N/df is an exact rational in both
+    engines).
+
+    Plan shape: one explode feeding two aggregates — per-(source, term)
+    tf and per-term df (distinct doc_id, partial-distinct map-side) —
+    joined with the term as key; df (|vocab| rows) broadcasts.  The
+    per-source top-15 window ranks |vocab|·|sources| scored rows, hash-
+    partitioned by source."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(words_col()).alias("word"))
+    tf = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = toks.groupBy("word").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source",
+            "word",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("source", "word", "tf", "df", "score")
+    )

@@ -2130,3 +2130,57 @@ def user_mode_event_type(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@query(
+    "session_window_rollup",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR date_diff('second',
+                                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                ts) >= 1739
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1739 SECOND AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def session_window_rollup(spark, sf_dir):
+    """Native session-window aggregation (F.session_window, the operator
+    Structured Streaming uses for dynamic-gap sessions) in batch mode —
+    the same sessions as the gaps-and-islands form (`user_sessions`) but
+    expressed as ONE groupBy, letting Spark's MergingSessionsExec merge
+    sort-adjacent sessions without a window-function pass.
+
+    Tie semantics pinned by the oracle: an event exactly gap seconds after
+    the previous one starts a NEW session (windows are half-open
+    [start, last+gap)), so the islands break condition is `diff >= gap`.
+    1739s (~29 min) is deliberately not minute-aligned.  session_end is
+    last event + gap, matching session_window.end."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "1739 seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -224,3 +224,41 @@ class TestCorpusOperatorPlans:
     def test_shuffle_positions_offsets_broadcast(self, spark):
         # two-phase global rank: the 256-row offset table broadcasts.
         assert P.broadcast_join_count(q(spark, "shuffle_positions")) >= 1
+
+
+class TestRepetitionPackingSessionPlans:
+    """Batch-5 additions: repetition stats, sequence packing, native
+    session windows, tf-idf (budgets measured at add time)."""
+
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            # pure narrow map: sort+fold the bigram array inside the
+            # projection — the whole corpus scan stays embarrassingly
+            # parallel, no exchange at any scale.
+            ("doc_repetition_stats", 0),
+            # two-phase cumsum: bucket window + offsets agg + offsets
+            # single-partition window (bucket-count rows, tiny) + final
+            # per-bin agg; the offsets side broadcasts into the corpus.
+            ("packed_bin_stats", 4),
+            # one hash partition on user_id feeding MergingSessionsExec.
+            ("session_window_rollup", 1),
+            # tf agg + df distinct (partial+final) + scalar doc count
+            # (1-row) + per-source rank window; df broadcasts.
+            ("tfidf_top_terms", 5),
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_repetition_stats_is_scan_only(self, spark):
+        # zero exchanges of ANY kind — scan, project, done.
+        assert P.exchange_count(q(spark, "doc_repetition_stats")) == 0
+
+    def test_session_window_uses_native_merging(self, spark):
+        assert "MergingSessions" in P.simple_plan(q(spark, "session_window_rollup"))
+
+    def test_packing_offsets_broadcast(self, spark):
+        # the per-bucket offset table must broadcast against the corpus.
+        assert P.broadcast_join_count(q(spark, "packed_bin_stats")) >= 1
+        assert P.sort_merge_join_count(q(spark, "packed_bin_stats")) == 0
