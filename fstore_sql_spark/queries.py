@@ -2184,3 +2184,77 @@ def session_window_rollup(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "user_type_sequence",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id < 30 GROUP BY user_id
+    """,
+)
+def user_type_sequence(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg WITH GROUP ORDER):
+    the per-user event-type journey, the feature-engineering shape behind
+    funnel and next-action models.  Spark's collect_list is order-
+    nondeterministic, so the deterministic form collects (ts, event_id,
+    type) structs and array_sorts them post-agg — the sort happens on the
+    already-reduced per-user array, not as a shuffle-wide ORDER BY."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return e.groupBy("user_id").agg(
+        seq.alias("type_seq"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "value_band_rollup",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('micro', 0.0, 5.0), ('small', 5.0, 25.0),
+               ('medium', 25.0, 100.0), ('large', 100.0, 1000.0)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def value_band_rollup(spark, sf_dir):
+    """Interval-containment (band) join: classify every event into a value
+    band via a non-equi join against a tiny interval table — the
+    range-join family the reference never needs but telemetry pipelines
+    constantly do.  The band table broadcasts, so the plan is a
+    BroadcastNestedLoopJoin with the range predicate evaluated stream-side
+    (no shuffle, no cartesian blow-up: bands are disjoint so each event
+    matches at most one).  At 100 TB the scan side never moves."""
+    spark_df = load(spark, sf_dir, "events")
+    bands = spark_df.sparkSession.createDataFrame(
+        [
+            ("micro", 0.0, 5.0),
+            ("small", 5.0, 25.0),
+            ("medium", 25.0, 100.0),
+            ("large", 100.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        spark_df.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )

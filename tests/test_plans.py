@@ -262,3 +262,19 @@ class TestRepetitionPackingSessionPlans:
         # the per-bucket offset table must broadcast against the corpus.
         assert P.broadcast_join_count(q(spark, "packed_bin_stats")) >= 1
         assert P.sort_merge_join_count(q(spark, "packed_bin_stats")) == 0
+
+
+class TestListaggBandJoinPlans:
+    def test_type_sequence_single_shuffle(self, spark):
+        # collect_list + post-agg array_sort: one partial→final exchange;
+        # the per-user sort never becomes a shuffle-wide ORDER BY.
+        assert P.shuffle_exchange_count(q(spark, "user_type_sequence")) <= 1
+
+    def test_band_join_broadcasts_interval_table(self, spark):
+        # non-equi containment join: the 4-row band table broadcasts into
+        # a BroadcastNestedLoopJoin — the fact side must never shuffle or
+        # sort-merge for the range predicate.
+        df = q(spark, "value_band_rollup")
+        assert "BroadcastNestedLoopJoin" in P.simple_plan(df)
+        assert P.sort_merge_join_count(df) == 0
+        assert P.shuffle_exchange_count(df) <= 1  # final band agg only
