@@ -2258,3 +2258,123 @@ def value_band_rollup(spark, sf_dir):
             F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "event_transition_counts",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_counts(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (the n-gram count table of behavioral modeling).  The lag window and
+    nothing else orders the stream; the (prev, next) count aggregate
+    combines map-side.  One hash exchange on user_id for the window, one
+    for the pair counts."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day offset.  Both sides (first-seen MIN and
+    distinct active days) aggregate on user_id before the join, so the
+    join input is |users| rows per side, not |events| — and they share the
+    user_id partitioning, so the join itself adds no exchange."""
+    e = load(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+               AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                                   AND t_purchase > t_click)
+               AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    timestamps via conditional MIN, then ordered-step predicates counted
+    in ONE pass — no self-joins (the naive funnel is an |steps|-way
+    self-join; the conditional-aggregate form is one shuffle on user_id
+    plus a single-row final reduce)."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(ev):
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_click_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )

@@ -278,3 +278,25 @@ class TestListaggBandJoinPlans:
         assert "BroadcastNestedLoopJoin" in P.simple_plan(df)
         assert P.sort_merge_join_count(df) == 0
         assert P.shuffle_exchange_count(df) <= 1  # final band agg only
+
+
+class TestBehavioralAnalyticsPlans:
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            # lag window on user_id + (prev, next) count agg.
+            ("event_transition_counts", 2),
+            # cohort MIN agg + distinct-days agg share user_id
+            # partitioning with the join; final (cohort, offset) agg.
+            ("cohort_retention", 3),
+            # one user_id agg + single-row final reduce.
+            ("funnel_conversion", 2),
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_funnel_has_no_self_join(self, spark):
+        # the naive funnel is an N-way self-join; ours must stay join-free.
+        plan = P.simple_plan(q(spark, "funnel_conversion"))
+        assert "Join" not in plan
