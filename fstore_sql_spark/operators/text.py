@@ -586,3 +586,43 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 15)
         .select("source", "word", "tf", "df", "score")
     )
+
+
+@query(
+    "doc_chunks_sliding",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    s AS (SELECT doc_id, l,
+                 unnest(range(0, greatest(len(l) - 1, 0) + 1, 8)) AS start
+          FROM w)
+    SELECT doc_id,
+           CAST(start // 8 AS BIGINT) AS chunk_idx,
+           CAST(least(16, len(l) - start) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(l[start + 1 : start + 16], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def doc_chunks_sliding(spark, sf_dir):
+    """Sliding-window document chunking (16-token windows, stride 8 = 50%
+    overlap) — the retrieval / context-window prep step.  The window
+    starts expand array-side (sequence + posexplode), each chunk is a
+    slice of the already-tokenized array, and the content hash makes the
+    oracle verify chunk CONTENT, not just counts.  A pure narrow map:
+    zero shuffles at any corpus size; output rows ≈ corpus_tokens /
+    stride."""
+    d = load(spark, sf_dir, "documents").select("doc_id", words_col().alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(8))
+    return (
+        d.select("doc_id", n.alias("_n"), "_w", F.posexplode(starts).alias("chunk_idx", "_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(16), F.col("_n") - F.col("_start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice("_w", F.col("_start") + 1, 16), " ")
+            ).alias("chunk_hash"),
+        )
+    )

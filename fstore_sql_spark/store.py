@@ -77,10 +77,12 @@ class EventStore:
     reads are safe from anywhere.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, cache_log: bool = True):
         self.spark = spark
         self.storage = ParquetStore(spark, path)
         self._commit_lock = threading.RLock()
+        self._cache_log = cache_log
+        self._events_cached: DataFrame | None = None
         self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
         self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
         self.storage.init_state(_VIEWS, VIEWS_SCHEMA)
@@ -91,8 +93,29 @@ class EventStore:
     # ------------------------------------------------------------------ #
 
     def events(self) -> DataFrame:
-        """The append-only event log (/root/reference/schema.sql:27-54)."""
-        return self.storage.read_log(_EVENTS, EVENTS_SCHEMA)
+        """The append-only event log (/root/reference/schema.sql:27-54).
+
+        The log DataFrame is persisted (MEMORY_AND_DISK_DESER) between
+        mutations: every read-path API call — ``stream_events``' watermark
+        join, ``get_events``, T7 backfill — re-derives from the log, and
+        without the cache each call re-lists and re-scans parquet.  Spark
+        manages eviction, so at cluster scale the hot tail stays in memory
+        and cold partitions spill or recompute; correctness never depends
+        on residency.  Appends and compaction invalidate (the instance is
+        the single committer, so no external writer can stale the cache);
+        ``cache_log=False`` opts out entirely."""
+        if not self._cache_log:
+            return self.storage.read_log(_EVENTS, EVENTS_SCHEMA)
+        if self._events_cached is None:
+            self._events_cached = self.storage.read_log(
+                _EVENTS, EVENTS_SCHEMA
+            ).persist()
+        return self._events_cached
+
+    def _invalidate_log_cache(self) -> None:
+        if self._events_cached is not None:
+            self._events_cached.unpersist()
+            self._events_cached = None
 
     def deciders(self) -> DataFrame:
         return self.storage.read_state(_DECIDERS, DECIDERS_SCHEMA)
@@ -152,6 +175,7 @@ class EventStore:
                 "decider_id", "offset"
             )
             self.storage.compact_log(_EVENTS, compacted)
+            self._invalidate_log_cache()
             return self.storage.log_file_count(_EVENTS)
 
     def register_sql_views(self, prefix: str = "") -> None:
@@ -255,11 +279,19 @@ class EventStore:
                     if validate:
                         self._validate_batch(cand)
                     manifest = self.storage.read_manifest(_EVENTS)
-                    new_streams = self._new_stream_keys(cand)
-                    appended = self._commit(cand, manifest, now, n=n)
                     # T6: lock rows for partitions born in this batch
-                    # (/root/reference/schema.sql:240-263).
-                    self._t6_new_partition_locks(new_streams, now)
+                    # (/root/reference/schema.sql:240-263).  Runs BEFORE
+                    # the log append so its anti-join against the log
+                    # evaluates on the pre-batch snapshot (post-commit the
+                    # invalidated log cache would re-list and find every
+                    # candidate stream "existing"; persisting doesn't help
+                    # — unpersisting the log cache cascades to dependents).
+                    # Crash-safe: a seeded lock row is invisible through
+                    # the derived locks() inner-join until the partition's
+                    # events actually land, and last_offset=0 is exactly
+                    # what T6 would write on retry.
+                    self._t6_new_partition_locks(self._new_stream_keys(cand), now)
+                    appended = self._commit(cand, manifest, now, n=n)
                 return appended
             finally:
                 cand.unpersist()
@@ -554,6 +586,7 @@ class EventStore:
             self.storage.write_manifest(
                 _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
             )
+            self._invalidate_log_cache()
         finally:
             finished.unpersist()
             if pinned is not None:

@@ -300,3 +300,7 @@ class TestBehavioralAnalyticsPlans:
         # the naive funnel is an N-way self-join; ours must stay join-free.
         plan = P.simple_plan(q(spark, "funnel_conversion"))
         assert "Join" not in plan
+
+    def test_doc_chunking_is_scan_only(self, spark):
+        # sliding-window chunking expands array-side: zero exchanges.
+        assert P.exchange_count(q(spark, "doc_chunks_sliding")) == 0
