@@ -99,3 +99,16 @@ def has_take_ordered(df: DataFrame) -> bool:
     """True when ORDER BY + LIMIT planned as top-k (TakeOrderedAndProject)
     rather than a global sort — the A4 get_last_event requirement."""
     return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters on the plan's file scans — directory-level pruning
+    on Hive-partitioned layouts, one level stronger than PushedFilters
+    (a pruned partition's files are never listed into tasks at all)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out

@@ -118,3 +118,31 @@ def causation_join(
         & (F.col("parent_at") <= F.col("created_at"))
         & (F.col("parent_at") >= F.col("created_at") - F.expr(f"INTERVAL {lookback}")),
     )
+
+
+def enriched_stream(events: DataFrame, deciders: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up its
+    registry metadata (the ``deciders`` description, schema.sql:13-25) —
+    the canonical fact-stream ⋈ dimension-table shape.
+
+    The static side is re-read per micro-batch (so registry updates are
+    visible without restarting) and broadcast: with a dimension of
+    registry size, no micro-batch ever shuffles.  Left join keeps events
+    whose registration is missing — delivery must not silently drop them
+    (C3 already guarantees registered-only at append time; the guard is
+    for logs predating a registry rebuild)."""
+    dim = F.broadcast(
+        deciders.select(
+            "decider",
+            F.col("event").alias("_reg_event"),
+            F.col("event_version").alias("_reg_version"),
+            "description",
+        )
+    )
+    return events.join(
+        dim,
+        (events["decider"] == dim["decider"])
+        & (events["event"] == dim["_reg_event"])
+        & (events["event_version"] == dim["_reg_version"]),
+        "left",
+    ).drop("_reg_event", "_reg_version").drop(dim["decider"])

@@ -107,3 +107,75 @@ class TestIngestReaders:
         cols = [c for c, _ in df.dtypes]
         for needed in ("event_id", "decider_id", "data", "created_at"):
             assert needed in cols
+
+
+class TestPartitionedExport:
+    def test_partitioned_write_gets_directory_pruning(self, spark, tmp_path):
+        from fstore_sql_spark.plans import inspect as P
+        from fstore_sql_spark.queries import load
+        from fstore_sql_spark.sources.writers import write_partitioned
+
+        out = str(tmp_path / "docs_by_lang")
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        write_partitioned(docs, out, ["lang"])
+
+        back = spark.read.parquet(out).filter(F.col("lang") == "en")
+        # the lang predicate must become a PartitionFilter (directory
+        # pruning), NOT a data filter evaluated per row.
+        assert any("lang" in f for f in P.partition_filters(back))
+        assert back.count() == docs.filter(F.col("lang") == "en").count()
+        # layout check: Hive-style lang=<value> directories exist.
+        import os
+
+        assert any(d.startswith("lang=") for d in os.listdir(out))
+
+    def test_clustered_write_prunes_row_groups(self, spark, tmp_path):
+        from fstore_sql_spark.plans import inspect as P
+        from fstore_sql_spark.queries import load
+        from fstore_sql_spark.sources.writers import write_clustered
+
+        out = str(tmp_path / "events_clustered")
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        write_clustered(ev, out, "user_id", n_files=4)
+
+        back = spark.read.parquet(out).filter(F.col("user_id") == 7)
+        assert any("user_id" in f for f in P.pushed_filters(back))
+        assert back.count() == ev.filter(F.col("user_id") == 7).count()
+
+
+class TestEnrichedStream:
+    def test_stream_static_join_broadcasts_registry(self, spark, tmp_path):
+        """Stream-static enrichment: every delivered micro-batch row carries
+        registry metadata; the static side broadcasts (no shuffle)."""
+        import uuid
+
+        from fstore_sql_spark import EventStore
+        from fstore_sql_spark.streaming.windows import (
+            enriched_stream,
+            streaming_events,
+        )
+
+        store = EventStore(spark, str(tmp_path / "store"))
+        store.register_decider_event("acct", "opened", "account opened")
+        for pid in ("a1", "a2"):
+            store.append_event(
+                event="opened", event_id=str(uuid.uuid4()),
+                decider="acct", decider_id=pid,
+            )
+
+        stream = streaming_events(spark, str(tmp_path / "store"))
+        enriched = enriched_stream(stream, store.deciders())
+        qname = f"enrich_{uuid.uuid4().hex[:8]}"
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        assert len(rows) == 2
+        assert all(r["description"] == "account opened" for r in rows)
