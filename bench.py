@@ -50,6 +50,12 @@ HEADLINE = [
     "vocab_top_terms",
     "benchmark_contamination",
     "shuffle_positions",
+    "session_window_rollup",
+    "doc_repetition_stats",
+    "packed_bin_stats",
+    "cohort_retention",
+    "funnel_conversion",
+    "doc_chunks_sliding",
 ]
 
 
