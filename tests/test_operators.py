@@ -182,3 +182,56 @@ class TestSampling:
         assert sorted(r["doc_id"] for r in test2.select("doc_id").collect()) == test_ids
         # rate roughly honored
         assert 0.1 < nte / n < 0.3
+
+
+class TestApproxAccuracy:
+    """Approximate aggregates vs exact ground truth — the sketches are
+    rows-only at the driver gate (their values aren't SQL-portable), so
+    accuracy is pinned HERE instead."""
+
+    def test_approx_count_distinct_within_5pct(self, spark, sf_dir):
+        from fstore_sql_spark.queries import load
+
+        e = load(spark, sf_dir, "events")
+        exact, approx = (
+            e.agg(
+                F.count_distinct("user_id").alias("x"),
+                F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            )
+            .collect()[0][0:2]
+        )
+        assert abs(approx - exact) / exact < 0.05, (exact, approx)
+
+    def test_approx_percentile_within_tolerance(self, spark, sf_dir):
+        from fstore_sql_spark.queries import load
+
+        e = load(spark, sf_dir, "events")
+        row = e.agg(
+            F.percentile("value", F.lit(0.5)).alias("exact"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+        ).collect()[0]
+        # percentile_approx guarantees rank error <= n/accuracy; with
+        # accuracy=10k the value error on this distribution stays small.
+        assert abs(row["approx"] - row["exact"]) <= 0.05 * abs(row["exact"]), row
+
+
+class TestIvfRecall:
+    def test_ivf_topk_recall_vs_bruteforce(self, spark, sf_dir):
+        """IVF probes a subset of cells, so its top-k may miss true
+        neighbors; pin recall >= 0.6 at nprobe=4 so quantizer regressions
+        surface.  (Brute force is the oracle-checked ground truth.)"""
+        from fstore_sql_spark.queries import QUERIES
+
+        from fstore_sql_spark.operators.similarity import topk_bruteforce
+        from fstore_sql_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        # exact ground truth for the SAME query the IVF operator answers
+        # (vec_id=0, k=5)
+        bf = topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=5)
+        ivf = QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir)
+        bf_ids = {r["vec_id"] for r in bf.select("vec_id").collect()}
+        ivf_ids = {r["vec_id"] for r in ivf.select("vec_id").collect()}
+        assert bf_ids, "brute-force top-k returned nothing"
+        recall = len(bf_ids & ivf_ids) / len(bf_ids)
+        assert recall >= 0.6, recall
