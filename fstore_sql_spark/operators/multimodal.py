@@ -191,3 +191,78 @@ def multimodal_frame_grid(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.max("ts_ms").cast("long").alias("last_ts_ms"),
     )
+
+
+AUDIO_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("window_idx", LongType(), nullable=False),
+        StructField("start_ms", LongType(), nullable=False),
+        StructField("n_window_bytes", LongType(), nullable=False),
+        StructField("window_hash", StringType(), nullable=False),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, window_ms: int = 100) -> DataFrame:
+    """Audio windowing: slice each payload into fixed-duration windows
+    (the spectrogram / feature-frame prep step).  The byte mapping assumes
+    1 byte/ms (the synthetic fixture's rate); a real deployment computes
+    bytes-per-ms from the sample rate in the metadata and swaps the hash
+    for an FFT.  Unlike the frame GRID (pure plan expansion), this slices
+    real payload bytes Python-side — it exercises the Arrow binary-column
+    round trip through mapInPandas."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_WINDOWS_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(math.ceil(len(b) / window_ms)):
+                    chunk = b[i * window_ms : (i + 1) * window_ms]
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(i)
+                    out["start_ms"].append(i * window_ms)
+                    out["n_window_bytes"].append(len(chunk))
+                    out["window_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_WINDOWS_SCHEMA
+    )
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    SELECT doc_id AS media_id,
+           CAST(i AS BIGINT) AS window_idx,
+           CAST(i * 100 AS BIGINT) AS start_ms,
+           CAST(least(100, n_chars - i * 100) AS BIGINT) AS n_window_bytes,
+           md5(substr(text, CAST(i * 100 + 1 AS INT), 100)) AS window_hash
+    FROM (
+        SELECT doc_id, n_chars, text,
+               unnest(range(0, CAST(ceil(n_chars / 100.0) AS BIGINT))) AS i
+        FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """The audio-windowing path verified end-to-end: document text bytes
+    stand in for PCM payloads (ASCII ⇒ byte offsets == char offsets, so
+    substr is an exact oracle for the byte slices the Pandas UDF hashes)."""
+    media = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+        )
+    )
+    return audio_windows(media, window_ms=100)
