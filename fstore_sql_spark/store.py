@@ -631,14 +631,39 @@ class EventStore:
     # A3 get_events / A4 get_last_event (/root/reference/schema.sql:348-367)
     # ------------------------------------------------------------------ #
 
-    def get_events(self, decider_id: str, decider: str) -> DataFrame:
+    def get_events(
+        self, decider_id: str, decider: str, as_of: int | None = None
+    ) -> DataFrame:
         """Replay one entity stream in offset order — a pushdown-filtered
-        scan + sort, the index-scan analogue (SURVEY.md §3.2)."""
+        scan + sort, the index-scan analogue (SURVEY.md §3.2).
+
+        ``as_of`` replays the stream as it stood at that commit (see
+        ``events_as_of``) — rebuilding an aggregate against a historical
+        snapshot, e.g. to debug a decision the decider made last week."""
+        src = self.events() if as_of is None else self.events_as_of(as_of)
         return (
-            self.events()
+            src
             .filter((F.col("decider_id") == decider_id) & (F.col("decider") == decider))
             .orderBy("offset")
         )
+
+    def current_transaction_id(self) -> int:
+        """The commit counter after the latest append — the engine's XID8
+        analogue (SURVEY.md §7.6: a monotone snapshot marker)."""
+        return self.storage.read_manifest(_EVENTS).commit_id
+
+    def events_as_of(self, transaction_id: int) -> DataFrame:
+        """Snapshot (time-travel) read: the log exactly as it stood after
+        commit ``transaction_id``.  Appends are whole-batch commits by a
+        single committer, so ``transaction_id <= t`` is a CONSISTENT
+        prefix: no torn batches, per-stream chains intact.  The predicate
+        reaches the parquet scan (min/max row-group stats prune old
+        files), so a recent-snapshot read doesn't scan recent-only data
+        backwards — it prunes forward files instead.  This is what the
+        reference's XID8 column exists for (snapshot gap-detection,
+        /root/reference/schema.sql:50-52), generalized to full time
+        travel."""
+        return self.events().filter(F.col("transaction_id") <= int(transaction_id))
 
     def get_last_event(self, decider_id: str, decider: str) -> DataFrame:
         """Last event of a stream.  Faithful quirk: the reference body

@@ -193,3 +193,35 @@ def test_large_batch_offsets_contiguous(store, spark):
         F.col("offset") != F.col("decider_id").substr(2, 20).cast("long") + 1
     ).count()
     assert mismatched == 0
+
+
+def test_snapshot_reads_are_consistent_prefixes(store):
+    """events_as_of(t) returns the exact log prefix committed by t —
+    whole batches only, chains intact (engine time-travel; the reference's
+    XID8 snapshot marker generalized)."""
+    import uuid as _u
+
+    store.register_decider_event("d", "e", "x")
+    t0 = store.current_transaction_id()
+    first = str(_u.uuid4())
+    store.append_event("e", first, "d", "p1")
+    t1 = store.current_transaction_id()
+    store.append_batch(
+        [
+            {"event": "e", "event_id": str(_u.uuid4()), "decider": "d",
+             "decider_id": "p1", "previous_id": first},
+            {"event": "e", "event_id": str(_u.uuid4()), "decider": "d",
+             "decider_id": "p2"},
+        ]
+    )
+    t2 = store.current_transaction_id()
+
+    assert t0 < t1 < t2
+    assert store.events_as_of(t0).count() == 0
+    assert store.events_as_of(t1).count() == 1
+    assert store.events_as_of(t2).count() == 3
+    # as-of replay of one stream: only the first event existed at t1.
+    replay = store.get_events("p1", "d", as_of=t1).collect()
+    assert [r["event_id"] for r in replay] == [first]
+    # the batch is atomic in snapshot space: no t exposes half of it.
+    assert store.events_as_of(t2 - 1).count() == 1

@@ -92,3 +92,39 @@ def test_compaction_preserves_log(store):
     # appends continue on the new generation
     store.append_event("e", uid(), "d", "post-compact")
     assert store.get_events("post-compact", "d").count() == 1
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=60),
+    width=st.sampled_from([1, 3, 8, 1 << 16]),
+)
+def test_two_phase_pack_positions_equal_global_cumsum(spark, toks, width):
+    """pack_positions' distributed two-phase cumsum must be IDENTICAL to
+    the naive single-task global window for every token distribution and
+    bucket width — including widths that put everything in one bucket and
+    widths that give every row its own."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fstore_sql_spark.operators.sampling import pack_positions
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "id long, tok long"
+    )
+    got = {
+        r["id"]: r["start"]
+        for r in pack_positions(df, "id", F.col("tok"), bucket_width=width).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["start"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("start")
+        ).collect()
+    }
+    assert got == want
