@@ -2378,3 +2378,44 @@ def funnel_conversion(spark, sf_dir):
         F.count(F.when(clicked, 1)).alias("n_click_after_view"),
         F.count(F.when(purchased, 1)).alias("n_full_funnel"),
     )
+
+
+@query(
+    "range_frame_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        FROM events GROUP BY 1
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (ORDER BY day
+                RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS trailing_3d_revenue
+    FROM daily
+    """,
+)
+def range_frame_revenue(spark, sf_dir):
+    """RANGE-interval window frame: trailing-3-calendar-day revenue.
+    Unlike a ROWS frame (`daily_moving_average`), RANGE bounds are VALUE
+    based — a missing calendar day shrinks the window instead of silently
+    widening it to older rows.  The frame runs over the already-aggregated
+    daily table (≤ a few hundred rows after the first shuffle), so the
+    unpartitioned window is a non-issue; the decimal sum keeps the oracle
+    exact."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec("value")).cast("decimal(18,2)").alias("rev")
+    )
+    daily.createOrReplaceTempView("_daily_rev")
+    return daily.sparkSession.sql(
+        """
+        SELECT day,
+               CAST(rev AS DOUBLE) AS day_revenue,
+               CAST(SUM(rev) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS trailing_3d_revenue
+        FROM _daily_rev
+        """
+    )

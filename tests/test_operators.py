@@ -235,3 +235,54 @@ class TestIvfRecall:
         assert bf_ids, "brute-force top-k returned nothing"
         recall = len(bf_ids & ivf_ids) / len(bf_ids)
         assert recall >= 0.6, recall
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark):
+        """Runtime posture check: with a hot key on both join sides, AQE's
+        skew-join rewrite must split the oversized partition (the salting
+        operator is the manual fallback; AQE is the default path the
+        session config promises)."""
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            )
+        }
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+            )
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+            conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            # left: half the rows pile onto key 0; right: unique keys, so
+            # the join fans nothing out — the hot PARTITION is purely a
+            # left-side size problem, exactly what AQE splits.
+            # incompressible pads: shuffle sizes are post-compression, and
+            # a constant pad compresses to nothing, hiding the skew.
+            left = spark.range(0, 300_000).select(
+                F.when(F.col("id") % 2 == 0, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.concat(F.md5(F.col("id").cast("string")),
+                         F.md5((F.col("id") + 1).cast("string"))).alias("pad"),
+            )
+            right = spark.range(0, 300_000).select(
+                F.col("id").alias("k"), F.lit("y").alias("tag")
+            )
+            joined = left.join(right, "k")
+            # materialize THIS Dataset: its QueryExecution retains the
+            # adaptively re-planned final physical plan (count() would
+            # build and execute a different one).
+            assert len(joined.collect()) == 300_000
+            final_plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in final_plan
+            assert "skew=true" in final_plan, final_plan[:2000]
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
