@@ -83,6 +83,7 @@ class EventStore:
         self._commit_lock = threading.RLock()
         self._cache_log = cache_log
         self._events_cached: DataFrame | None = None
+        self._state_cached: dict[str, DataFrame] = {}
         self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
         self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
         self.storage.init_state(_VIEWS, VIEWS_SCHEMA)
@@ -118,10 +119,29 @@ class EventStore:
             self._events_cached = None
 
     def deciders(self) -> DataFrame:
-        return self.storage.read_state(_DECIDERS, DECIDERS_SCHEMA)
+        """Registry state, persisted between registrations: C3 validation
+        reads it on EVERY append, and the registry only changes on
+        register_decider_event — the textbook cache.  Same invalidation
+        discipline as the log cache (single committer; locks state is NOT
+        cached — delivery rewrites it constantly)."""
+        return self._cached_state(_DECIDERS, DECIDERS_SCHEMA)
 
     def views(self) -> DataFrame:
-        return self.storage.read_state(_VIEWS, VIEWS_SCHEMA)
+        return self._cached_state(_VIEWS, VIEWS_SCHEMA)
+
+    def _cached_state(self, table: str, schema) -> DataFrame:
+        if not self._cache_log:
+            return self.storage.read_state(table, schema)
+        if table not in self._state_cached:
+            self._state_cached[table] = self.storage.read_state(
+                table, schema
+            ).persist()
+        return self._state_cached[table]
+
+    def _invalidate_state_cache(self, table: str) -> None:
+        df = self._state_cached.pop(table, None)
+        if df is not None:
+            df.unpersist()
 
     def locks(self) -> DataFrame:
         """Reference-shaped ``locks`` rows (/root/reference/schema.sql:180-200).
@@ -214,6 +234,7 @@ class EventStore:
                 [(decider, event, int(event_version), description)], DECIDERS_SCHEMA
             )
             self.storage.write_state(_DECIDERS, existing.unionByName(row))
+            self._invalidate_state_cache(_DECIDERS)
             return row
 
     # ------------------------------------------------------------------ #
@@ -717,6 +738,7 @@ class EventStore:
             )
             merged = existing.filter(F.col("view") != view).unionByName(row)
             self.storage.write_state(_VIEWS, merged)
+            self._invalidate_state_cache(_VIEWS)
             self._t7_backfill(view, start_at, now)
             return row
 
@@ -945,6 +967,7 @@ class EventStore:
             self.storage.write_state(
                 _VIEWS, self.views().filter(F.col("view") != view)
             )
+            self._invalidate_state_cache(_VIEWS)
             state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
             self.storage.write_state(
                 _LOCKS, state.filter(F.col("view") != view)
