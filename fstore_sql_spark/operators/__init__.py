@@ -10,6 +10,8 @@ Modules register their driver-gate queries into
     multimodal  — binary media columns: schema + Arrow-batched UDF plumbing
     skew        — salted joins + two-phase top-k for hot-key mitigation
     sampling    — deterministic content-hash sampling / splits / mixing
+    stats       — profiling: equi-depth histograms, z-score outliers,
+                  exact-sum correlation, entropy, rollup reuse
 """
 
 from fstore_sql_spark.operators import (  # noqa: F401
@@ -19,5 +21,6 @@ from fstore_sql_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     skew,
+    stats,
     text,
 )

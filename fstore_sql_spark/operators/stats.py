@@ -1,0 +1,421 @@
+"""Distributed statistics operators — profiling, anomaly detection and
+distribution analysis over the shared testdata tables.
+
+Training-data curation is mostly *statistics at scale*: profile a column,
+find outliers, compare distributions between sources.  Everything here is
+expressed as two-phase aggregations (partial map-side combine → small
+reduce) so the plans hold at 100 TB, and every floating-point output is
+derived from EXACT decimal sums cast to double at the very end — the same
+IEEE operations on the same operands in Spark and DuckDB, so the driver's
+value-hash comparison stays deterministic (see queries.py conventions).
+
+Reference parity note: the reference engine exposes plain SQL over
+Postgres (/root/reference/schema.sql) — AVG/STDDEV/NTILE/window functions
+come with it for free; these operators re-express that statistical surface
+Spark-first, plus the scale-path forms (two-phase global rank instead of a
+one-task global window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.queries import QUERIES, load, query  # noqa: F401
+
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------- #
+# Equi-depth histogram: two-phase global NTILE
+# --------------------------------------------------------------------- #
+
+
+def global_ntile(
+    df: DataFrame, value_col: str, tiebreak_col: str, k: int, bucket_width: float
+) -> DataFrame:
+    """NTILE(k) over a global (value, tiebreak) order WITHOUT a one-task
+    global window.
+
+    Two-phase (same trick as ``sampling.deterministic_shuffle``):
+      1. order-preserving range buckets ``_b = floor(value / bucket_width)``
+         (monotone in the sort key, so bucket order == value order),
+      2. per-bucket ranks (parallel windows),
+      3. broadcast cumulative bucket counts → global rank, then the exact
+         NTILE split: with N rows the first N mod k tiles get one extra row.
+
+    The result is row-for-row identical to ``NTILE(k) OVER (ORDER BY
+    value, tiebreak)``, which is exactly what the oracle runs.
+    """
+    keyed = df.withColumn(
+        "_b", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    )
+    w = Window.partitionBy("_b").orderBy(value_col, tiebreak_col)
+    ranked = keyed.withColumn("_r", F.row_number().over(w))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    total = counts.agg(F.sum("_n").alias("_total"))
+    ranked = (
+        ranked.join(F.broadcast(offsets), "_b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rank", F.col("_off") + F.col("_r"))
+    )
+    # NTILE split: q = N div k, m = N mod k; tiles 1..m have q+1 rows.
+    # Integer `div` throughout — double `/` + cast truncates wrongly when
+    # the quotient is an exact integer one ulp below itself.
+    ranked = ranked.withColumn("_q", F.expr(f"_total div {k}")).withColumn(
+        "_m", F.col("_total") % k
+    )
+    big = F.col("_m") * (F.col("_q") + 1)  # rows covered by the fat tiles
+    tile = F.when(
+        F.col("_rank") <= big, F.expr("(_rank - 1) div (_q + 1)") + 1
+    ).otherwise(F.col("_m") + F.expr("(_rank - _m * (_q + 1) - 1) div _q") + 1)
+    return ranked.withColumn("bucket", tile.cast("int")).drop(
+        "_b", "_r", "_off", "_total", "_q", "_m", "_rank"
+    )
+
+
+@query(
+    "equi_depth_histogram",
+    """
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def equi_depth_histogram(spark, sf_dir):
+    """Equi-depth (10-quantile) histogram of order totals.  The oracle's
+    single global NTILE window is the semantics; the Spark plan is the
+    two-phase range-bucketed form that stays parallel at any scale."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tiled = global_ntile(o, "o_totalprice", "o_orderkey", k=10, bucket_width=10_000.0)
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Z-score anomaly detection
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "zscore_outlier_counts",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type, n_events,
+               sx / n_events AS mean_value,
+               sqrt(sxx / n_events - (sx / n_events) * (sx / n_events))
+                   AS stddev_value
+        FROM s
+    )
+    SELECT e.event_type, ANY_VALUE(m.n_events) AS n_events,
+           ANY_VALUE(m.mean_value) AS mean_value,
+           ANY_VALUE(m.stddev_value) AS stddev_value,
+           CAST(COUNT(*) FILTER (WHERE abs(e.value - m.mean_value)
+                                       > 3 * m.stddev_value) AS BIGINT)
+               AS n_outliers
+    FROM events e JOIN m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def zscore_outlier_counts(spark, sf_dir):
+    """Per-type 3-sigma outlier detection: one aggregate pass for the
+    moments (exact decimal sums → deterministic doubles), broadcast the
+    tiny per-type stats back over the fact, count |z| > 3.  Population
+    (not sample) variance, computed as E[x²]−E[x]² from the exact sums —
+    both engines run the identical IEEE expression."""
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", 6)).cast("double").alias("sx"),
+        F.sum(_dec("value", 6) * _dec("value", 6)).cast("double").alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        "n_events",
+        (F.col("sx") / F.col("n_events")).alias("mean_value"),
+        F.sqrt(
+            F.col("sxx") / F.col("n_events")
+            - (F.col("sx") / F.col("n_events")) * (F.col("sx") / F.col("n_events"))
+        ).alias("stddev_value"),
+    )
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.any_value("mean_value").alias("mean_value"),
+            F.any_value("stddev_value").alias("stddev_value"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean_value"))
+                    > 3 * F.col("stddev_value"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Pearson correlation from exact sums
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "corr_quantity_price",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n_items,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def corr_quantity_price(spark, sf_dir):
+    """Per-flag Pearson correlation of quantity vs extended price, computed
+    from exact decimal co-moments (the distributive form — one map-side
+    combinable aggregate; the builtin ``corr`` streams doubles in partition
+    order and is NOT cross-engine deterministic)."""
+    li = load(spark, sf_dir, "lineitem")
+    qd, pd_ = _dec("l_quantity"), _dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n_items", (num / den).alias("corr_qty_price"))
+
+
+# --------------------------------------------------------------------- #
+# Cross-source distribution comparison
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "source_vocab_overlap",
+    """
+    WITH v AS (
+        SELECT DISTINCT source, w.word
+        FROM documents, UNNEST(string_split(text, ' ')) AS w(word)
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_vocab_overlap(spark, sf_dir):
+    """Vocabulary Jaccard similarity between every pair of corpus sources —
+    the 'is this source just a re-crawl of that one?' detector.  The join
+    runs on the DISTINCT (source, word) set (orders of magnitude smaller
+    than the token stream), partitioned by word; per-source sizes broadcast
+    back.  Jaccard from exact bigint counts → deterministic doubles."""
+    d = load(spark, sf_dir, "documents")
+    v = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "lang_entropy_by_source",
+    """
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY 1)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(ROUND(
+                   -(CAST(c.cnt AS DOUBLE) / t.total)
+                     * log2(CAST(c.cnt AS DOUBLE) / t.total), 9)
+               AS DECIMAL(20,9))) AS DOUBLE) AS entropy_bits
+    FROM c JOIN t USING (source)
+    GROUP BY 1
+    """,
+)
+def lang_entropy_by_source(spark, sf_dir):
+    """Shannon entropy (bits) of each source's language distribution — the
+    diversity probe.  Each term −p·log2(p) comes from exact counts (one
+    deterministic double expression per (source, lang)), is rounded and
+    summed as DECIMAL so the cross-row summation is order-independent —
+    double summation order is the classic cross-engine hash breaker."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    term = F.round(-p * F.log2(p), 9).cast("decimal(20,9)")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum(term).cast("double").alias("entropy_bits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Partial-reaggregation rollup (hourly → daily)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "two_level_rollup_reuse",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev_h,
+               CAST(COUNT(*) AS BIGINT) AS n_h
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(date_trunc('day', hour) AS DATE) AS day,
+           CAST(SUM(rev_h) AS DOUBLE) AS day_revenue,
+           CAST(SUM(n_h) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM hourly GROUP BY 1
+    """,
+)
+def two_level_rollup_reuse(spark, sf_dir):
+    """Continuous-aggregate pattern (the hypertable rollup): the DAILY
+    series is re-aggregated from persisted HOURLY partials instead of the
+    raw events — decimal partial sums re-aggregate exactly, which is what
+    makes the materialized-rollup hierarchy sound.  At 100 TB the hourly
+    table is ~4 orders of magnitude smaller than the log; every coarser
+    resolution reads partials, never raw events."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(_dec("value")).cast("decimal(38,2)").alias("rev_h"),
+        F.count(F.lit(1)).alias("n_h"),
+    )
+    return hourly.groupBy(F.to_date("hour").alias("day")).agg(
+        F.sum("rev_h").cast("double").alias("day_revenue"),
+        F.sum("n_h").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Direction-change (trend reversal) counting
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "value_direction_changes",
+    """
+    WITH d0 AS (
+        SELECT user_id, ts, event_id,
+               sign(value - lag(value) OVER w) AS dir
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+        SELECT user_id, dir,
+               lag(dir) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_dir
+        FROM d0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE dir * prev_dir = -1) AS BIGINT)
+               AS n_reversals
+    FROM d GROUP BY 1
+    """,
+)
+def value_direction_changes(spark, sf_dir):
+    """Per-user trend reversals: sign of consecutive value deltas via LAG,
+    reversal = strict sign flip.  One shuffle (the per-user window); the
+    count aggregation reuses the window's partitioning, so no second
+    exchange."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn("dir", F.signum(F.col("value") - F.lag("value").over(w)))
+    d = d.withColumn("prev_dir", F.lag("dir").over(w))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("dir") * F.col("prev_dir") == -1, 1)).alias(
+            "n_reversals"
+        ),
+    )

@@ -83,6 +83,7 @@ class EventStore:
         self._commit_lock = threading.RLock()
         self._cache_log = cache_log
         self._events_cached: DataFrame | None = None
+        self._hwm_cached: DataFrame | None = None
         self._state_cached: dict[str, DataFrame] = {}
         self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
         self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
@@ -113,10 +114,29 @@ class EventStore:
             ).persist()
         return self._events_cached
 
+    def _hwm(self) -> DataFrame:
+        """Per-partition high-watermark (max offset + final flag of the last
+        event), derived from the log.  The delivery loop reads it on every
+        ``stream_events``/``ack`` call but it only changes on append, so it
+        shares the log cache's lifetime: one shuffle per log generation
+        instead of one per API call."""
+        hwm = self.events().groupBy("decider_id").agg(
+            F.max("offset").alias("offset"),
+            F.max_by("final", "offset").alias("offset_final"),
+        )
+        if not self._cache_log:
+            return hwm
+        if self._hwm_cached is None:
+            self._hwm_cached = hwm.persist()
+        return self._hwm_cached
+
     def _invalidate_log_cache(self) -> None:
         if self._events_cached is not None:
             self._events_cached.unpersist()
             self._events_cached = None
+        if self._hwm_cached is not None:
+            self._hwm_cached.unpersist()
+            self._hwm_cached = None
 
     def deciders(self) -> DataFrame:
         """Registry state, persisted between registrations: C3 validation
@@ -155,15 +175,8 @@ class EventStore:
         state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
         # Per-partition high-watermark: max offset + final flag of last event.
         # max_by == DISTINCT ON (decider_id) ... ORDER BY offset DESC
-        # (/root/reference/schema.sql:290-294).
-        hwm = (
-            self.events()
-            .groupBy("decider_id")
-            .agg(
-                F.max("offset").alias("offset"),
-                F.max_by("final", "offset").alias("offset_final"),
-            )
-        )
+        # (/root/reference/schema.sql:290-294).  Cached per log generation.
+        hwm = self._hwm()
         return state.join(hwm, "decider_id", "inner").select(
             "view",
             "decider_id",
@@ -749,7 +762,7 @@ class EventStore:
         partition max offset)`` — i.e. start from event-time position
         ``start_at``, or mark fully consumed if nothing is newer."""
         events = self.events()
-        per_part = events.groupBy("decider_id").agg(F.max("offset").alias("max_offset"))
+        per_part = self._hwm().select("decider_id", F.col("offset").alias("max_offset"))
         first_after = (
             events.filter(F.col("created_at") >= F.lit(start_at))
             .groupBy("decider_id")
