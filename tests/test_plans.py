@@ -304,3 +304,43 @@ class TestBehavioralAnalyticsPlans:
     def test_doc_chunking_is_scan_only(self, spark):
         # sliding-window chunking expands array-side: zero exchanges.
         assert P.exchange_count(q(spark, "doc_chunks_sliding")) == 0
+
+
+class TestRuntimeBloomFilter:
+    """Catalyst's runtime bloom-filter injection (the dynamic semi-join
+    reduction a 100 TB star join needs): with a selective dimension filter
+    and a shuffle join, the fact scan must gain a
+    ``might_contain(bloom_filter_agg(...))`` pre-filter, cutting shuffle
+    input to ~selectivity × |fact|.  Enabled by default
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``); the size
+    thresholds are what gate it locally — at sf0.001 the fact side is far
+    below the 10 GB application-side threshold, so this test lowers the
+    threshold to simulate at-scale sizes.  The assertion is threshold-
+    independent plan structure, valid at any data size."""
+
+    def test_bloom_filter_injected_on_shuffle_join(self, spark):
+        from pyspark.sql import functions as F
+
+        broadcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        thresh_key = (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        thresh_before = spark.conf.get(thresh_key)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(thresh_key, "0")
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            part = spark.read.parquet(f"{SF}/part.parquet").filter(
+                F.col("p_type").startswith("PROMO")
+            )
+            df = (
+                li.join(part, li.l_partkey == part.p_partkey)
+                .groupBy("p_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan, plan[:2000]
+            assert "might_contain" in plan, plan[:2000]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcast_before)
+            spark.conf.set(thresh_key, thresh_before)
