@@ -201,15 +201,18 @@ class ParquetStore:
         """Write a complete new snapshot, then flip the pointer.
 
         State tables (views/locks/deciders registries) are small relative to
-        the log — ``coalesce(1)`` keeps each snapshot a single file so the
-        next read is one task instead of one per upstream shuffle partition.
-        At true cluster scale a locks table with millions of partitions is
-        still ~100 MB — one file remains the right layout; revisit only if
-        state outgrows a single writer task."""
+        the log — one file per snapshot keeps the next read a single task
+        instead of one per upstream shuffle partition.  ``repartition(1)``
+        (not ``coalesce``): coalesce would collapse the upstream join/agg
+        stage itself to one task, serializing the backfill computation;
+        repartition inserts an exchange so only the already-small OUTPUT
+        funnels through the writer.  At true cluster scale a locks table
+        with millions of partitions is still ~100 MB — one file remains the
+        right layout."""
         with self._lock:
             version = self.state_version(table) + 1
             target = os.path.join(self._state_dir(table), f"v{version:08d}")
-            df.coalesce(1).write.mode("overwrite").parquet(target)
+            df.repartition(1).write.mode("overwrite").parquet(target)
             _atomic_write(self._latest_path(table), str(version))
             self._gc_state(table, keep=4)
             return version
