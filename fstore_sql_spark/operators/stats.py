@@ -419,3 +419,95 @@ def value_direction_changes(spark, sf_dir):
             "n_reversals"
         ),
     )
+
+
+# --------------------------------------------------------------------- #
+# Robust dispersion: median absolute deviation
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "mad_quantity",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           ANY_VALUE(m.median_qty) AS median_qty,
+           CAST(quantile_cont(abs(l.l_quantity - m.median_qty), 0.5) AS DOUBLE)
+               AS mad_qty
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def mad_quantity(spark, sf_dir):
+    """Median absolute deviation — the robust sigma for outlier gates on
+    heavy-tailed columns (where `zscore_outlier_counts`'s mean/stddev get
+    dragged by the tail).  Two aggregate passes with a broadcast of the
+    tiny per-group medians between them; deviations of integral values
+    interpolate to exact binary fractions, so cross-engine hashes agree."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("median_qty").alias("median_qty"),
+            F.percentile(
+                F.abs(F.col("l_quantity") - F.col("median_qty")), F.lit(0.5)
+            ).alias("mad_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Array higher-order functions over embeddings
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(ROUND(l2, 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / COUNT(*) AS avg_l2_norm,
+           MIN(l2) AS min_l2_norm,
+           MAX(l2) AS max_l2_norm
+    FROM n GROUP BY 1
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label embedding L2-norm profile — the 'are these vectors
+    normalized?' sanity probe every similarity pipeline needs before
+    trusting cosine scores.  The norm is a zero-shuffle higher-order fold
+    (`transform` + `aggregate`, JVM-side, no UDF); both engines fold the
+    array sequentially so the double sums agree bit-for-bit; the cross-ROW
+    average goes through the round-to-decimal pattern (row order is NOT
+    deterministic, decimal addition is order-free)."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("label", F.sqrt(sq_sum).alias("l2"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.round("l2", 9).cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_l2_norm"),
+        F.min("l2").alias("min_l2_norm"),
+        F.max("l2").alias("max_l2_norm"),
+    )

@@ -2419,3 +2419,57 @@ def range_frame_revenue(spark, sf_dir):
         FROM _daily_rev
         """
     )
+
+
+@query(
+    "unpivot_event_metrics",
+    """
+    WITH wide AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase
+        FROM events GROUP BY 1
+    )
+    SELECT day, metric, n
+    FROM wide UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
+    """,
+)
+def unpivot_event_metrics(spark, sf_dir):
+    """UNPIVOT (wide→long melt) — the inverse of `pivot_daily_event_counts`.
+    The wide daily table is built with conditional aggregates (one shuffle);
+    the melt itself is a zero-shuffle row explosion (3 output rows per
+    input row), so the long form costs nothing extra at scale."""
+    e = load(spark, sf_dir, "events")
+    wide = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    )
+    return wide.unpivot(
+        ["day"], ["n_click", "n_view", "n_purchase"], "metric", "n"
+    )
+
+
+@query(
+    "dow_quarter_rollup",
+    """
+    SELECT CAST(quarter(ts) AS INT) AS qtr,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def dow_quarter_rollup(spark, sf_dir):
+    """Calendar-part rollup: quarter × day-of-week seasonality grid.
+    Convention trap pinned here: Spark's ``dayofweek`` is 1=Sunday..7,
+    DuckDB's is 0=Sunday..6 — the oracle shifts by +1 to agree."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.quarter("ts").alias("qtr"), F.dayofweek("ts").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("revenue"),
+    )
