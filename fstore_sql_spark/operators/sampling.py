@@ -319,3 +319,33 @@ def packed_bin_stats(spark, sf_dir):
             ).cast("long").alias("n_split_docs"),
         )
     )
+
+
+@query(
+    "weighted_reservoir_sample",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (ORDER BY
+                   -ln({_hash_frac_sql('doc_id')} + 1e-12) / n_chars,
+                   doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def weighted_reservoir_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    key = -ln(u)/w with u a content-hash uniform — bigger documents are
+    proportionally likelier, yet the draw is deterministic across runs,
+    engines and partitionings (the property `df.sample` lacks).  Top-k by
+    key is a TakeOrderedAndProject (per-partition heaps + driver merge of
+    k·P rows), never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    key = -F.log(_hash_frac("doc_id") + F.lit(1e-12)) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(25)
+        .drop("_k")
+    )

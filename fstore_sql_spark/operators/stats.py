@@ -511,3 +511,110 @@ def embedding_norm_stats(spark, sf_dir):
         F.min("l2").alias("min_l2_norm"),
         F.max("l2").alias("max_l2_norm"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Grouped linear regression from exact co-moments
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "regr_price_on_quantity",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n_items,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+    FROM s
+    """,
+)
+def regr_price_on_quantity(spark, sf_dir):
+    """Per-group least-squares fit (REGR_SLOPE / REGR_INTERCEPT) from the
+    same exact decimal co-moments as `corr_quantity_price` — one map-side
+    combinable aggregate, deterministic doubles at the end.  The builtins
+    stream doubles in partition order; this form is engine-order-free."""
+    li = load(spark, sf_dir, "lineitem")
+    qd, pd_ = _dec("l_quantity"), _dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n_items",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Time-weighted average (hypertable analytics)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "time_weighted_value",
+    """
+    WITH d AS (
+        SELECT user_id,
+               -- width 24 forces int128 multiplication in DuckDB (the
+               -- 18-digit path overflows int64); the VALUE is identical
+               CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6)) AS v,
+               CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) - epoch_us(ts)
+                    AS DECIMAL(14,0)) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,
+           CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE)
+               AS twa_value
+    FROM d WHERE dt_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def time_weighted_value(spark, sf_dir):
+    """Time-weighted average — the irregular-time-series mean (plain AVG
+    over-weights bursts; TWA weights each reading by how long it was
+    current).  Interval lengths come from LEAD over the per-user order;
+    value × duration products and their sums stay in exact decimal
+    (microsecond durations as DECIMAL(14,0) keep the product inside
+    38 digits), so the single final double division is deterministic.
+    One shuffle: the window and the aggregation share the user_id hash
+    partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        _dec("value", 6).alias("v"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .cast("decimal(14,0)")
+        .alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count("dt_us").alias("n_intervals"),
+        (
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double")
+        ).alias("twa_value"),
+    )

@@ -2473,3 +2473,58 @@ def dow_quarter_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_dec("value")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "peak_concurrency_daily",
+    """
+    WITH b AS (
+        SELECT ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 300 SECOND AS t, -1 AS delta FROM events
+    ),
+    r AS (
+        SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+               SUM(delta) OVER (ORDER BY t, delta) AS live
+        FROM b
+    )
+    SELECT day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency
+    FROM r GROUP BY 1
+    """,
+)
+def peak_concurrency_daily(spark, sf_dir):
+    """Interval sweep-line: peak number of simultaneously-live 5-minute
+    event windows per day.  The oracle's single global running sum is the
+    semantics; the Spark plan is the two-phase carry form that stays
+    parallel — per-day local running sums (parallel windows) plus a
+    broadcast cumulative carry of previous days' net deltas.  Tie handling
+    is frame-exact on both sides: the default RANGE frame sums ALL peers
+    at an equal (t, delta) sort key, so equal-timestamp batches resolve
+    identically; ends (-1) sort before starts (+1), closing intervals
+    before opening new ones at the same instant."""
+    e = load(spark, sf_dir, "events")
+    starts = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionByName(ends).withColumn("day", F.to_date("t"))
+    day_w = Window.partitionBy("day").orderBy("t", "delta")
+    local = b.withColumn("local_live", F.sum("delta").over(day_w))
+    day_totals = b.groupBy("day").agg(F.sum("delta").alias("net"))
+    carry_w = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_totals.select(
+        "day", F.coalesce(F.sum("net").over(carry_w), F.lit(0)).alias("carry")
+    )
+    return (
+        local.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("local_live") + F.col("carry"))
+            .cast("long")
+            .alias("peak_concurrency")
+        )
+    )
