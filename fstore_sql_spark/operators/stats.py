@@ -263,23 +263,41 @@ def corr_quantity_price(spark, sf_dir):
 )
 def source_vocab_overlap(spark, sf_dir):
     """Vocabulary Jaccard similarity between every pair of corpus sources —
-    the 'is this source just a re-crawl of that one?' detector.  The join
-    runs on the DISTINCT (source, word) set (orders of magnitude smaller
-    than the token stream), partitioned by word; per-source sizes broadcast
-    back.  Jaccard from exact bigint counts → deterministic doubles."""
+    the 'is this source just a re-crawl of that one?' detector.
+
+    The oracle's DISTINCT + self-join is the semantics; the Spark plan
+    shuffles the token stream ONCE: group by word collecting the sorted
+    source-set (dedup happens inside collect_set), then intersections fall
+    out of exploding each word's source-pair combinations and sizes out of
+    exploding the sets — both downstream aggregates run on the word-level
+    aggregate, never re-deriving the token stream.  A word's source-set is
+    bounded by |sources| (~20), so the pair expansion is ≤ C(20,2) per
+    word.  Jaccard from exact bigint counts → deterministic doubles."""
     d = load(spark, sf_dir, "documents")
-    v = d.select(
-        "source", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
-    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a, b = v.alias("a"), v.alias("b")
-    inter = (
-        a.join(b, "word")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    tokens = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    by_word = tokens.groupBy("word").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    # all ordered pairs (a < b holds because srcs is sorted ascending)
+    pairs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda a, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
         )
+    )
+    inter = (
+        by_word.select(F.explode(pairs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = (
+        by_word.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")))
     sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")))
@@ -324,16 +342,16 @@ def lang_entropy_by_source(spark, sf_dir):
     double summation order is the classic cross-engine hash breaker."""
     d = load(spark, sf_dir, "documents")
     c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy("source").agg(F.sum("cnt").alias("total"))
+    # per-source total via a window over the tiny (source, lang) aggregate
+    # — no second derivation of c, no join (the oracle's CTE+join form is
+    # the same relation).
+    total_w = Window.partitionBy("source")
+    c = c.withColumn("total", F.sum("cnt").over(total_w))
     p = F.col("cnt").cast("double") / F.col("total")
     term = F.round(-p * F.log2(p), 9).cast("decimal(20,9)")
-    return (
-        c.join(F.broadcast(t), "source")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_langs"),
-            F.sum(term).cast("double").alias("entropy_bits"),
-        )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(term).cast("double").alias("entropy_bits"),
     )
 
 

@@ -344,3 +344,44 @@ class TestRuntimeBloomFilter:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcast_before)
             spark.conf.set(thresh_key, thresh_before)
+
+
+class TestStatsOperatorPlans:
+    """Scale posture of the stats/profiling operators."""
+
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("corr_quantity_price", 1),      # one combinable co-moment agg
+            ("regr_price_on_quantity", 1),
+            ("embedding_norm_stats", 1),     # fold is zero-shuffle, one agg
+            ("unpivot_event_metrics", 1),    # melt adds no exchange
+            ("dow_quarter_rollup", 1),
+            ("value_direction_changes", 1),  # window + agg share user_id
+            ("time_weighted_value", 1),
+            ("two_level_rollup_reuse", 2),   # hourly partials + daily reagg
+            ("lang_entropy_by_source", 2),   # agg + tiny source window
+            ("zscore_outlier_counts", 2),    # moments agg + count-back agg
+            ("mad_quantity", 2),             # median agg + deviation agg
+            ("peak_concurrency_daily", 3),   # day windows + carry + max agg
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_weighted_reservoir_is_topk(self, spark):
+        # A-ES top-k must plan as TakeOrderedAndProject, not a global sort.
+        df = q(spark, "weighted_reservoir_sample")
+        assert P.has_take_ordered(df)
+        assert P.shuffle_exchange_count(df) == 0
+
+    def test_zscore_broadcasts_stats_back(self, spark):
+        # the tiny per-type moments join back via broadcast, never SMJ.
+        df = q(spark, "zscore_outlier_counts")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_vocab_overlap_no_sort_merge(self, spark):
+        # intersections come from the word-level set aggregate, so no
+        # token-stream self sort-merge-join survives in the plan.
+        assert P.sort_merge_join_count(q(spark, "source_vocab_overlap")) == 0
