@@ -56,6 +56,14 @@ HEADLINE = [
     "cohort_retention",
     "funnel_conversion",
     "doc_chunks_sliding",
+    "equi_depth_histogram",
+    "zscore_outlier_counts",
+    "source_vocab_overlap",
+    "two_level_rollup_reuse",
+    "mad_quantity",
+    "time_weighted_value",
+    "peak_concurrency_daily",
+    "weighted_reservoir_sample",
 ]
 
 
