@@ -2528,3 +2528,81 @@ def peak_concurrency_daily(spark, sf_dir):
             .alias("peak_concurrency")
         )
     )
+
+
+@query(
+    "trailing_7d_active_users",
+    """
+    WITH act AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM act)
+    SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def trailing_7d_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that window frames cannot express (distinct aggregates
+    are not frame-able in either engine).  Re-expressed as a band join of
+    the tiny day spine (broadcast) against the per-day distinct activity
+    set: |users|·7 intermediate rows, NOT |events|·7 — the distinct
+    collapses first.  At 100 TB the activity set is the small derived
+    table; the raw log is touched once."""
+    e = load(spark, sf_dir, "events")
+    act = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = F.broadcast(act.select(F.col("day").alias("d")).distinct())
+    return (
+        act.join(
+            days,
+            (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+@query(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS nation_rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(nation_rev AS DOUBLE) AS revenue,
+           CAST(nation_rev AS DOUBLE)
+             / CAST(SUM(nation_rev) OVER () AS DOUBLE) AS revenue_share
+    FROM rev
+    """,
+)
+def revenue_share_by_nation(spark, sf_dir):
+    """Percent-of-total (RATIO_TO_REPORT): each nation's share of global
+    order revenue.  The unpartitioned window runs over the 25-row
+    aggregate, not the fact table; dimension joins broadcast; the share
+    division happens on exact decimal totals cast to double."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("nation_rev"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("nation_rev").cast("double").alias("revenue"),
+        (
+            F.col("nation_rev").cast("double")
+            / F.sum("nation_rev").over(w).cast("double")
+        ).alias("revenue_share"),
+    )
