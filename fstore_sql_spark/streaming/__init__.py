@@ -2,6 +2,7 @@
 event-time windowed aggregation (the Spark-native extension, SURVEY.md §7.7).
 """
 
+from fstore_sql_spark.streaming.ingest import IngestionPipeline
 from fstore_sql_spark.streaming.projections import StreamProjection
 from fstore_sql_spark.streaming.push import PushDelivery
 from fstore_sql_spark.streaming.stateful import chain_monitor
@@ -12,6 +13,7 @@ from fstore_sql_spark.streaming.windows import (
 )
 
 __all__ = [
+    "IngestionPipeline",
     "PushDelivery",
     "StreamProjection",
     "streaming_events",

@@ -208,3 +208,33 @@ def test_ack_events_empty_is_noop(store):
     store.register_view("ve", start_at=now_utc() - timedelta(days=1))
     assert store.ack_events("ve", []).collect() == []
     assert len(store.stream_events("ve", limit=1).collect()) == 1
+
+
+def test_three_views_full_drain_at_least_once(store):
+    """The reference's concurrent-consumer load shape
+    (/root/reference/tests/performance/load-tests/
+    test_concurrent_consumer_performance.sql:36-68): N events over
+    several partitions, 3 registered views, each independently drained
+    claim→deliver→ack.  Every view must see EVERY event exactly once
+    (single consumer per view, acks commit), with per-partition offset
+    order preserved within each view's delivery sequence."""
+    seed(store, n_partitions=4, events_per=3)
+    past = now_utc() - timedelta(hours=1)
+    views = ["va", "vb", "vc"]
+    for v in views:
+        store.register_view(v, start_at=past)
+    for v in views:
+        seen: list[tuple[str, int]] = []
+        while True:
+            rows = store.stream_events(v, limit=10).collect()
+            if not rows:
+                break
+            store.ack_events(v, [(r["decider_id"], r["offset"]) for r in rows])
+            seen.extend((r["decider_id"], r["offset"]) for r in rows)
+        assert len(seen) == 12, f"{v}: {len(seen)}"
+        assert len(set(seen)) == 12  # no duplicate deliveries after ack
+        per_part: dict[str, list[int]] = {}
+        for part, off in seen:
+            per_part.setdefault(part, []).append(off)
+        for part, offs in per_part.items():
+            assert offs == sorted(offs), (part, offs)

@@ -226,3 +226,53 @@ def test_streaming_causation_join(store, spark, tmp_path):
     # batch form of the same expression agrees
     batch = causation_join(store.events()).select("event_id", "previous_id").collect()
     assert {(r["event_id"], r["previous_id"]) for r in batch} == got
+
+
+def test_ingestion_pipeline_drains_drop_dir(store, spark, tmp_path):
+    """File-drop ingestion: JSONL batches land in a watched directory and
+    flow through the FULL validated append path (offsets assigned, chains
+    checked).  A second availableNow run over the same checkpoint must be
+    a no-op (the file source's commit log skips consumed files)."""
+    import json as _json
+
+    from fstore_sql_spark.streaming.ingest import IngestionPipeline
+
+    store.register_decider_event("d", "e", "x")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    e1, e2, e3 = uid(), uid(), uid()
+    (drop / "batch1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"event": "e", "event_id": e1, "decider": "d",
+                 "decider_id": "p0", "data": "{}", "seq": 0},
+                {"event": "e", "event_id": e2, "decider": "d",
+                 "decider_id": "p0", "data": "{}", "previous_id": e1,
+                 "seq": 1},
+            ]
+        )
+    )
+    (drop / "batch2.jsonl").write_text(
+        _json.dumps(
+            {"event": "e", "event_id": e3, "decider": "d",
+             "decider_id": "p1", "data": "{}", "seq": 0}
+        )
+    )
+
+    pipe = IngestionPipeline(store, str(drop), str(tmp_path / "ckpt"))
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    pipe.stop()
+
+    ev = store.events().orderBy("offset").collect()
+    assert [r["event_id"] for r in ev if r["decider_id"] == "p0"] == [e1, e2]
+    assert len(ev) == 3
+    offsets = [r["offset"] for r in ev]
+    assert offsets == sorted(offsets) and len(set(offsets)) == 3
+
+    # re-run over the same checkpoint: nothing new to consume
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    pipe.stop()
+    assert store.events().count() == 3
