@@ -2606,3 +2606,70 @@ def revenue_share_by_nation(spark, sf_dir):
             / F.sum("nation_rev").over(w).cast("double")
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "grouping_sets_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+               AS grp_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_sales(spark, sf_dir):
+    """Explicit GROUPING SETS (neither ROLLUP nor CUBE can express this
+    mix: two one-dimensional slices + grand total, no cross product) with
+    GROUPING() disambiguating produced NULLs from data NULLs.  One shuffle
+    — Spark expands the sets map-side and aggregates once."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                   AS grp_id,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "locf_value_fill",
+    """
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM base
+    """,
+)
+def locf_value_fill(spark, sf_dir):
+    """LOCF (last-observation-carried-forward) gap fill — the sensor
+    time-series repair: error readings become NULL and inherit the most
+    recent good value via an IGNORE NULLS running window.  One shuffle
+    (per-user window); rows before any observation stay NULL, exactly as
+    both engines define the empty frame."""
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
