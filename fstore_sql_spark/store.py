@@ -986,3 +986,28 @@ class EventStore:
                 _LOCKS, state.filter(F.col("view") != view)
             )
             return deleted
+
+    # ------------------------------------------------------------------ #
+    # R1-R4 immutability rules (/root/reference/schema.sql:58-72)
+    # ------------------------------------------------------------------ #
+
+    def delete_events(self, *_args, **_kwargs) -> int:
+        """R3 ``ignore_delete_events``: DELETE on the event log is a
+        SILENT no-op (``DO INSTEAD NOTHING``), not an error — the log is
+        immutable.  Returns 0 (rows affected), matching what a Postgres
+        client observes through the rule."""
+        return 0
+
+    def update_events(self, *_args, **_kwargs) -> int:
+        """R4 ``ignore_update_events``: UPDATE on events — silent no-op."""
+        return 0
+
+    def delete_decider_events(self, *_args, **_kwargs) -> int:
+        """R1 ``ignore_delete_decider_events``: DELETE on the registry —
+        silent no-op (registrations are permanent)."""
+        return 0
+
+    def update_decider_events(self, *_args, **_kwargs) -> int:
+        """R2 ``ignore_update_decider_events``: UPDATE on the registry —
+        silent no-op."""
+        return 0

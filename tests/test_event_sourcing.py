@@ -225,3 +225,19 @@ def test_snapshot_reads_are_consistent_prefixes(store):
     assert [r["event_id"] for r in replay] == [first]
     # the batch is atomic in snapshot space: no t exposes half of it.
     assert store.events_as_of(t2 - 1).count() == 1
+
+
+def test_r1_r4_mutations_silently_ignored(store):
+    """R1-R4 (/root/reference/schema.sql:58-72): DELETE/UPDATE against
+    events and deciders are silent no-ops — zero rows affected, no error,
+    state unchanged."""
+    store.register_decider_event("d", "e", "x")
+    eid = uid()
+    store.append_event("e", eid, "d", "p1")
+    assert store.delete_events() == 0
+    assert store.update_events(decider_id="p1") == 0
+    assert store.delete_decider_events("d") == 0
+    assert store.update_decider_events("d", description="y") == 0
+    assert store.events().count() == 1
+    assert store.deciders().count() == 1
+    assert store.deciders().first()["description"] == "x"

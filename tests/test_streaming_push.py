@@ -276,3 +276,32 @@ def test_ingestion_pipeline_drains_drop_dir(store, spark, tmp_path):
     q.awaitTermination(120)
     pipe.stop()
     assert store.events().count() == 3
+
+
+def test_ingestion_pipeline_routes_poison_batch(store, spark, tmp_path):
+    """A batch that fails validation (unregistered event type) goes to the
+    on_error dead-letter callback; the stream completes and the store
+    stays clean."""
+    import json as _json
+
+    from fstore_sql_spark.streaming.ingest import IngestionPipeline
+
+    store.register_decider_event("d", "e", "x")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "bad.jsonl").write_text(
+        _json.dumps(
+            {"event": "NOT_REGISTERED", "event_id": uid(), "decider": "d",
+             "decider_id": "p0", "seq": 0}
+        )
+    )
+    dead: list[str] = []
+    pipe = IngestionPipeline(
+        store, str(drop), str(tmp_path / "ckpt"),
+        on_error=lambda exc, df: dead.append(type(exc).__name__),
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    pipe.stop()
+    assert dead == ["UnregisteredEventError"]
+    assert store.events().count() == 0
