@@ -69,3 +69,56 @@ def user_longest_gap(spark, sf_dir):
     return longest_gap(
         load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     )
+
+
+EWMA_SCHEMA = "user_id long, n_events long, ewma_value double"
+EWMA_ALPHA = 0.2
+
+
+def ewma_last(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value``, seeded
+    with the first observation: ewma₁ = x₁, ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁.
+
+    The recurrence is inherently sequential per group — the textbook case
+    for the Arrow grouped-map tier.  The fold performs the IDENTICAL IEEE
+    operation sequence as the oracle's ``list_reduce`` (same literals, same
+    order), so even this floating-point recursion hash-matches across
+    engines."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        acc = float(vals[0])
+        for x in vals[1:]:
+            acc = alpha * float(x) + (1.0 - alpha) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [int(len(vals))],
+                "ewma_value": [acc],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(per_group, EWMA_SCHEMA)
+    )
+
+
+@query(
+    "user_ewma_value",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def user_ewma_value(spark, sf_dir):
+    """Sequential EWMA per user — custom grouped-map operator #2, gated by
+    an exact fold oracle (list_reduce seeds with the first element, exactly
+    like the Python fold)."""
+    return ewma_last(load(spark, sf_dir, "events"))
