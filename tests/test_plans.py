@@ -385,3 +385,23 @@ class TestStatsOperatorPlans:
         # intersections come from the word-level set aggregate, so no
         # token-stream self sort-merge-join survives in the plan.
         assert P.sort_merge_join_count(q(spark, "source_vocab_overlap")) == 0
+
+
+class TestAnalyticsSurfacePlans:
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("grouping_sets_sales", 1),       # expand + one aggregate
+            ("locf_value_fill", 1),           # per-user running window
+            ("revenue_share_by_nation", 2),   # agg + 25-row window
+            # distinct + band join + distinct-agg (activity set, not raw log)
+            ("trailing_7d_active_users", 4),
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_trailing_dau_broadcasts_day_spine(self, spark):
+        df = q(spark, "trailing_7d_active_users")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
