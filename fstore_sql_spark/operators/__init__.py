@@ -16,6 +16,7 @@ Modules register their driver-gate queries into
 
 from fstore_sql_spark.operators import (  # noqa: F401
     dedup,
+    graph,
     grouped,
     multimodal,
     sampling,
