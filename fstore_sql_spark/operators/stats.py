@@ -636,3 +636,56 @@ def time_weighted_value(spark, sf_dir):
             / F.sum("dt_us").cast("double")
         ).alias("twa_value"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Table profiling (data-quality summary, one row per column)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "profile_documents_columns",
+    """
+    SELECT 'doc_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT), CAST(COUNT(text) AS BIGINT),
+           CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+    """,
+)
+def profile_documents_columns(spark, sf_dir):
+    """Column profile (the ANALYZE/data-quality summary): row count,
+    non-null count and exact distinct count per column, as a long-form
+    table.  The Spark plan computes ALL columns' statistics in a single
+    expand-based aggregate pass (one scan), then melts — the oracle's
+    4-scan UNION ALL states the semantics.  For 100 TB profiling you
+    would swap n_distinct to approx_count_distinct; the exact form here
+    is what makes the oracle gate exact."""
+    d = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "text"]
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*per_col)).alias("p")).select(
+        "p.column_name", "p.n_rows", "p.n_nonnull", "p.n_distinct"
+    )
