@@ -64,6 +64,8 @@ HEADLINE = [
     "time_weighted_value",
     "peak_concurrency_daily",
     "weighted_reservoir_sample",
+    "trailing_7d_active_users",
+    "profile_documents_columns",
 ]
 
 
