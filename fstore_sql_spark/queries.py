@@ -2673,3 +2673,87 @@ def locf_value_fill(spark, sf_dir):
         "event_id",
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "user_recent_types_digest",
+    """
+    SELECT user_id,
+           array_to_string(
+               list(event_type ORDER BY ts DESC, event_id DESC)[1:3],
+               '>') AS recent_types
+    FROM events GROUP BY 1
+    """,
+)
+def user_recent_types_digest(spark, sf_dir):
+    """Per-user digest of the 3 most recent event types, newest first —
+    the ordered-array-slice feature builder (recommendation/feature-store
+    shape).  Spark has no ORDER BY inside collect_list, so the order is
+    carried in the collected structs and imposed afterwards with
+    sort_array — still one shuffle, and the per-group sort work is
+    identical.  The digest leaves as a plain string, so hashing is
+    engine-stable."""
+    e = load(spark, sf_dir, "events")
+    collected = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_id", "event_type")).alias("evs")
+    )
+    # sort desc by (ts, event_id): sort_array asc on negated keys is not
+    # possible for timestamps — sort asc then reverse (total order, so
+    # reverse(asc) == desc).
+    ordered = F.reverse(F.sort_array("evs"))
+    return collected.select(
+        "user_id",
+        F.array_join(
+            F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, 3), ">"
+        ).alias("recent_types"),
+    )
+
+
+@query(
+    "lang_source_mutual_info",
+    """
+    WITH j AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c) AS n FROM j),
+    ml AS (SELECT lang, SUM(c) AS cl FROM j GROUP BY 1),
+    ms AS (SELECT source, SUM(c) AS cs FROM j GROUP BY 1)
+    SELECT CAST(SUM(CAST(ROUND(
+               (CAST(j.c AS DOUBLE) / tot.n)
+                 * log2((CAST(j.c AS DOUBLE) * tot.n)
+                        / (CAST(ml.cl AS DOUBLE) * ms.cs)), 12)
+               AS DECIMAL(20,12))) AS DOUBLE) AS mutual_info_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM j
+    JOIN ml USING (lang)
+    JOIN ms USING (source)
+    CROSS JOIN tot
+    """,
+)
+def lang_source_mutual_info(spark, sf_dir):
+    """Mutual information I(lang; source) in bits — 'does source predict
+    language?', the association probe between two categorical columns.
+    All probabilities come from one (lang, source) contingency aggregate;
+    marginals are windows over that tiny table (no re-scan); each cell's
+    term is rounded to decimal before the cross-row sum (order-free), the
+    same stabilization as the entropy operator."""
+    d = load(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    j = (
+        j.withColumn("n", F.sum("c").over(Window.partitionBy()))
+        .withColumn("cl", F.sum("c").over(Window.partitionBy("lang")))
+        .withColumn("cs", F.sum("c").over(Window.partitionBy("source")))
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("cl").cast("double") * F.col("cs"))
+        ),
+        12,
+    ).cast("decimal(20,12)")
+    return j.agg(
+        F.sum(term).cast("double").alias("mutual_info_bits"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
