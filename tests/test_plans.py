@@ -405,3 +405,32 @@ class TestAnalyticsSurfacePlans:
         df = q(spark, "trailing_7d_active_users")
         assert P.broadcast_join_count(df) >= 1
         assert P.sort_merge_join_count(df) == 0
+
+
+class TestAggregatePushdown:
+    """Parquet footer-statistics aggregation (metadata-only COUNT/MIN/MAX):
+    with the DataSource V2 parquet reader, a bare aggregate compiles to a
+    PushedAggregation scan that reads row-group footers, not data pages —
+    at 100 TB a table-level MIN/MAX/COUNT costs one footer read per file.
+    The engine keeps V1 as the session default (bucketed-table reads and
+    the streaming file sink are V1 paths); analytics jobs that want
+    metadata-only aggregates opt in per-query, exactly as pinned here."""
+
+    def test_min_max_count_served_from_footers(self, spark):
+        from pyspark.sql import functions as F
+
+        key = "spark.sql.sources.useV1SourceList"
+        before = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "")
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+            df = spark.read.parquet(f"{SF}/orders.parquet").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi"),
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PushedAggregation" in plan, plan[:1500]
+        finally:
+            spark.conf.set(key, before)
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
