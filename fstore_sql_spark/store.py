@@ -289,7 +289,9 @@ class EventStore:
             ]
         )
 
-    def append_batch(self, rows_or_df, validate: bool = True) -> DataFrame:
+    def append_batch(
+        self, rows_or_df, validate: bool = True, on_conflict: str = "error"
+    ) -> DataFrame:
         """Append a batch of events in client order (the micro-batch write
         path, SURVEY.md §3.1 'Spark design').
 
@@ -302,13 +304,27 @@ class EventStore:
           T1 stream-finalized, T2 first-event-null-previous,
           T3 previous-id-in-same-decider, C1 event_id unique,
           C2 previous_id unique (the optimistic lock), C3 registry FK.
+
+        ``on_conflict="ignore"`` is the at-least-once recovery mode
+        (ON CONFLICT DO NOTHING on the C1 key): candidates whose
+        ``event_id`` is already in the log are dropped BEFORE validation,
+        so replaying a partially-committed producer batch appends only
+        the missing suffix.  Everything else still validates strictly —
+        this forgives redelivery, not corruption.
         """
+        if on_conflict not in ("error", "ignore"):
+            raise ValueError(f"on_conflict must be 'error' or 'ignore': {on_conflict!r}")
         with self._commit_lock:
             now = _utcnow()
             cand = self._as_candidates(rows_or_df)
+            if on_conflict == "ignore":
+                seen = self.events().select("event_id")
+                cand = cand.join(seen, "event_id", "leftanti")
             cand = cand.persist()
             try:
                 n = cand.count()  # materialize the cache once, up front
+                if n == 0:
+                    return self.events().limit(0)
                 with self._shuffle_sized_for(n):
                     if validate:
                         self._validate_batch(cand)

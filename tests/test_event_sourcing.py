@@ -241,3 +241,38 @@ def test_r1_r4_mutations_silently_ignored(store):
     assert store.events().count() == 1
     assert store.deciders().count() == 1
     assert store.deciders().first()["description"] == "x"
+
+
+def test_append_on_conflict_ignore_replays_suffix(store):
+    """at-least-once recovery: replaying a partially-committed producer
+    batch with on_conflict='ignore' appends only the missing suffix; a
+    full duplicate replay is a no-op; strict mode still errors."""
+    import pytest as _pytest
+
+    from fstore_sql_spark import errors as _errors
+
+    store.register_decider_event("d", "e", "x")
+    e1, e2, e3 = uid(), uid(), uid()
+    batch = [
+        {"event": "e", "event_id": e1, "decider": "d", "decider_id": "p1"},
+        {"event": "e", "event_id": e2, "decider": "d", "decider_id": "p1",
+         "previous_id": e1},
+    ]
+    store.append_batch(batch)
+    # crash-replay: first two again plus the unwritten third
+    replay = batch + [
+        {"event": "e", "event_id": e3, "decider": "d", "decider_id": "p1",
+         "previous_id": e2},
+    ]
+    out = store.append_batch(replay, on_conflict="ignore").collect()
+    assert [r["event_id"] for r in out] == [e3]
+    assert store.events().count() == 3
+    # full duplicate replay: clean no-op
+    assert store.append_batch(replay, on_conflict="ignore").count() == 0
+    assert store.events().count() == 3
+    # strict mode still rejects duplicates (replaying just e2: passes
+    # T1-T3 — predecessor exists in-stream — then C1 fires on the id;
+    # replaying the FULL batch would trip T2 first, trigger order being
+    # triggers-before-constraints exactly as in the reference)
+    with _pytest.raises(_errors.DuplicateEventIdError):
+        store.append_batch([batch[1]])
