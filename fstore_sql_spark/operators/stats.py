@@ -689,3 +689,43 @@ def profile_documents_columns(spark, sf_dir):
     return agg.select(F.explode(F.array(*per_col)).alias("p")).select(
         "p.column_name", "p.n_rows", "p.n_nonnull", "p.n_distinct"
     )
+
+
+# --------------------------------------------------------------------- #
+# Order-independent table checksum (migration verification)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "events_content_checksum",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                    concat_ws('|', CAST(event_id AS VARCHAR),
+                              CAST(epoch_us(ts) AS VARCHAR),
+                              CAST(user_id AS VARCHAR), event_type)),
+                    1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+    FROM events
+    """,
+)
+def events_content_checksum(spark, sf_dir):
+    """Order-independent content checksum of the events table — the
+    'did the migration copy every row byte-for-byte?' verifier this whole
+    repo's oracle gate is built on, exposed as an operator.  Each row
+    hashes a canonical '|'-joined rendering (md5 prefix → 48-bit int);
+    SUM over exact decimals is commutative, so any partitioning/engine
+    computing the same row set yields the same checksum.  One combinable
+    aggregate: at 100 TB this is a pure map-side scan + tiny reduce."""
+    e = load(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+    )
