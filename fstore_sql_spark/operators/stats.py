@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fstore_sql_spark.queries import QUERIES, load, query  # noqa: F401
+from fstore_sql_spark.queries import CUTOFF, QUERIES, load, query  # noqa: F401
 
 
 def _dec(col, scale: int = 2):
@@ -728,4 +728,107 @@ def events_content_checksum(spark, sf_dir):
     return e.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Cross-table reconciliation audit
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "order_lineitem_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS items_total
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE items_total IS NULL) AS BIGINT)
+               AS n_no_items,
+           CAST(COUNT(*) FILTER (WHERE items_total IS NOT NULL
+                 AND abs(CAST(o_totalprice AS DECIMAL(18,2)) - items_total)
+                     <= CAST(o_totalprice AS DECIMAL(18,2)) * 0.5)
+               AS BIGINT) AS n_within_50pct,
+           CAST(SUM(abs(CAST(o_totalprice AS DECIMAL(18,2))
+                        - COALESCE(items_total, 0))) AS DOUBLE)
+               AS total_abs_drift
+    FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+    """,
+)
+def order_lineitem_reconciliation(spark, sf_dir):
+    """Cross-table financial reconciliation — does the order header total
+    agree with the sum of its line items?  The classic pipeline-integrity
+    audit (double-entry check) as one aggregate: per-order item totals in
+    exact decimal, left join preserving headerless orders, drift measured
+    in decimal and surfaced as counts + total absolute drift.  Both sides
+    shuffle once on the order key."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("items_total"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    tp = _dec("o_totalprice")
+    has_items = F.col("items_total").isNotNull()
+    within = has_items & (
+        F.abs(tp - F.col("items_total")) <= tp * F.lit(0.5).cast("decimal(2,1)")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(~has_items, 1)).alias("n_no_items"),
+        F.count(F.when(within, 1)).alias("n_within_50pct"),
+        F.sum(F.abs(tp - F.coalesce(F.col("items_total"), F.lit(0).cast("decimal(38,2)"))))
+        .cast("double")
+        .alias("total_abs_drift"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Distribution drift (total variation distance)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "event_type_drift_tvd",
+    f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-15 00:00:00')
+                    AS DOUBLE) AS c1,
+               CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+                    AS DOUBLE) AS c2
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           0.5 * CAST(SUM(CAST(ROUND(abs(h.c1 / t.n1 - h.c2 / t.n2), 12)
+                    AS DECIMAL(20,12))) AS DOUBLE) AS tvd
+    FROM h CROSS JOIN t
+    """,
+)
+def event_type_drift_tvd(spark, sf_dir):
+    """Distribution drift between time halves as total variation distance
+    0.5·Σ|p₁−p₂| — the 'did the event mix shift?' monitor every training
+    snapshot pipeline runs before accepting new data.  One conditional
+    aggregate builds both histograms in a single scan; per-type terms are
+    decimal-rounded before the cross-row sum (order-free)."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    h = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).cast("double").alias("c1"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).cast("double").alias("c2"),
+    )
+    h = h.withColumn("n1", F.sum("c1").over(Window.partitionBy())).withColumn(
+        "n2", F.sum("c2").over(Window.partitionBy())
+    )
+    term = F.round(
+        F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")), 12
+    ).cast("decimal(20,12)")
+    return h.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.lit(0.5) * F.sum(term).cast("double")).alias("tvd"),
     )
