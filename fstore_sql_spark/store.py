@@ -1027,3 +1027,32 @@ class EventStore:
         """R2 ``ignore_update_decider_events``: UPDATE on the registry —
         silent no-op."""
         return 0
+
+    # ------------------------------------------------------------------ #
+    # Operational introspection
+    # ------------------------------------------------------------------ #
+
+    def stats(self) -> dict:
+        """Store health snapshot (the pg_stat_* analogue an operator
+        would poll): log row/partition/file counts, the committed
+        high-watermark offset and transaction id, registry sizes, and
+        state snapshot versions.  One cached-log aggregate + metadata
+        reads — safe to call frequently."""
+        manifest = self.storage.read_manifest(_EVENTS)
+        agg = self.events().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("decider_id").alias("p"),
+        ).collect()[0]
+        return {
+            "n_events": agg["n"],
+            "n_partitions": agg["p"],
+            "max_offset": manifest.max_offset,
+            "commit_id": manifest.commit_id,
+            "log_files": self.storage.log_file_count(_EVENTS),
+            "n_registered_events": self.deciders().count(),
+            "n_views": self.views().count(),
+            "state_versions": {
+                t: self.storage.state_version(t)
+                for t in (_DECIDERS, _VIEWS, _LOCKS)
+            },
+        }

@@ -276,3 +276,15 @@ def test_append_on_conflict_ignore_replays_suffix(store):
     # triggers-before-constraints exactly as in the reference)
     with _pytest.raises(_errors.DuplicateEventIdError):
         store.append_batch([batch[1]])
+
+
+def test_stats_snapshot(store):
+    store.register_decider_event("d", "e", "x")
+    store.append_event("e", uid(), "d", "p1")
+    store.append_event("e", uid(), "d", "p2")
+    store.register_view("v", start_at="2020-01-01 00:00:00")
+    s = store.stats()
+    assert s["n_events"] == 2 and s["n_partitions"] == 2
+    assert s["max_offset"] == 2 and s["commit_id"] == 2
+    assert s["n_registered_events"] == 1 and s["n_views"] == 1
+    assert s["log_files"] >= 1 and s["state_versions"]["views"] >= 1
