@@ -434,3 +434,23 @@ class TestAggregatePushdown:
         finally:
             spark.conf.set(key, before)
             spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+
+class TestIntegrityOperatorPlans:
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("events_content_checksum", 1),        # pure map + tiny reduce
+            ("user_recent_types_digest", 1),       # one collect_list agg
+            ("user_ewma_value", 1),                # one grouped-map shuffle
+            ("order_lineitem_reconciliation", 2),  # per-order agg + join agg
+            ("event_type_drift_tvd", 2),           # contingency agg + window
+            ("lang_source_mutual_info", 2),
+            ("profile_documents_columns", 2),      # count_distinct expand
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_reconciliation_no_sort_merge(self, spark):
+        assert P.sort_merge_join_count(q(spark, "order_lineitem_reconciliation")) == 0
