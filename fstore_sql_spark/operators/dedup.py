@@ -544,3 +544,99 @@ def dedup_levenshtein_pairs(spark, sf_dir):
         .filter(dist <= 40)
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
     )
+
+
+@query(
+    "dup_group_size_histogram",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    groups AS (
+        SELECT md5(text) AS digest, COUNT(*) AS group_size
+        FROM corpus GROUP BY md5(text)
+    )
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs
+    FROM groups GROUP BY group_size
+    """,
+)
+def dup_group_size_histogram(spark, sf_dir):
+    """Duplicate-frequency spectrum: how many content groups occur once,
+    twice, k times.  The curation dashboard number — a corpus whose mass
+    sits in large groups needs dedup before training.  Two chained hash
+    aggregates; the second input is |distinct digests| rows, already tiny,
+    and both are map-side combinable."""
+    groups = (
+        _corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+    )
+
+
+@query(
+    "dedup_cluster_representatives",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    banded AS (SELECT doc_id, h0 || h1 AS b1, h2 || h3 AS b2 FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        WITH RECURSIVE r(node, root) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+        ) SELECT * FROM r
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.cluster, c.doc_id, length(t.text) AS n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                  ORDER BY length(t.text) DESC, c.doc_id ASC)
+                   AS rn
+        FROM clusters c JOIN corpus t ON t.doc_id = c.doc_id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_chars,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM ranked GROUP BY cluster
+    """,
+)
+def dedup_cluster_representatives(spark, sf_dir):
+    """The keep-policy half of near-dup dedup: per connected component,
+    elect ONE representative document by quality (longest text, doc_id as
+    the deterministic tiebreak) — everything else is the drop list.  On
+    Spark this is the cluster assignment (iterative CC) joined back to the
+    corpus, then a single max_by hash aggregate per cluster: one shuffle on
+    the cluster key, no window over the full corpus.  The DuckDB oracle
+    replays the identical election with a recursive CTE + ROW_NUMBER."""
+    corpus = _corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    clusters = connected_components(
+        lsh_candidate_pairs(minhash_signatures(_corpus(spark, sf_dir)))
+    )
+    member = clusters.join(corpus, "doc_id")
+    rank_key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return member.groupBy("cluster").agg(
+        F.max_by(F.col("doc_id"), rank_key).alias("rep_doc_id"),
+        F.max("n_chars").alias("rep_chars"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

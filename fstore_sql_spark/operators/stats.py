@@ -832,3 +832,171 @@ def event_type_drift_tvd(spark, sf_dir):
         F.count(F.lit(1)).alias("n_types"),
         (F.lit(0.5) * F.sum(term).cast("double")).alias("tvd"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Join-key skew diagnosis
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "join_key_skew_report",
+    """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT SUM(n_events) AS total_events, COUNT(*) AS n_keys FROM per_key
+    )
+    SELECT p.user_id, CAST(p.n_events AS BIGINT) AS n_events,
+           CAST(p.n_events AS DOUBLE) / CAST(t.total_events AS DOUBLE) AS share,
+           CAST(p.n_events * t.n_keys AS DOUBLE) / CAST(t.total_events AS DOUBLE)
+               AS skew_ratio
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n_events DESC, p.user_id ASC
+    LIMIT 10
+    """,
+)
+def join_key_skew_report(spark, sf_dir):
+    """Hot-key report for a join/partition key — the diagnosis step before
+    choosing salting or AQE skew splitting (operators/skew.py is the cure).
+    skew_ratio is key_count / mean_count: ~1 means uniform, ≫1 means this
+    key alone stalls a reducer at scale.  Shape: one hash aggregate on the
+    key, a 1-row global rollup broadcast back, then top-10 — the report
+    costs one shuffle regardless of table size, and every ratio is a
+    single double division of exact integers (hash-stable cross-engine)."""
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = per_key.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total_events").cast("double"))
+                .alias("share"),
+            ((F.col("n_events") * F.col("n_keys")).cast("double")
+             / F.col("total_events").cast("double")).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Winsorized (clipped) robust mean
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "winsorized_value_stats",
+    """
+    WITH q AS (
+        SELECT event_type,
+               CAST(quantile_cont(value, 0.05) AS DOUBLE) AS p05,
+               CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(q.p05) AS p05,
+           MAX(q.p95) AS p95,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, q.p05), q.p95)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
+           CAST(COUNT(*) FILTER (WHERE e.value < q.p05) AS BIGINT)
+               AS n_clipped_low,
+           CAST(COUNT(*) FILTER (WHERE e.value > q.p95) AS BIGINT)
+               AS n_clipped_high
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark, sf_dir):
+    """Winsorized mean — clip to [p05, p95] before averaging, the robust
+    alternative to dropping outliers (every row still counts, extremes just
+    stop dominating).  Two passes sharing the event_type hash partitioning:
+    exact interpolated percentiles per group, broadcast back (5 rows), then
+    one clipped-sum aggregate.  Clipped values go through DECIMAL(18,6) so
+    the cross-row sum is order-free; the final mean is one double division
+    (queries.py determinism conventions)."""
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            (
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean"),
+            F.count(F.when(F.col("value") < F.col("p05"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_clipped_high"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Rolling window median (order-statistic over a trailing band)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "rolling_7d_median_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT a.d AS order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(quantile_cont(CAST(b.rev AS DOUBLE), 0.5) AS DOUBLE)
+               AS med7_revenue
+    FROM daily a
+    JOIN daily b ON b.d BETWEEN a.d - INTERVAL 6 DAY AND a.d
+    GROUP BY a.d
+    """,
+)
+def rolling_7d_median_revenue(spark, sf_dir):
+    """Trailing-7-day MEDIAN of daily revenue — a rolling order-statistic,
+    which no engine's window frame computes directly (frames support
+    sum/avg; medians need the band-join form).  Phase 1 collapses the fact
+    table to one exact-decimal row per day; phase 2 is a broadcast
+    interval self-join over that tiny spine (≤ |days|·7 rows) + exact
+    interpolated percentile per day.  At 100 TB only phase 1 touches the
+    fact table — one map-side-combinable shuffle; the band join never
+    sees raw rows.  Days with gaps shrink the window (observation-based,
+    not calendar-filled: n_days reports the actual support)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    a = daily.select(F.col("d").alias("order_date"))
+    b = daily.select(F.col("d").alias("bd"), F.col("rev").cast("double").alias("brev"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("bd") >= F.date_sub(F.col("order_date"), 6))
+            & (F.col("bd") <= F.col("order_date")),
+        )
+        .groupBy("order_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.percentile("brev", F.lit(0.5)).alias("med7_revenue"),
+        )
+    )
