@@ -640,3 +640,99 @@ def dedup_cluster_representatives(spark, sf_dir):
         F.max("n_chars").alias("rep_chars"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+        SELECT DISTINCT doc_id, unnest({_shingles_sql()}) AS shingle
+        FROM corpus
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    df AS (SELECT shingle, COUNT(*) AS doc_freq FROM tok GROUP BY shingle),
+    rare AS (
+        SELECT doc_id, shingle FROM (
+            SELECT t.doc_id, t.shingle,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY d.doc_freq ASC, t.shingle ASC)
+                       AS rn
+            FROM tok t JOIN df d USING (shingle)
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.doc_a
+        JOIN tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT CAST(s.doc_a AS BIGINT) AS doc_a, CAST(s.doc_b AS BIGINT) AS doc_b,
+           CAST(s.n_shared AS DOUBLE)
+               / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE)
+              / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_prefix_filter_pairs(spark, sf_dir):
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family) — the
+    other classic scalable candidate generator besides LSH: two documents
+    with Jaccard ≥ t must share a token among their rarest few, so pairing
+    docs only through their 2 globally-rarest shingles bounds candidates
+    to the small document-frequency buckets (cost Σ|rare-bucket|², never
+    |corpus|²) with NO false negatives at high t — unlike MinHash banding,
+    which is probabilistic.  Verification computes exact Jaccard from
+    integer set sizes; the single double division is cross-engine stable.
+
+    Pipeline: distinct (doc, shingle) explode → shingle doc-frequency →
+    per-doc 2 rarest (window over the doc's own tokens) → equi-join on the
+    rare shingle → exact-count verify on candidates only."""
+    tok = with_shingles(_corpus(spark, sf_dir)).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    df_ = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("doc_freq").asc(), F.col("shingle").asc()
+    )
+    rare = (
+        tok.join(df_, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -330,3 +330,94 @@ def label_centroids(spark, sf_dir):
     return dims.groupBy("label").agg(
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
     )
+
+
+@query(
+    "ann_blocked_recall",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM e a JOIN e b ON a.vec_id != b.vec_id
+            WHERE a.vec_id < 10
+        ) WHERE rn <= 3
+    ),
+    blocked AS (
+        SELECT qid, vec_id FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+            WHERE a.vec_id < 10
+        ) WHERE rn <= 3
+    )
+    SELECT x.qid,
+           CAST(COUNT(b.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(b.vec_id) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM exact x
+    LEFT JOIN blocked b ON b.qid = x.qid AND b.vec_id = x.vec_id
+    GROUP BY x.qid
+    """,
+)
+def ann_blocked_recall(spark, sf_dir):
+    """Recall@3 of the IVF-style blocked search against the exact
+    brute-force ranking — the eval loop every production ANN deployment
+    runs before trusting an index.  Both rankings come from the same
+    rounded-cosine + vec_id ordering, so the comparison is deterministic;
+    the blocked side misses exactly the true neighbors living outside the
+    query's coarse cell.  At scale the exact side runs on a sampled query
+    set (here: 10 probes), never the full corpus."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+
+    def top3(pairs: DataFrame) -> DataFrame:
+        scored = pairs.select(
+            "qid", "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("qid", "vec_id")
+        )
+
+    exact = top3(
+        F.broadcast(probes).crossJoin(e.select("vec_id", "v"))
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    blocked = top3(
+        F.broadcast(probes).join(
+            e, (F.col("qlabel") == F.col("label")) & (F.col("qid") != F.col("vec_id"))
+        )
+    )
+    hit = blocked.withColumnRenamed("vec_id", "bvec")
+    return (
+        exact.join(
+            hit,
+            (exact.qid == hit.qid) & (exact.vec_id == hit.bvec),
+            "left",
+        )
+        .select(exact.qid, "bvec")
+        .groupBy("qid")
+        .agg(
+            F.count("bvec").alias("n_hits"),
+            (F.count("bvec").cast("double") / F.lit(3.0)).alias("recall_at_3"),
+        )
+    )

@@ -1000,3 +1000,120 @@ def rolling_7d_median_revenue(spark, sf_dir):
             F.percentile("brev", F.lit(0.5)).alias("med7_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Inter-event gap histogram (log-scale via digit count — float-free)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "interevent_gap_histogram",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(CASE WHEN gap_us = 0 THEN 0
+                     ELSE length(CAST(gap_us AS VARCHAR)) END AS BIGINT)
+               AS gap_digits,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def interevent_gap_histogram(spark, sf_dir):
+    """Order-of-magnitude histogram of gaps between consecutive same-type
+    events per user — the burstiness profile (sub-second retry storms vs
+    hour-scale organic traffic land in different buckets).  The log₁₀
+    bucket is the DIGIT COUNT of the microsecond gap: pure integer
+    arithmetic, immune to the last-ulp differences that make
+    floor(log10(x)) flap across engines at exact powers of ten.  One
+    window + one aggregate sharing the (user, type) hash partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") == 0, F.lit(0)).otherwise(
+        F.length(F.col("gap_us").cast("string"))
+    )
+    return gaps.groupBy(
+        "event_type", bucket.cast("long").alias("gap_digits")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Boolean aggregate profile (bool_or / every / count_if)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "user_event_flags",
+    """
+    SELECT user_id,
+           bool_or(event_type = 'purchase') AS has_purchase,
+           bool_and(value >= 0) AS all_nonnegative,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_errors,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_flags(spark, sf_dir):
+    """Per-user boolean/conditional aggregate profile (BOOL_OR / EVERY /
+    FILTER / COUNT DISTINCT in one pass) — the segmentation predicate
+    table feeding audience queries.  Single hash aggregate; the distinct
+    count expands to a two-phase partial internally but still one shuffle
+    on the group key."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.bool_or(F.col("event_type") == "purchase").alias("has_purchase"),
+            F.every(F.col("value") >= 0).alias("all_nonnegative"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Approximate percentiles (sketch family, alongside exact percentile)
+# --------------------------------------------------------------------- #
+
+
+@query("approx_value_percentiles")  # rows-only: sketch outputs are engine-specific
+def approx_value_percentiles(spark, sf_dir):
+    """Per-type APPROX percentiles (GK sketch via approx_percentile,
+    accuracy 10000) — the constant-memory path for 100 TB where exact
+    per-group sort-based percentiles would shuffle the world.  Sketches
+    merge associatively (map-side partials), so cost is one small shuffle
+    of sketch state.  Values are engine-specific by construction: the
+    driver records the weaker rows-only check, the exact twin
+    `quantity_percentiles`/`winsorized_value_stats` pin numeric parity."""
+    e = load(spark, sf_dir, "events")
+    pct = F.expr(
+        "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+    ).alias("p")
+    return (
+        e.groupBy("event_type")
+        .agg(pct)
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
