@@ -407,17 +407,23 @@ def ann_blocked_recall(spark, sf_dir):
             e, (F.col("qlabel") == F.col("label")) & (F.col("qid") != F.col("vec_id"))
         )
     )
-    hit = blocked.withColumnRenamed("vec_id", "bvec")
+    # Aliased self-lineage join: exact and blocked share probe lineage, so
+    # unqualified qid would resolve to ONE attribute and the equality would
+    # fold to trivially-true (dropping the per-query match semantics).
+    hit = F.broadcast(
+        blocked.select(
+            F.col("qid").alias("hqid"), F.col("vec_id").alias("hvec")
+        )
+    )
     return (
         exact.join(
             hit,
-            (exact.qid == hit.qid) & (exact.vec_id == hit.bvec),
+            (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")),
             "left",
         )
-        .select(exact.qid, "bvec")
         .groupBy("qid")
         .agg(
-            F.count("bvec").alias("n_hits"),
-            (F.count("bvec").cast("double") / F.lit(3.0)).alias("recall_at_3"),
+            F.count("hvec").alias("n_hits"),
+            (F.count("hvec").cast("double") / F.lit(3.0)).alias("recall_at_3"),
         )
     )

@@ -454,3 +454,50 @@ class TestIntegrityOperatorPlans:
 
     def test_reconciliation_no_sort_merge(self, spark):
         assert P.sort_merge_join_count(q(spark, "order_lineitem_reconciliation")) == 0
+
+
+class TestCurationAnalyticsPlans:
+    """Scale posture of the skew/robust-stats/dedup-policy/ANN-eval batch."""
+
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("approx_value_percentiles", 1),   # mergeable sketch, one agg
+            ("winsorized_value_stats", 2),     # percentiles + clipped agg
+            ("rolling_7d_median_revenue", 2),  # daily agg + band-join agg
+            ("dup_group_size_histogram", 2),   # digest agg + size agg
+            ("interevent_gap_histogram", 2),   # per-user window + rollup
+            ("user_event_flags", 2),           # count_distinct expansion
+            ("ann_blocked_recall", 2),         # two windowed rankings
+            ("join_key_skew_report", 3),       # key agg + rollup + top-k
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_skew_report_is_topk(self, spark):
+        # the report ends in a top-10: TakeOrderedAndProject, no global sort.
+        assert P.has_take_ordered(q(spark, "join_key_skew_report"))
+
+    def test_winsorize_broadcasts_percentiles_back(self, spark):
+        # 5-row per-type percentile table must broadcast, never SMJ.
+        df = q(spark, "winsorized_value_stats")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_rolling_median_band_join_broadcasts(self, spark):
+        # the daily spine self-join is broadcast-nested-loop, never a
+        # cartesian of fact rows.
+        df = q(spark, "rolling_7d_median_revenue")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_ann_recall_no_sort_merge(self, spark):
+        # aliased self-lineage join stays broadcast (30-row sides).
+        assert P.sort_merge_join_count(q(spark, "ann_blocked_recall")) == 0
+
+    def test_prefix_filter_no_sort_merge(self, spark):
+        # every verify-side join on the bounded candidate set broadcasts.
+        df = q(spark, "dedup_prefix_filter_pairs")
+        assert P.sort_merge_join_count(df) == 0
+        assert P.shuffle_exchange_count(df) <= 14
