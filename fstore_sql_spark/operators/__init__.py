@@ -12,11 +12,13 @@ Modules register their driver-gate queries into
     sampling    — deterministic content-hash sampling / splits / mixing
     stats       — profiling: equi-depth histograms, z-score outliers,
                   exact-sum correlation, entropy, rollup reuse
+    layout      — Z-order (Morton) multi-dim clustering + locality stats
 """
 
 from fstore_sql_spark.operators import (  # noqa: F401
     dedup,
     graph,
+    layout,
     grouped,
     multimodal,
     sampling,

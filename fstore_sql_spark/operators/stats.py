@@ -1117,3 +1117,136 @@ def approx_value_percentiles(spark, sf_dir):
             F.col("p")[2].alias("p99"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Running distinct count (first-occurrence flag + cumulative sum)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "running_distinct_types",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_distinct_so_far
+    FROM flagged
+    """,
+)
+def running_distinct_types(spark, sf_dir):
+    """Cumulative DISTINCT count over time — COUNT(DISTINCT) is not a
+    window function in any engine, but it decomposes exactly: flag each
+    row that is the FIRST occurrence of its (user, type), then a running
+    SUM of flags.  Both windows hash-partition on user_id, so the whole
+    query is ONE shuffle; no quadratic re-scan per row, no state blowup —
+    the per-user discovery-curve query that feature stores run at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_distinct_so_far"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Two-feature OLS via normal equations (closed-form, exact co-moments)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "ols_price_model",
+    """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+        FROM lineitem
+    )
+    SELECT n_rows,
+           ((s11 * s22 - s12 * s12) * sy + (s2 * s12 - s1 * s22) * s1y
+            + (s1 * s12 - s2 * s11) * s2y)
+           / ((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
+              + (s1 * s12 - s2 * s11) * s2) AS beta0,
+           ((s2 * s12 - s1 * s22) * sy + (n * s22 - s2 * s2) * s1y
+            + (s1 * s2 - n * s12) * s2y)
+           / ((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
+              + (s1 * s12 - s2 * s11) * s2) AS beta1,
+           ((s1 * s12 - s2 * s11) * sy + (s1 * s2 - n * s12) * s1y
+            + (n * s11 - s1 * s1) * s2y)
+           / ((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
+              + (s1 * s12 - s2 * s11) * s2) AS beta2
+    FROM s
+    """,
+)
+def ols_price_model(spark, sf_dir):
+    """Multi-feature linear regression WITHOUT MLlib iteration: the 2-
+    feature OLS fit (price ~ quantity + discount) in closed form from the
+    normal equations — one pass of exact-decimal co-moments (map-side
+    combinable, one tiny shuffle), then the 3×3 solve via the adjugate on
+    the driver-free single result row.  This is how a 100 TB fit actually
+    runs: sufficient statistics, not gradient passes over the data.  Every
+    double term is the same IEEE expression in Spark and DuckDB (identical
+    operand order), so the driver hash agrees bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    q_, d_, y_ = _dec("l_quantity"), _dec("l_discount", 4), _dec("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(q_).cast("double").alias("s1"),
+        F.sum(d_).cast("double").alias("s2"),
+        F.sum(y_).cast("double").alias("sy"),
+        F.sum(q_ * q_).cast("double").alias("s11"),
+        F.sum(q_ * d_).cast("double").alias("s12"),
+        F.sum(d_ * d_).cast("double").alias("s22"),
+        F.sum(q_ * y_).cast("double").alias("s1y"),
+        F.sum(d_ * y_).cast("double").alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y = F.col("s22"), F.col("s1y"), F.col("s2y")
+    # adjugate cofactors of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] — written
+    # in the exact operand order the oracle uses (IEEE determinism).
+    c00 = s11 * s22 - s12 * s12
+    c01 = s2 * s12 - s1 * s22
+    c02 = s1 * s12 - s2 * s11
+    c11 = n * s22 - s2 * s2
+    c12 = s1 * s2 - n * s12
+    c22 = n * s11 - s1 * s1
+    det = c00 * n + c01 * s1 + c02 * s2
+    return s.select(
+        "n_rows",
+        ((c00 * sy + c01 * s1y + c02 * s2y) / det).alias("beta0"),
+        ((c01 * sy + c11 * s1y + c12 * s2y) / det).alias("beta1"),
+        ((c02 * sy + c12 * s1y + c22 * s2y) / det).alias("beta2"),
+    )

@@ -91,3 +91,12 @@ def rate_events(
         F.lit(False).alias("final"),
         F.col("timestamp").alias("created_at"),
     )
+
+
+def read_event_batches_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC event batches — the other columnar format Spark ships natively
+    (some upstream producers emit ORC; the engine accepts it without a
+    conversion hop).  Schema is enforced, not inferred, like the JSON/CSV
+    readers; ORC predicate pushdown and column pruning work the same as
+    parquet's."""
+    return spark.read.schema(event_batch_schema()).orc(path)

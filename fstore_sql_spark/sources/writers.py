@@ -49,3 +49,21 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_orc_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Clustered ORC export — same layout contract as ``write_clustered``
+    (hash-repartition + in-file sort ⇒ stripe-level min/max pruning on the
+    cluster key) for consumers standardized on ORC."""
+    (
+        df.repartition(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .orc(path)
+    )

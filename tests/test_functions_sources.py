@@ -179,3 +179,69 @@ class TestEnrichedStream:
         rows = spark.sql(f"SELECT * FROM {qname}").collect()
         assert len(rows) == 2
         assert all(r["description"] == "account opened" for r in rows)
+
+
+class TestOrcAndZorder:
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        from fstore_sql_spark.sources.readers import read_event_batches_orc
+        from fstore_sql_spark.sources.writers import write_orc_clustered
+        from fstore_sql_spark.queries import load
+
+        src = (
+            load(spark, "/root/testdata/sf0.001", "events")
+            .limit(200)
+            .selectExpr(
+                "event_type AS event",
+                "CAST(event_id AS STRING) AS event_id",
+                "CAST(1 AS LONG) AS event_version",
+                "'user' AS decider",
+                "CAST(user_id AS STRING) AS decider_id",
+                "props AS data",
+                "uuid() AS command_id",
+                "CAST(NULL AS STRING) AS previous_id",
+                "false AS final",
+            )
+        )
+        path = str(tmp_path / "batches_orc")
+        write_orc_clustered(src, path, "decider_id", 4)
+        back = read_event_batches_orc(spark, path)
+        assert back.count() == 200
+        assert back.schema["event_version"].dataType.typeName() == "long"
+        # ORC scan honors filter pushdown on the cluster key
+        one = back.filter(F.col("decider_id") == "7")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "decider_id" in plan
+
+    def test_zorder_write_bounds_both_dims(self, spark, tmp_path):
+        from fstore_sql_spark.operators.layout import write_zordered
+        from fstore_sql_spark.queries import load
+
+        orders = load(spark, "/root/testdata/sf0.001", "orders").select(
+            "o_orderkey", "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("day_nr"),
+        )
+        path = str(tmp_path / "orders_z")
+        write_zordered(orders, path, "o_custkey", "day_nr", n_files=8)
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+        # per-file spans must be tighter than the global span in BOTH dims
+        import pyspark.sql.functions as SF
+
+        spans = (
+            back.groupBy(SF.input_file_name().alias("f"))
+            .agg(
+                (SF.max("o_custkey") - SF.min("o_custkey")).alias("cust_span"),
+                (SF.max("day_nr") - SF.min("day_nr")).alias("day_span"),
+            )
+            .collect()
+        )
+        g = orders.agg(
+            (SF.max("o_custkey") - SF.min("o_custkey")).alias("cs"),
+            (SF.max("day_nr") - SF.min("day_nr")).alias("ds"),
+        ).collect()[0]
+        assert len(spans) >= 4
+        avg_cust = sum(r.cust_span for r in spans) / len(spans)
+        avg_day = sum(r.day_span for r in spans) / len(spans)
+        assert avg_cust < g.cs and avg_day < g.ds, (avg_cust, g.cs, avg_day, g.ds)
