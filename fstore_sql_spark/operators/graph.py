@@ -167,3 +167,67 @@ def pagerank_top_words(spark, sf_dir):
     reproducible across engines (per-edge contributions rounded to
     decimal before each cross-row sum)."""
     return pagerank_words(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "triangle_count",
+    f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    top AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS cnt FROM tokens GROUP BY word
+            ORDER BY cnt DESC, word LIMIT {TOP_WORDS}
+        )
+    ),
+    doc_words AS (
+        SELECT DISTINCT t.doc_id, t.word
+        FROM tokens t JOIN top USING (word)
+    ),
+    edges AS (
+        SELECT DISTINCT a.word AS u, b.word AS v
+        FROM doc_words a JOIN doc_words b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS n_nodes
+    """,
+)
+def triangle_count(spark, sf_dir):
+    """Triangle counting on the word co-occurrence graph — the clustering-
+    coefficient numerator and the standard 'can your engine do graph
+    analytics' primitive.  Uses the ORIENTED-edge trick that makes the
+    join tractable at scale: store each undirected edge once as u<v, then
+    count paths e1:(a<b), e2:(b<c) closed by e3:(a,c) — every triangle
+    found exactly once, and the self-join never explodes beyond
+    Σ deg(v)² on the oriented (lower-degree-first) adjacency.  Two
+    broadcast-able self-joins on a |top-k|² -bounded edge list."""
+    d = load(spark, sf_dir, "documents")
+    _, edges_bidir = _word_graph(d)
+    edges = (
+        edges_bidir.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    # the oriented edge list is top-k bounded (≤ TOP_WORDS²/2 rows): hint
+    # broadcast so the closure joins never sort-merge the path table.
+    tri = (
+        e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(F.broadcast(e3), (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_node = (
+        _word_graph(d)[0].agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return n_tri.crossJoin(F.broadcast(n_edge)).crossJoin(F.broadcast(n_node))

@@ -1149,8 +1149,14 @@ def running_distinct_types(spark, sf_dir):
     row that is the FIRST occurrence of its (user, type), then a running
     SUM of flags.  Both windows hash-partition on user_id, so the whole
     query is ONE shuffle; no quadratic re-scan per row, no state blowup —
-    the per-user discovery-curve query that feature stores run at 100 TB."""
-    e = load(spark, sf_dir, "events")
+    the per-user discovery-curve query that feature stores run at 100 TB.
+
+    The explicit repartition on user_id alone is what makes it one
+    shuffle: HashPartitioning(user_id) satisfies BOTH windows' clustered
+    distributions ((user_id, event_type) ⊇ user_id), whereas letting the
+    first window partition on its full key would force a second exchange
+    for the per-user running sum."""
+    e = load(spark, sf_dir, "events").repartition("user_id")
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
@@ -1249,4 +1255,103 @@ def ols_price_model(spark, sf_dir):
         ((c00 * sy + c01 * s1y + c02 * s2y) / det).alias("beta0"),
         ((c01 * sy + c11 * s1y + c12 * s2y) / det).alias("beta1"),
         ((c02 * sy + c12 * s1y + c22 * s2y) / det).alias("beta2"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# SCD2 interval derivation + point-in-time state (bitemporal read)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "scd2_state_at_cutoff",
+    f"""
+    WITH intervals AS (
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+    ),
+    state AS (
+        SELECT user_id, event_type, valid_from
+        FROM intervals
+        WHERE valid_from <= TIMESTAMP '{CUTOFF}'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '{CUTOFF}')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           MIN(valid_from) AS earliest_from,
+           MAX(valid_from) AS latest_from
+    FROM state GROUP BY event_type
+    """,
+)
+def scd2_state_at_cutoff(spark, sf_dir):
+    """SCD-type-2 from an event log: each user's stream becomes validity
+    intervals [ts, next ts) via LEAD, and a point-in-time read selects the
+    one interval containing the cutoff — the warehouse pattern for 'what
+    was every entity's state at T?' that the reference answers by replay
+    (get_events + fold) and a dimension table answers by interval
+    predicate.  The window and nothing else touches the log: one shuffle
+    on user_id, then the interval filter reduces to ≤1 row per user before
+    the tiny type rollup."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cut = F.lit(CUTOFF).cast("timestamp")
+    intervals = e.select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    state = intervals.filter(
+        (F.col("valid_from") <= cut)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cut))
+    )
+    return state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("valid_from").alias("earliest_from"),
+        F.max("valid_from").alias("latest_from"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Period-over-period growth (weekly revenue WoW)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "weekly_revenue_growth",
+    """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT week_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           (CAST(rev AS DOUBLE)
+            - CAST(lag(rev) OVER (ORDER BY week_start) AS DOUBLE))
+           / CAST(lag(rev) OVER (ORDER BY week_start) AS DOUBLE)
+               AS wow_growth
+    FROM weekly
+    """,
+)
+def weekly_revenue_growth(spark, sf_dir):
+    """Week-over-week growth — the period-over-period reporting shape.
+    The fact table collapses to an exact-decimal weekly spine first (one
+    combinable shuffle); LAG then runs over the ~340-row spine, where a
+    single-partition window is the RIGHT plan (the data is already tiny —
+    pushing the window below the rollup would be the scale bug, not
+    this).  Growth is one double subtraction/division of identical
+    operands on both engines."""
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("week_start")
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.lag("rev").over(w).cast("double")
+    return weekly.select(
+        "week_start",
+        rev_d.alias("revenue"),
+        ((rev_d - prev_d) / prev_d).alias("wow_growth"),
     )

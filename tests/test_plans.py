@@ -501,3 +501,22 @@ class TestCurationAnalyticsPlans:
         df = q(spark, "dedup_prefix_filter_pairs")
         assert P.sort_merge_join_count(df) == 0
         assert P.shuffle_exchange_count(df) <= 14
+
+
+class TestLayoutTemporalGraphPlans:
+    @pytest.mark.parametrize(
+        ("name", "max_shuffles"),
+        [
+            ("zorder_bucket_stats", 1),      # interleave is scan-side math
+            ("running_distinct_types", 1),   # both windows share user_id
+            ("ols_price_model", 1),          # one co-moment aggregate
+            ("scd2_state_at_cutoff", 2),     # user window + tiny rollup
+            ("weekly_revenue_growth", 2),    # weekly agg + spine window
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+    def test_triangle_joins_broadcast(self, spark):
+        # the oriented edge list is top-k bounded: all joins broadcast.
+        assert P.sort_merge_join_count(q(spark, "triangle_count")) == 0
