@@ -7,7 +7,9 @@ from fstore_sql_spark.streaming.projections import StreamProjection
 from fstore_sql_spark.streaming.push import PushDelivery
 from fstore_sql_spark.streaming.stateful import chain_monitor
 from fstore_sql_spark.streaming.windows import (
+    batch_trending,
     sessionized_counts,
+    start_trending,
     streaming_events,
     windowed_event_counts,
 )
@@ -19,5 +21,7 @@ __all__ = [
     "streaming_events",
     "windowed_event_counts",
     "sessionized_counts",
+    "batch_trending",
+    "start_trending",
     "chain_monitor",
 ]

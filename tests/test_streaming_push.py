@@ -305,3 +305,38 @@ def test_ingestion_pipeline_routes_poison_batch(store, spark, tmp_path):
     pipe.stop()
     assert dead == ["UnregisteredEventError"]
     assert store.events().count() == 0
+
+
+def test_streaming_trending_topk_matches_batch(store, spark, tmp_path):
+    """Streaming 'trending now' snapshot == the batch top-k ranking."""
+    from fstore_sql_spark.streaming import batch_trending, start_trending
+
+    for d, n in (("d1", 5), ("d2", 3), ("d3", 1)):
+        store.register_decider_event(d, "e", "x")
+        prev = None
+        rows = []
+        for _ in range(n):
+            eid = uid()
+            rows.append(
+                {"event": "e", "event_id": eid, "decider": d,
+                 "decider_id": f"p_{d}", "previous_id": prev}
+            )
+            prev = eid
+        store.append_batch(rows)
+
+    out = str(tmp_path / "trend_out")
+    q = start_trending(
+        spark, store.storage.root, out, str(tmp_path / "trend_ckpt"), k=2
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["decider"], r["n_events"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["decider"], r["n_events"], r["rank"])
+        for r in batch_trending(store.events(), k=2).collect()
+    )
+    assert got == want
+    assert [g[0] for g in got] == ["d1", "d2"]  # top-2 by count
