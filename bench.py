@@ -66,6 +66,18 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "trailing_7d_active_users",
     "profile_documents_columns",
+    "join_key_skew_report",
+    "winsorized_value_stats",
+    "rolling_7d_median_revenue",
+    "interevent_gap_histogram",
+    "running_distinct_types",
+    "ols_price_model",
+    "zorder_bucket_stats",
+    "dedup_prefix_filter_pairs",
+    "frequent_words_mg",
+    "triangle_count",
+    "scd2_state_at_cutoff",
+    "weekly_revenue_growth",
 ]
 
 

@@ -122,3 +122,77 @@ def user_ewma_value(spark, sf_dir):
     an exact fold oracle (list_reduce seeds with the first element, exactly
     like the Python fold)."""
     return ewma_last(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------- #
+# Misra–Gries heavy hitters: mergeable sketch prune + exact verify
+# --------------------------------------------------------------------- #
+
+MG_K = 50
+MG_SCHEMA = "word string"
+
+
+def _mg_candidates(tokens: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra–Gries(k) candidate sets via ``mapInPandas``.
+
+    Guarantee used downstream: any word with GLOBAL count > n/k has
+    count > n_p/k in at least one partition (pigeonhole), and per-
+    partition MG(k) retains every such word — so the union of partition
+    candidates is a superset of the true heavy hitters.  Each partition
+    emits ≤ k rows regardless of input size: constant-memory, mergeable,
+    the sketch shape that survives 100 TB."""
+
+    def per_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"word": list(counters)})
+
+    return tokens.mapInPandas(per_partition, MG_SCHEMA)
+
+
+@query(
+    "frequent_words_mg",
+    f"""
+    WITH tokens AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tokens)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tokens CROSS JOIN tot
+    GROUP BY word, tot.n
+    HAVING COUNT(*) > n / {MG_K}
+    """,
+)
+def frequent_words_mg(spark, sf_dir):
+    """Heavy hitters by SKETCH-PRUNE + EXACT-VERIFY: per-partition
+    Misra–Gries(k) sketches nominate a candidate set (≤ k·partitions
+    words, no false negatives for count > n/k), then one semi-join +
+    exact recount keeps precisely the true frequent words — so a
+    constant-memory streaming sketch ends in an EXACTLY oracle-checkable
+    answer (the DuckDB oracle is the plain GROUP BY ... HAVING).  At
+    100 TB the exact recount aggregates only candidate words: the
+    shuffle carries |candidates| keys, not |vocabulary|."""
+    tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    cand = _mg_candidates(tokens).distinct()
+    total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tokens.join(F.broadcast(cand), "word", "leftsemi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n") / MG_K)
+        .select("word", "cnt")
+    )
