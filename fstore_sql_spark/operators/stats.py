@@ -1355,3 +1355,121 @@ def weekly_revenue_growth(spark, sf_dir):
         rev_d.alias("revenue"),
         ((rev_d - prev_d) / prev_d).alias("wow_growth"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Snapshot diff (CDC-style audit between two points in time)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "snapshot_diff_users",
+    f"""
+    WITH t1 AS (
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'
+        GROUP BY user_id, event_type
+    ),
+    t2 AS (
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT CASE
+             WHEN t1.user_id IS NULL THEN 'added'
+             WHEN t2.user_id IS NULL THEN 'removed'
+             WHEN t1.n_events = t2.n_events THEN 'unchanged'
+             ELSE 'changed'
+           END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM t1 FULL OUTER JOIN t2
+      ON t1.user_id = t2.user_id AND t1.event_type = t2.event_type
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_users(spark, sf_dir):
+    """CDC-style snapshot diff: aggregate the same per-key state at two
+    points in time (here: the event log at CUTOFF vs now, keyed by
+    user × event type) and classify every key added / removed / changed /
+    unchanged via one full outer join — the audit a migration or backfill
+    runs to prove what it touched.  Both states hash-partition on the same
+    keys, so the join aligns without a third shuffle; the classification
+    rollup is a ≤4-row result.  (On an append-only log 'removed' is
+    structurally empty, so the informative split here is added vs
+    changed — the operator itself classifies all four; the early Jan-03
+    cutoff is what leaves some keys unseen in the first snapshot.)"""
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-03 00:00:00").cast("timestamp")
+
+    def state(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+
+    t1 = state(e.filter(F.col("ts") <= cut)).select(
+        F.col("user_id").alias("u1"), F.col("event_type").alias("ty1"),
+        F.col("n_events").alias("ne1"),
+    )
+    t2 = state(e).select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("ty2"),
+        F.col("n_events").alias("ne2"),
+    )
+    j = t1.join(
+        t2, (F.col("u1") == F.col("u2")) & (F.col("ty1") == F.col("ty2")),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("ne1") == F.col("ne2"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Per-source decile profile (within-group NTILE)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "source_decile_profile",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               NTILE(10) OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+    FROM ranked GROUP BY source, decile
+    """,
+)
+def source_decile_profile(spark, sf_dir):
+    """Within-source decile profile of document length — the quantile-
+    normalization table curation uses to compare length distributions
+    across heterogeneous sources on a common rank scale.  NTILE partitions
+    BY SOURCE (each source's window fits its partition — the global-NTILE
+    two-phase form in `equi_depth_histogram` is for un-partitioned ranks);
+    the rollup's keys are a superset of the window key, so the whole query
+    is one shuffle."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy("source", F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+    )

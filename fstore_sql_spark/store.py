@@ -697,6 +697,25 @@ class EventStore:
             .orderBy("offset")
         )
 
+    def get_events_many(
+        self, streams: list[tuple[str, str]], as_of: int | None = None
+    ) -> DataFrame:
+        """Replay MANY entity streams in one job — the set-based form of
+        A3 (/root/reference/schema.sql:348-356) for rebuilding a fleet of
+        aggregates: a command handler warming 10k deciders issues ONE scan
+        with a broadcast semi-join on the (decider_id, decider) pairs
+        instead of 10k point queries.  Result is ordered (decider_id,
+        offset): each stream's events are contiguous and in replay order,
+        ready for ``groupBy(decider_id).applyInPandas``-style folding."""
+        src = self.events() if as_of is None else self.events_as_of(as_of)
+        pairs = self.spark.createDataFrame(
+            streams, schema="decider_id string, decider string"
+        )
+        return (
+            src.join(F.broadcast(pairs), ["decider_id", "decider"], "leftsemi")
+            .orderBy("decider_id", "offset")
+        )
+
     def current_transaction_id(self) -> int:
         """The commit counter after the latest append — the engine's XID8
         analogue (SURVEY.md §7.6: a monotone snapshot marker)."""

@@ -288,3 +288,25 @@ def test_stats_snapshot(store):
     assert s["max_offset"] == 2 and s["commit_id"] == 2
     assert s["n_registered_events"] == 1 and s["n_views"] == 1
     assert s["log_files"] >= 1 and s["state_versions"]["views"] >= 1
+
+
+def test_get_events_many_replays_selected_streams(store):
+    store.register_decider_event("d1", "e", "x")
+    store.register_decider_event("d2", "e", "x")
+    ids = {}
+    for dec, did in (("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "c")):
+        prev = None
+        for i in range(2):
+            eid = f"{dec}-{did}-{i}"
+            store.append_event("e", eid, dec, did, "{}", f"c-{eid}", prev)
+            prev = eid
+        ids[(did, dec)] = prev
+    out = store.get_events_many([("a", "d1"), ("c", "d2")]).collect()
+    assert len(out) == 4
+    # contiguous per stream, offset-ordered within each
+    keys = [(r.decider_id, r.decider) for r in out]
+    assert keys == [("a", "d1"), ("a", "d1"), ("c", "d2"), ("c", "d2")]
+    offs = [r.offset for r in out]
+    assert offs[0] < offs[1] and offs[2] < offs[3]
+    # the shared decider_id 'a' under d2 is NOT included (pair semantics)
+    assert all(not (r.decider_id == "a" and r.decider == "d2") for r in out)
