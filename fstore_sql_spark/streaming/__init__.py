@@ -3,7 +3,7 @@ event-time windowed aggregation (the Spark-native extension, SURVEY.md §7.7).
 """
 
 from fstore_sql_spark.streaming.ingest import IngestionPipeline
-from fstore_sql_spark.streaming.projections import StreamProjection
+from fstore_sql_spark.streaming.projections import MaterializedRollup, StreamProjection
 from fstore_sql_spark.streaming.push import PushDelivery
 from fstore_sql_spark.streaming.stateful import chain_monitor
 from fstore_sql_spark.streaming.windows import (
@@ -18,6 +18,7 @@ __all__ = [
     "IngestionPipeline",
     "PushDelivery",
     "StreamProjection",
+    "MaterializedRollup",
     "streaming_events",
     "windowed_event_counts",
     "sessionized_counts",

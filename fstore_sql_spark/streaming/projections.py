@@ -129,3 +129,92 @@ class StreamProjection:
     def read(self) -> DataFrame:
         """The current view model — always a complete snapshot."""
         return self.state.read_state(_TABLE, PROJECTION_SCHEMA)
+
+
+ROLLUP_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType(), False),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", LongType(), True),
+        StructField("max_offset", LongType(), True),
+    ]
+)
+
+_ROLLUP_TABLE = "rollup"
+
+
+class MaterializedRollup:
+    """Incrementally-maintained continuous aggregate over the event log —
+    the BATCH sibling of ``StreamProjection`` and the engine-side form of
+    the `two_level_rollup_reuse` query pattern (TimescaleDB-style
+    continuous aggregates; the reference leaves read models entirely to
+    consumers).
+
+    ``refresh()`` folds ONLY the log suffix appended since the last
+    refresh: the snapshot's global ``max(max_offset)`` is the watermark,
+    and because the log is written in offset order, the ``offset > wm``
+    predicate prunes every already-folded parquet file via min/max
+    footer stats — a refresh after appending N events costs O(N), not
+    O(log).  Measures are restricted to commutative folds (count, sum),
+    which is what makes snapshot+delta re-aggregation exact.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        rollup_path: str,
+        value_json_key: str | None = None,
+        group_col: str = "decider",
+    ):
+        self.spark = spark
+        self.store = store
+        self.group_col = group_col
+        self.value_json_key = value_json_key
+        self.state = ParquetStore(spark, rollup_path)
+        self.state.init_state(_ROLLUP_TABLE, ROLLUP_SCHEMA)
+
+    def _watermark(self) -> int:
+        row = (
+            self.state.read_state(_ROLLUP_TABLE, ROLLUP_SCHEMA)
+            .agg(F.max("max_offset").alias("wm"))
+            .collect()[0]
+        )
+        return row["wm"] if row["wm"] is not None else -1
+
+    def refresh(self) -> int:
+        """Fold the new log suffix into the snapshot; returns the number
+        of newly folded events."""
+        wm = self._watermark()
+        delta = self.store.events().filter(F.col("offset") > F.lit(wm))
+        val = (
+            F.get_json_object(F.col("data"), f"$.{self.value_json_key}").cast("long")
+            if self.value_json_key
+            else F.lit(0)
+        )
+        partial = delta.groupBy(
+            F.col(self.group_col).alias("group_key")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(val).alias("total_value"),
+            F.max("offset").alias("max_offset"),
+        )
+        n_new = partial.agg(F.sum("n_events")).collect()[0][0] or 0
+        if n_new == 0:
+            return 0
+        cur = self.state.read_state(_ROLLUP_TABLE, ROLLUP_SCHEMA)
+        merged = (
+            cur.unionByName(partial)
+            .groupBy("group_key")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+                F.max("max_offset").alias("max_offset"),
+            )
+        )
+        self.state.write_state(_ROLLUP_TABLE, merged)
+        return int(n_new)
+
+    def read(self) -> DataFrame:
+        """The current rollup — always a complete snapshot."""
+        return self.state.read_state(_ROLLUP_TABLE, ROLLUP_SCHEMA)

@@ -129,3 +129,56 @@ def test_lock_contention_two_views_same_partition(store):
     b = store.stream_events("v2", limit=1).collect()
     assert len(a) == 1 and len(b) == 1
     assert a[0]["event_id"] == e1 and b[0]["event_id"] == e1
+
+
+def test_materialized_rollup_incremental_matches_full(store, spark, tmp_path):
+    """Continuous aggregate: 3 incremental refreshes == full recompute;
+    a restarted instance resumes from the on-disk watermark."""
+    import pyspark.sql.functions as F
+
+    from fstore_sql_spark.streaming import MaterializedRollup
+
+    store.register_decider_event("order", "e", "x")
+    store.register_decider_event("user", "e", "x")
+    roll = MaterializedRollup(
+        spark, store, str(tmp_path / "rollup"), value_json_key="v"
+    )
+
+    def batch(dec, vals):
+        rows = []
+        for v in vals:
+            rows.append(
+                {"event": "e", "event_id": str(uuid.uuid4()), "decider": dec,
+                 "decider_id": f"{dec}-{uuid.uuid4()}", "previous_id": None,
+                 "data": '{"v": %d}' % v}
+            )
+        store.append_batch(rows)
+
+    batch("order", [1, 2, 3])
+    assert roll.refresh() == 3
+    batch("user", [10])
+    batch("order", [5])
+    assert roll.refresh() == 2
+    assert roll.refresh() == 0  # idempotent when no new events
+
+    got = {r.group_key: (r.n_events, r.total_value) for r in roll.read().collect()}
+    full = {
+        r.decider: (r.n, r.tv)
+        for r in store.events()
+        .groupBy("decider")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.get_json_object("data", "$.v").cast("long")).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == full == {"order": (4, 11), "user": (1, 10)}
+
+    # restart: new instance reads the same snapshot, continues folding
+    roll2 = MaterializedRollup(
+        spark, store, str(tmp_path / "rollup"), value_json_key="v"
+    )
+    batch("user", [7])
+    assert roll2.refresh() == 1
+    got2 = {r.group_key: (r.n_events, r.total_value) for r in roll2.read().collect()}
+    assert got2["user"] == (2, 17)
