@@ -26,6 +26,13 @@ FLAGSHIP = [
     ("trailing_7d_active_users", "sliding COUNT DISTINCT as band join"),
     ("time_weighted_value", "TWA: window + agg share user_id partitioning"),
     ("peak_concurrency_daily", "sweep line: per-day windows + broadcast carry"),
+    ("rolling_7d_median_revenue", "rolling order statistic: daily spine + broadcast band join"),
+    ("running_distinct_types", "one shuffle serves both windows (user_id subset key)"),
+    ("join_key_skew_report", "hot-key diagnosis: agg + 1-row rollup broadcast + top-k"),
+    ("zorder_bucket_stats", "Morton interleave is scan-side codegen math, one agg"),
+    ("frequent_words_mg", "MG sketch prune (mapInPandas) + broadcast semi-join exact verify"),
+    ("triangle_count", "oriented-edge closure: broadcast self-joins, no SMJ"),
+    ("snapshot_diff_users", "two aligned aggregates + full outer join, no extra shuffle"),
 ]
 
 
