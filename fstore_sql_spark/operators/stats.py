@@ -1473,3 +1473,88 @@ def source_decile_profile(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Window distribution family (cume_dist / nth_value / last_value frame)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "window_distribution_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(cume_dist() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+               AS DOUBLE) AS cdist,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_orderkey,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_orderkey
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_distribution_family(spark, sf_dir):
+    """The distribution half of the window family (complements
+    `window_function_family`): CUME_DIST, NTH_VALUE and LAST_VALUE with
+    the full-partition frame — the frame spec matters (default frames
+    stop at CURRENT ROW, the classic last_value bug); all three share one
+    sort inside one hash partitioning."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.cume_dist().over(w).alias("cdist"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_orderkey"),
+            F.last("o_orderkey").over(wf).alias("last_orderkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Regex scalar-function family
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "regex_function_showcase",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, 'scan'))) AS BIGINT)
+               AS n_scan_hits,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'join.*join')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_double_join,
+           CAST(SUM(len(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT)
+               AS total_consonant_chars,
+           CAST(SUM(CASE WHEN regexp_extract(text, '^(\\w+)', 1) = 'the'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_the_start
+    FROM documents GROUP BY source
+    """,
+)
+def regex_function_showcase(spark, sf_dir):
+    """The regexp scalar family (count / boolean match / global replace /
+    group extract) — all four run scan-side inside whole-stage codegen
+    (JVM regex, not Python), aggregated to exact integers per source.
+    Pattern dialect is kept to the RE2 ∩ java.util.regex common subset so
+    Spark and DuckDB agree."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.regexp_count("text", F.lit("scan"))).alias("n_scan_hits"),
+        F.sum(
+            F.when(F.col("text").rlike("join.*join"), 1).otherwise(0)
+        ).alias("n_double_join"),
+        F.sum(
+            F.length(F.regexp_replace("text", "[aeiou]", ""))
+        ).alias("total_consonant_chars"),
+        F.sum(
+            F.when(F.regexp_extract("text", r"^(\w+)", 1) == "the", 1).otherwise(0)
+        ).alias("n_the_start"),
+    )
