@@ -1558,3 +1558,131 @@ def regex_function_showcase(spark, sf_dir):
             F.when(F.regexp_extract("text", r"^(\w+)", 1) == "the", 1).otherwise(0)
         ).alias("n_the_start"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Weighted median (cumulative-weight crossing, exact)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)), l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag) AS tot_wt
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median_price,
+           CAST(MAX(tot_wt) AS DOUBLE) AS total_weight
+    FROM w
+    WHERE cum_wt * 2 >= tot_wt
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Weight-aware median — the 50%-of-total-WEIGHT crossing point
+    (here: price weighted by quantity), which plain PERCENTILE_CONT
+    cannot express.  Running and total weight sums stay in exact decimal,
+    the crossing test is integer-exact (cum*2 ≥ tot), and the answer is
+    the MIN price past the crossing — all deterministic, no
+    interpolation.  Both windows and the final aggregate share the
+    returnflag hash partitioning: one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    price, wt = _dec("l_extendedprice"), _dec("l_quantity")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        price.alias("price"), wt.alias("wt"),
+    ).select(
+        "l_returnflag", "price",
+        F.sum("wt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_wt"),
+        F.sum("wt").over(wp).alias("tot_wt"),
+    )
+    return (
+        w.filter(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price"),
+            F.max("tot_wt").cast("double").alias("total_weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Association mining: event-type co-occurrence lift
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "event_type_lift",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    supp AS (
+        SELECT event_type, COUNT(*) AS n_type FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(p.n_both * n.n AS DOUBLE)
+               / CAST(sa.n_type * sb.n_type AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.event_type = p.type_a
+    JOIN supp sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users n
+    """,
+)
+def event_type_lift(spark, sf_dir):
+    """Market-basket lift over (user → event-type) baskets: how much more
+    often two behaviors co-occur than independence predicts (lift =
+    P(a,b)/P(a)P(b)).  The basket table is the DISTINCT projection —
+    |users|·|types| max — so the self-join is bounded and the whole
+    pipeline is association mining without an itemset library.  All
+    probabilities reduce to one double division of exact integer
+    products."""
+    e = load(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    n_users = e.agg(F.count_distinct("user_id").alias("n"))
+    supp = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = baskets.select("user_id", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("na"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_both",
+            (
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
