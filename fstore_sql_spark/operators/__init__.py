@@ -3,6 +3,7 @@
 Modules register their driver-gate queries into
 ``fstore_sql_spark.queries.QUERIES/ORACLES`` on import:
 
+    asof        — general as-of join (merge-sorted union + LOCF, 1 shuffle)
     dedup       — exact / normalized / MinHash+LSH / n-gram Jaccard / SimHash
     grouped     — applyInPandas grouped-map custom aggregation (oracle-gated)
     similarity  — brute-force cosine top-k + IVF-style blocked ANN
@@ -16,6 +17,7 @@ Modules register their driver-gate queries into
 """
 
 from fstore_sql_spark.operators import (  # noqa: F401
+    asof,
     dedup,
     graph,
     layout,

@@ -1686,3 +1686,403 @@ def event_type_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Chi-square test of independence (lang × source)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "chi2_lang_source",
+    """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT lang, SUM(n) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT source, SUM(n) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(n) AS big_n FROM cells),
+    terms AS (
+        SELECT cells.lang, cells.source,
+               CAST(CAST(cells.n * t.big_n - r.r * c.c AS DECIMAL(19,0))
+                    * CAST(cells.n * t.big_n - r.r * c.c AS DECIMAL(19,0))
+                    AS DOUBLE)
+                   / CAST(r.r * c.c * t.big_n AS DOUBLE) AS term
+        FROM cells
+        JOIN rows_ r ON r.lang = cells.lang
+        JOIN cols_ c ON c.source = cells.source
+        CROSS JOIN tot t
+    )
+    SELECT CAST(SUM(CAST(ROUND(term, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS chi2,
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents) - 1 AS BIGINT)
+               * CAST((SELECT COUNT(DISTINCT source) FROM documents) - 1
+                      AS BIGINT) AS dof,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    FROM terms
+    """,
+)
+def chi2_lang_source(spark, sf_dir):
+    """Pearson chi-square test of independence between two categorical
+    columns — the statistical upgrade of ``lang_source_mutual_info``.
+    Each cell term is ((n·N − r·c)²)/(r·c·N): an exact int128 DECIMAL
+    numerator over an exact BIGINT denominator, ONE double division per
+    cell, then the round-to-decimal order-free summation.  The
+    contingency table is a tiny aggregate, so row/column marginals come
+    from windows over it — one shuffle total."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        cells.withColumn("r", F.sum("n").over(Window.partitionBy("lang")))
+        .withColumn("c", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn("big_n", F.sum("n").over(Window.partitionBy()))
+    )
+    diff = (F.col("n") * F.col("big_n") - F.col("r") * F.col("c")).cast(
+        "decimal(19,0)"
+    )
+    term = (diff * diff).cast("double") / (
+        F.col("r") * F.col("c") * F.col("big_n")
+    ).cast("double")
+    n_langs = F.size(F.collect_set("lang").over(Window.partitionBy()))
+    n_sources = F.size(F.collect_set("source").over(Window.partitionBy()))
+    return (
+        cells.withColumn("n_l", n_langs)
+        .withColumn("n_s", n_sources)
+        .groupBy()
+        .agg(
+            F.sum(F.round(term, 9).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("chi2"),
+            (
+                (F.max("n_l") - F.lit(1)).cast("long")
+                * (F.max("n_s") - F.lit(1)).cast("long")
+            ).alias("dof"),
+            F.max("big_n").cast("long").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Benford first-digit profile (fraud/quality screening)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "benford_price_digits",
+    """
+    WITH digits AS (
+        SELECT SUBSTR(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS
+                           VARCHAR), 1, 1) AS first_digit
+        FROM lineitem
+    ),
+    counted AS (
+        SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY 1
+    )
+    SELECT first_digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+           LOG10(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) AS benford_p
+    FROM counted
+    """,
+)
+def benford_price_digits(spark, sf_dir):
+    """Benford's-law first-digit screen over a monetary column — the
+    classic anomaly probe for fabricated or truncated numeric data.  The
+    digit is taken from the DECIMAL(18,2) string rendering (deterministic
+    in both engines, no float log/pow at the boundary); observed share is
+    one double division of exact counts, and the Benford expectation
+    log10(1 + 1/d) is a per-row double expression on the same operand."""
+    li = load(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(_dec("l_extendedprice").cast("string"), 1, 1).alias(
+            "first_digit"
+        )
+    )
+    counted = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())
+    return counted.select(
+        "first_digit",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / tot.cast("double")).alias("share"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit").cast("double"))
+        .alias("benford_p"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Gini coefficient of revenue concentration per nation
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "gini_revenue_by_nation",
+    """
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev, c_custkey) AS i
+        FROM cust_rev
+    ),
+    g AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               SUM(rev) AS s,
+               SUM(CAST(i AS DECIMAL(10,0)) * rev) AS s1
+        FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name,
+           CAST(n_cust AS BIGINT) AS n_customers,
+           CAST(s AS DOUBLE) AS total_revenue,
+           CAST(2 * s1 - (n_cust + 1) * s AS DOUBLE)
+               / CAST(n_cust * s AS DOUBLE) AS gini
+    FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+    """,
+)
+def gini_revenue_by_nation(spark, sf_dir):
+    """Gini coefficient of customer-revenue concentration within each
+    nation — inequality profiling via the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on ascending-sorted exact decimal
+    revenues (custkey tie-break ⇒ deterministic under ties).  Per-nation
+    windows parallelize across nations; numerator and denominator stay
+    decimal-exact with ONE final double division.  Customers without
+    orders are out of frame (inner join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    cust_rev = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "c_custkey")
+    ranked = cust_rev.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("i").cast("decimal(10,0)") * F.col("rev")).alias("s1"),
+    )
+    return g.join(
+        F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+        g.c_nationkey == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        F.col("n_cust").cast("long").alias("n_customers"),
+        F.col("s").cast("double").alias("total_revenue"),
+        (
+            (F.lit(2) * F.col("s1") - (F.col("n_cust") + F.lit(1)) * F.col("s"))
+            .cast("double")
+            / (F.col("n_cust") * F.col("s")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Data-quality assertion suite (dbt-tests / Great-Expectations shape)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "dq_assertion_suite",
+    """
+    WITH o AS (
+        SELECT COUNT(*) AS total,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS bad_status
+        FROM orders
+    ),
+    li AS (
+        SELECT COUNT(*) AS total,
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS pk_dup,
+               SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                        THEN 1 ELSE 0 END) AS bad_qty,
+               SUM(CASE WHEN l_discount NOT BETWEEN 0 AND 1
+                        THEN 1 ELSE 0 END) AS bad_disc
+        FROM lineitem
+    ),
+    fk1 AS (
+        SELECT COUNT(*) AS v FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    fk2 AS (
+        SELECT COUNT(*) AS v FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS passed
+    FROM (
+        SELECT 'orders_pk_unique' AS check_name, pk_dup AS violations,
+               total FROM o
+        UNION ALL
+        SELECT 'orders_totalprice_positive', bad_price, total FROM o
+        UNION ALL
+        SELECT 'orders_status_domain', bad_status, total FROM o
+        UNION ALL
+        SELECT 'lineitem_pk_unique', pk_dup, total FROM li
+        UNION ALL
+        SELECT 'lineitem_quantity_range', bad_qty, total FROM li
+        UNION ALL
+        SELECT 'lineitem_discount_range', bad_disc, total FROM li
+        UNION ALL
+        SELECT 'orders_custkey_fk', fk1.v, o.total FROM fk1, o
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', fk2.v, li.total FROM fk2, li
+    )
+    """,
+)
+def dq_assertion_suite(spark, sf_dir):
+    """Declarative data-quality assertions (the dbt-tests /
+    Great-Expectations contract): PK uniqueness, value domains, range
+    checks and referential integrity, emitted as one long-form
+    (check, violations, total, passed) report.  All row-level checks for
+    a table fuse into ONE conditional-aggregate scan; FK checks are
+    anti-joins (broadcast when the dimension is small); at 100 TB the
+    suite costs two fact scans plus two hash joins — no per-check
+    re-scan."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    def row(name, viol, total):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            viol.cast("long").alias("violations"),
+            total.cast("long").alias("total"),
+        )
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    ).select(
+        F.explode(
+            F.array(
+                row("orders_pk_unique", F.col("pk_dup"), F.col("total")),
+                row("orders_totalprice_positive", F.col("bad_price"), F.col("total")),
+                row("orders_status_domain", F.col("bad_status"), F.col("total")),
+            )
+        ).alias("chk")
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
+        ).alias("pk_dup"),
+        F.sum(
+            F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when(~F.col("l_discount").between(0, 1), 1).otherwise(0)
+        ).alias("bad_disc"),
+    ).select(
+        F.explode(
+            F.array(
+                row("lineitem_pk_unique", F.col("pk_dup"), F.col("total")),
+                row("lineitem_quantity_range", F.col("bad_qty"), F.col("total")),
+                row("lineitem_discount_range", F.col("bad_disc"), F.col("total")),
+            )
+        ).alias("chk")
+    )
+    fk1 = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey,
+               "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("total")))
+        .select(row("orders_custkey_fk", F.col("v"), F.col("total")).alias("chk"))
+    )
+    fk2 = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey,
+                "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("total")))
+        .select(row("lineitem_orderkey_fk", F.col("v"), F.col("total")).alias("chk"))
+    )
+    return (
+        o_agg.unionByName(li_agg)
+        .unionByName(fk1)
+        .unionByName(fk2)
+        .select("chk.*")
+        .withColumn(
+            "passed",
+            F.when(F.col("violations") == 0, 1).otherwise(0).cast("long"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Lag-1 autocorrelation of the daily revenue series
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "autocorr_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT rev AS y,
+               LAG(rev) OVER (ORDER BY d) AS x
+        FROM daily
+    ),
+    pairs AS (SELECT x, y FROM lagged WHERE x IS NOT NULL),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM m
+    """,
+)
+def autocorr_daily_revenue(spark, sf_dir):
+    """Lag-1 autocorrelation of daily revenue — is today's revenue
+    predictive of tomorrow's?  The daily series is an exact decimal
+    aggregate, LAG pairs it with itself shifted by one day, and Pearson's
+    r comes from the same exact co-moment formula as
+    ``corr_quantity_price``: decimal sums all the way, one final double
+    expression (sqrt is IEEE-correctly-rounded, so it is cross-engine
+    deterministic).  The single-task global LAG window is over the tiny
+    daily aggregate, not the fact table."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    lagged = daily.select(
+        F.col("rev").alias("y"),
+        F.lag("rev").over(Window.orderBy("d")).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / (dx * dy)).alias("autocorr_lag1"),
+    )
