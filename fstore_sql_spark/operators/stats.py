@@ -1655,19 +1655,24 @@ def weighted_median_price(spark, sf_dir):
 def event_type_lift(spark, sf_dir):
     """Market-basket lift over (user → event-type) baskets: how much more
     often two behaviors co-occur than independence predicts (lift =
-    P(a,b)/P(a)P(b)).  The basket table is the DISTINCT projection —
-    |users|·|types| max — so the self-join is bounded and the whole
-    pipeline is association mining without an itemset library.  All
-    probabilities reduce to one double division of exact integer
-    products."""
+    P(a,b)/P(a)P(b)).  NO self-join: each user's distinct type-set is
+    collected ONCE (bounded by the type vocabulary), and co-occurrence
+    pairs explode locally out of that array — the same pair multiset the
+    oracle's basket self-join produces, at one fact shuffle instead of
+    three plus a join whose hot-user cost the array form caps by
+    construction.  All probabilities reduce to one double division of
+    exact integer products."""
     e = load(spark, sf_dir, "events")
-    baskets = e.select("user_id", "event_type").distinct()
-    n_users = e.agg(F.count_distinct("user_id").alias("n"))
-    supp = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
-    a = baskets.select("user_id", F.col("event_type").alias("type_a"))
-    b = baskets.select("user_id", F.col("event_type").alias("type_b"))
+    sets = e.groupBy("user_id").agg(F.collect_set("event_type").alias("types"))
+    n_users = sets.agg(F.count(F.lit(1)).alias("n"))
+    supp = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
     pairs = (
-        a.join(b, "user_id")
+        sets.select(F.explode("types").alias("type_a"), "types")
+        .select("type_a", F.explode("types").alias("type_b"))
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
