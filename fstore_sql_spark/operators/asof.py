@@ -55,14 +55,24 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in carry]
     )
+    # Tiebreaker keeps its NATIVE type: Window.orderBy sorts any orderable
+    # column, and casting (say) string UUIDs or >2^53 int64 ids to double
+    # would null/collide them and make the "highest wins" promise
+    # nondeterministic.  Left rows carry a NULL of the same type (their
+    # __ord is never compared against right rows — __is_right DESC sorts
+    # all equal-ts rights first).
+    if right_order:
+        ord_type = right.schema[right_order].dataType
+        r_ord = F.col(right_order)
+        l_ord = F.lit(None).cast(ord_type)
+    else:
+        r_ord = F.lit(0)
+        l_ord = F.lit(0)
     r = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
-        F.coalesce(
-            F.col(right_order).cast("double") if right_order else F.lit(0.0),
-            F.lit(0.0),
-        ).alias("__ord"),
+        r_ord.alias("__ord"),
         payload.alias("__p"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
@@ -70,7 +80,7 @@ def asof_join(
         *on,
         F.col(ts).alias("__t"),
         F.lit(0).alias("__is_right"),
-        F.lit(0.0).alias("__ord"),
+        l_ord.alias("__ord"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )

@@ -49,8 +49,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _norm_ntz(df)
+    return _norm_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _norm_ntz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-zone TimestampType.
+
+    Parquet timestamps with ``isAdjustedToUTC=false`` read as
+    TIMESTAMP_NTZ under Spark 4's default ntz inference — a type that
+    rejects direct casts to BIGINT and breaks epoch arithmetic the
+    queries rely on.  The engine session pins timezone UTC, so the cast
+    preserves wall-clock values exactly and agrees with how DuckDB (the
+    oracle) evaluates EPOCH() on the same naive timestamps.  Applied in
+    ``load`` so query code is correct under ANY caller-provided session
+    (the driver gate passes its own SparkSession)."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def query(name: str, oracle: str | None = None):

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # tz-less parquet timestamps read as session-zone TIMESTAMP, not
+        # TIMESTAMP_NTZ — keeps epoch arithmetic (cast to long) legal and
+        # matches how the DuckDB oracle treats the same naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZType", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

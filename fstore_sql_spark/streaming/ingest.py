@@ -84,7 +84,13 @@ class IngestionPipeline:
             .cast("long"),
         )
         try:
-            self.store.append_batch(ordered)
+            # on_conflict="ignore" is the at-least-once recovery mode: a
+            # crash between append and checkpoint commit replays this
+            # micro-batch, and the already-committed event_ids are dropped
+            # instead of raising DuplicateEventIdError (which would either
+            # poison-loop the stream or falsely dead-letter a fully
+            # committed batch).  Genuine validation failures still raise.
+            self.store.append_batch(ordered, on_conflict="ignore")
         except Exception as exc:  # noqa: BLE001 — poison-batch routing
             if self.on_error is None:
                 raise

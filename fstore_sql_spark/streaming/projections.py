@@ -77,8 +77,20 @@ class StreamProjection:
     def _merge(self, partial: DataFrame, _batch_id: int) -> None:
         """MERGE the batch partial into the snapshot: matched rows fold
         (count/value add, last-* overwritten by the newer offset),
-        unmatched insert."""
+        unmatched insert.
+
+        Replay-idempotent: the snapshot's global ``max(last_offset)`` is a
+        fold watermark (the same guard ``MaterializedRollup`` uses).  The
+        log is consumed in offset order and micro-batch replay after a
+        crash re-presents an identical batch, so trimming folded offsets
+        out of the partial makes a replayed batch a no-op instead of
+        double-counting the additive measures."""
         cur = self.state.read_state(_TABLE, PROJECTION_SCHEMA)
+        wm_row = cur.agg(F.max("last_offset").alias("wm")).collect()[0]
+        if wm_row["wm"] is not None:
+            partial = partial.filter(F.col("last_offset") > F.lit(wm_row["wm"]))
+        if partial.isEmpty():
+            return
         p = partial.select(
             F.col("decider_id"),
             F.col("n_events").alias("p_n"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import urllib.request
 
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from fstore_sql_spark.store import EventStore
@@ -59,7 +60,7 @@ class PushDelivery:
     def start(self, view: str) -> StreamingQuery:
         """T8: start the named push query for a view with a non-null
         pooling_delay_s (/root/reference/extensions.sql:61-81)."""
-        cfg = self.store.views().filter(f"view = '{view}'").collect()
+        cfg = self.store.views().filter(F.col("view") == view).collect()
         if not cfg:
             raise ValueError(f"view {view!r} is not registered")
         row = cfg[0]
