@@ -222,6 +222,44 @@ class ParquetStore:
         target = os.path.join(self._state_dir(table), f"v{version:08d}")
         return self.spark.read.schema(schema).parquet(target)
 
+    # ------------------------------------------------------------------ #
+    # pyarrow fast path (no Spark job) — the LocksLedger hot path.
+    # Same snapshot layout, so Spark reads and pyarrow reads/writes are
+    # interchangeable per version; pyarrow ignores _SUCCESS/_metadata
+    # (default ignore_prefixes) so Spark-written snapshots load cleanly.
+    # ------------------------------------------------------------------ #
+
+    def read_state_pandas(self, table: str):
+        import pyarrow.parquet as pq
+
+        version = self.state_version(table)
+        target = os.path.join(self._state_dir(table), f"v{version:08d}")
+        return pq.read_table(target).to_pandas()
+
+    def write_state_pandas(self, table: str, pdf) -> int:
+        """Snapshot write via pyarrow: ~ms instead of a Spark job — sized
+        for the claim/ack tick where per-commit latency, not row count, is
+        the cost (consumer state is small; see ledger.py scale note)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            version = self.state_version(table) + 1
+            target = os.path.join(self._state_dir(table), f"v{version:08d}")
+            os.makedirs(target, exist_ok=True)
+            # timestamps as micros: what Spark's TimestampType round-trips
+            pdf = pdf.copy()
+            for c in pdf.columns:
+                if str(pdf[c].dtype).startswith("datetime64"):
+                    pdf[c] = pdf[c].astype("datetime64[us]")
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(target, "part-00000.parquet"),
+            )
+            _atomic_write(self._latest_path(table), str(version))
+            self._gc_state(table, keep=4)
+            return version
+
     def _gc_state(self, table: str, keep: int) -> None:
         """Drop snapshots older than the last ``keep`` (Delta VACUUM analogue)."""
         base = self._state_dir(table)

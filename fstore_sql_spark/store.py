@@ -45,10 +45,12 @@ import uuid as _uuid
 from contextlib import contextmanager
 from datetime import datetime, timedelta, timezone
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fstore_sql_spark import errors
+from fstore_sql_spark.ledger import LocksLedger
 from fstore_sql_spark.schemas import (
     DECIDERS_SCHEMA,
     EVENTS_SCHEMA,
@@ -77,6 +79,14 @@ class EventStore:
     reads are safe from anywhere.
     """
 
+    # Read-ahead depth of the delivery cache: one refill Spark job fetches
+    # the next K unread events per claimed partition; the following K-1
+    # claims of that partition are served driver-side (see stream_events).
+    PREFETCH_DEPTH = 16
+    # Total cached event rows across (view, partition) windows before LRU
+    # eviction — bounds driver memory like any client-side cursor buffer.
+    PREFETCH_MAX_ROWS = 50_000
+
     def __init__(self, spark: SparkSession, path: str, cache_log: bool = True):
         self.spark = spark
         self.storage = ParquetStore(spark, path)
@@ -85,10 +95,19 @@ class EventStore:
         self._events_cached: DataFrame | None = None
         self._hwm_cached: DataFrame | None = None
         self._state_cached: dict[str, DataFrame] = {}
+        # (view, decider_id) -> {"lo": fetch-time last_offset, "rows":
+        # [Row sorted by offset], "complete": window reached hwm}
+        self._prefetch: dict[tuple[str, str], dict] = {}
         self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
         self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
         self.storage.init_state(_VIEWS, VIEWS_SCHEMA)
         self.storage.init_state(_LOCKS, LOCKS_STATE_SCHEMA)
+        # Consumer-state authority: in-memory + pyarrow-flushed snapshots +
+        # cross-process lease lock (the SKIP LOCKED analogue) — see
+        # ledger.py module doc.  Lock mutations never run Spark jobs.
+        self.ledger = LocksLedger(self.storage, _LOCKS)
+        self._hwm_pdf: pd.DataFrame | None = None
+        self._seen_commit_id = self.storage.read_manifest(_EVENTS).commit_id
 
     # ------------------------------------------------------------------ #
     # table accessors
@@ -137,6 +156,35 @@ class EventStore:
         if self._hwm_cached is not None:
             self._hwm_cached.unpersist()
             self._hwm_cached = None
+        self._hwm_pdf = None
+        # Append-only log ⇒ cached windows stay VALID within a commit
+        # generation; a new commit may extend a window marked complete, so
+        # drop on every invalidation (cheap — it's a read-ahead cache).
+        self._prefetch.clear()
+
+    def _hwm_pandas(self) -> pd.DataFrame:
+        """Driver-resident copy of the per-partition high-watermark
+        (index decider_id; columns offset, offset_final) — what the claim
+        path reads every tick.  Derived (never dual-written): full
+        recompute from the log on first need, then merged incrementally
+        from each committed batch's own aggregate (`_commit`), so steady
+        ingest+deliver never re-collects the full watermark table.
+        Cardinality = #partitions — the same driver-central ceiling as the
+        ledger (and the reference's locks table)."""
+        if self._hwm_pdf is None:
+            self._hwm_pdf = (
+                self._hwm().toPandas().set_index("decider_id").sort_index()
+            )
+        return self._hwm_pdf
+
+    def _refresh_external(self) -> None:
+        """Cross-process read freshness: if ANOTHER committer advanced the
+        manifest since our caches were built, drop them so claims see the
+        new events.  One tiny JSON read per call."""
+        commit = self.storage.read_manifest(_EVENTS).commit_id
+        if commit != self._seen_commit_id:
+            self._invalidate_log_cache()
+            self._seen_commit_id = commit
 
     def deciders(self) -> DataFrame:
         """Registry state, persisted between registrations: C3 validation
@@ -172,21 +220,34 @@ class EventStore:
         eagerly in the reference (/root/reference/schema.sql:240-263), but
         computed instead of dual-written (SURVEY.md §7.5).
         """
-        state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
         # Per-partition high-watermark: max offset + final flag of last event.
         # max_by == DISTINCT ON (decider_id) ... ORDER BY offset DESC
-        # (/root/reference/schema.sql:290-294).  Cached per log generation.
-        hwm = self._hwm()
-        return state.join(hwm, "decider_id", "inner").select(
-            "view",
-            "decider_id",
-            "offset",
-            "last_offset",
-            "locked_until",
-            "offset_final",
-            "created_at",
-            "updated_at",
+        # (/root/reference/schema.sql:290-294).  Both sides are
+        # driver-resident (ledger + hwm frame), so the reference-shaped
+        # join is a pandas merge — no Spark job to expose the table.
+        self._refresh_external()
+        state = self.ledger.to_pandas()
+        hwm = self._hwm_pandas().reset_index()
+        schema = (
+            "view string, decider_id string, offset long, last_offset long, "
+            "locked_until timestamp, offset_final boolean, "
+            "created_at timestamp, updated_at timestamp"
         )
+        merged = state.merge(hwm, on="decider_id", how="inner")[
+            [
+                "view",
+                "decider_id",
+                "offset",
+                "last_offset",
+                "locked_until",
+                "offset_final",
+                "created_at",
+                "updated_at",
+            ]
+        ]
+        if merged.empty:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(merged, schema=schema)
 
     def compact(self, target_partitions: int | None = None) -> int:
         """OPTIMIZE analogue: rewrite the event log clustered by
@@ -632,11 +693,41 @@ class EventStore:
         finished = finished.persist()
         try:
             assert finished.count() == n
-            self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
+            # Incremental high-watermark maintenance: aggregate THIS batch
+            # (already persisted) and merge into the driver hwm frame, so
+            # steady ingest+deliver never recomputes the full watermark
+            # from the log.  Skipped (left to lazy full recompute) when no
+            # claim path has materialized the frame yet.
+            batch_hwm = None
+            if self._hwm_pdf is not None:
+                batch_hwm = (
+                    finished.groupBy("decider_id")
+                    .agg(
+                        F.max("offset").alias("offset"),
+                        F.max_by("final", "offset").alias("offset_final"),
+                    )
+                    .toPandas()
+                    .set_index("decider_id")
+                )
+            # Crash-atomicity: advance the manifest BEFORE the log append.
+            # A crash between the two then yields only an offset gap (which
+            # BIGSERIAL permits — rollback gaps, SURVEY.md §7.4), never
+            # duplicate offsets: rows are visible in the log only after a
+            # completed append (Spark's parquet committer stages task files
+            # in _temporary until job commit), and the next committer reads
+            # the already-advanced max_offset.  The reference gets this
+            # from the Postgres transaction; manifest-first is the
+            # log-shipping equivalent.
             self.storage.write_manifest(
                 _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
             )
+            self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
+            prior_hwm = self._hwm_pdf
             self._invalidate_log_cache()
+            self._seen_commit_id = txn
+            if batch_hwm is not None and prior_hwm is not None:
+                kept = prior_hwm.drop(index=batch_hwm.index, errors="ignore")
+                self._hwm_pdf = pd.concat([kept, batch_hwm]).sort_index()
         finally:
             finished.unpersist()
             if pinned is not None:
@@ -653,29 +744,24 @@ class EventStore:
         row per registered view for each partition born in this batch, with
         ``last_offset = 0`` and unlocked lease.  The update branch
         (refresh of offset/offset_final) is derived at read time instead
-        (SURVEY.md §7.5).  Implemented as views × fresh-keys cross join —
-        fully distributed, nothing collected (T6's own shape,
-        /root/reference/schema.sql:244-251 ``FROM views AS t1``)."""
+        (SURVEY.md §7.5).  Collects only the DISTINCT new-stream keys (not
+        event rows) into the driver-side ledger — bounded by the batch's
+        new-partition count, the same cardinality the reference INSERTs."""
         # Fast path: most appends extend existing streams — skip the locks
         # state write entirely when the batch opened no new partitions.
         if new_streams.first() is None:
             return
-        views = self.views().select("view")
-        if views.first() is None:  # no consumers registered — T6 is a no-op
+        views_pdf = self.views().select("view").toPandas()
+        if views_pdf.empty:  # no consumers registered — T6 is a no-op
             return
-        updates = (
-            F.broadcast(views)
-            .crossJoin(new_streams.select("decider_id").distinct())
-            .select(
-                "view",
-                "decider_id",
-                F.lit(0).cast("long").alias("last_offset"),
-                F.lit(now - _UNLOCK_DELTA).alias("locked_until"),
-                F.lit(now).alias("created_at"),
-                F.lit(now).alias("updated_at"),
-            )
-        )
-        self._merge_locks_state(updates, insert_only=True)
+        ids = new_streams.select("decider_id").distinct().toPandas()
+        rows = views_pdf.merge(ids, how="cross")
+        rows["last_offset"] = 0
+        rows["locked_until"] = pd.Timestamp(now - _UNLOCK_DELTA)
+        rows["created_at"] = pd.Timestamp(now)
+        rows["updated_at"] = pd.Timestamp(now)
+        with self.ledger.guard():
+            self.ledger.insert_missing(rows)
 
     # ------------------------------------------------------------------ #
     # A3 get_events / A4 get_last_event (/root/reference/schema.sql:348-367)
@@ -795,42 +881,36 @@ class EventStore:
         (SURVEY.md §2.4): for every existing partition
         ``last_offset = COALESCE((first offset with created_at >= start_at) - 1,
         partition max offset)`` — i.e. start from event-time position
-        ``start_at``, or mark fully consumed if nothing is newer."""
+        ``start_at``, or mark fully consumed if nothing is newer.
+
+        ONE Spark job (the event-time aggregate over the log, with the
+        ``created_at`` predicate pushed to the scan); the COALESCE against
+        the high-watermark and the merge are driver-side frame ops.
+        Result cardinality = #partitions — the ledger's stated ceiling."""
         events = self.events()
-        per_part = self._hwm().select("decider_id", F.col("offset").alias("max_offset"))
         first_after = (
             events.filter(F.col("created_at") >= F.lit(start_at))
             .groupBy("decider_id")
             .agg(F.min("offset").alias("first_after"))
+            .toPandas()
+            .set_index("decider_id")
         )
-        backfill = (
-            per_part.join(first_after, "decider_id", "left")
-            .select(
-                F.lit(view).alias("view"),
-                "decider_id",
-                F.coalesce(F.col("first_after") - 1, F.col("max_offset"))
-                .cast("long")
-                .alias("last_offset"),
-                F.lit(now - _UNLOCK_DELTA).alias("locked_until"),
-                F.lit(now).alias("created_at"),
-                F.lit(now).alias("updated_at"),
-            )
+        hwm = self._hwm_pandas()
+        if hwm.empty:
+            return
+        last = (first_after["first_after"] - 1).reindex(hwm.index)
+        rows = pd.DataFrame(
+            {
+                "view": view,
+                "decider_id": hwm.index,
+                "last_offset": last.fillna(hwm["offset"]).astype("int64").values,
+                "locked_until": pd.Timestamp(now - _UNLOCK_DELTA),
+                "created_at": pd.Timestamp(now),
+                "updated_at": pd.Timestamp(now),
+            }
         )
-        self._merge_locks_state(backfill, insert_only=False)
-
-    def _merge_locks_state(self, updates: DataFrame, insert_only: bool) -> None:
-        """MERGE INTO locks_state ON (view, decider_id) — Delta MERGE
-        analogue over snapshot storage.  ``insert_only`` mirrors the
-        reference's ON CONFLICT DO NOTHING-style insert branch of T6."""
-        state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
-        keys = ["view", "decider_id"]
-        if insert_only:
-            fresh = updates.join(state, keys, "leftanti")
-            merged = state.unionByName(fresh)
-        else:
-            kept = state.join(updates.select(*keys), keys, "leftanti")
-            merged = kept.unionByName(updates.select(*state.columns))
-        self.storage.write_state(_LOCKS, merged)
+        with self.ledger.guard():
+            self.ledger.upsert(rows)
 
     # ------------------------------------------------------------------ #
     # A6 stream_events (/root/reference/schema.sql:402-430)
@@ -842,136 +922,193 @@ class EventStore:
         event of each (≤ 1 event per partition, distinct partitions,
         /root/reference/schema.sql:399-400).
 
-        Claim concurrency: the reference uses ``FOR UPDATE SKIP LOCKED``
-        (/root/reference/schema.sql:411); here claims per store are
-        serialized through the committer lock — the single-coordinator
-        design of SURVEY.md §3.3/§7.5.  On Delta, a racing claim surfaces
-        as a commit conflict → retry/skip, the SKIP LOCKED analogue.
-        """
+        Claim concurrency — the ``FOR UPDATE SKIP LOCKED`` analogue
+        (/root/reference/schema.sql:411): threads serialize on the commit
+        lock, PROCESSES on the ledger's filesystem lease lock, under which
+        the ledger reloads any sibling process's flushed leases before
+        picking — so concurrent claimers always get disjoint partitions.
+
+        Cost model (the b3 hot path): the claim+lease is driver-side
+        (pandas over the ledger + hwm frames, one pyarrow snapshot flush)
+        — no Spark job.  Delivery reads through a READ-AHEAD cache: one
+        refill Spark job fetches the next ``PREFETCH_DEPTH`` unread
+        events per claimed partition (broadcast the claimed pairs against
+        one scan of the cached log, per-partition row_number ≤ K); the
+        next K−1 claims of those partitions are then served from the
+        driver buffer with no cluster work.  The delivered result is
+        driver-bound by contract anyway (the consumer collects ≤limit
+        single events), so buffering it driver-side is exactly a DB
+        cursor's read-ahead, not a scale compromise; the buffer is LRU
+        capped at ``PREFETCH_MAX_ROWS``.  Append-only log + per-commit
+        invalidation keep the cache trivially coherent.  The reference's
+        plan (schema.sql:418-428) does a B-tree probe per partition; this
+        does one batched probe per K rounds."""
         with self._commit_lock:
             now = _utcnow()
-            locks = self.locks()
-            # CTE `locked_view` (/root/reference/schema.sql:405-411): unlocked,
-            # has unread, ordered by high-watermark offset, limit.
-            claimable = (
-                locks.filter(
-                    (F.col("view") == view)
-                    & (F.col("locked_until") < F.lit(now))
-                    & (F.col("last_offset") < F.col("offset"))
+            self._refresh_external()
+            hwm = self._hwm_pandas()
+            with self.ledger.guard():
+                claimed = self.ledger.claim(
+                    view,
+                    hwm,
+                    int(limit),
+                    now,
+                    now + timedelta(seconds=int(seconds)),
                 )
-                .orderBy("offset")
-                .limit(int(limit))
-                .select("view", "decider_id", "last_offset")
-            )
-            claimed = claimable.collect()
             if not claimed:
                 return self.events().limit(0)
-            # CTE `update_locks` (/root/reference/schema.sql:412-417): lease.
-            lease_until = now + timedelta(seconds=int(seconds))
-            lease_rows = self.spark.createDataFrame(
-                [(view, r["decider_id"]) for r in claimed], "view string, decider_id string"
-            ).select(
-                "view",
-                "decider_id",
-                F.lit(lease_until).alias("locked_until"),
-                F.lit(now).alias("updated_at"),
-            )
-            self._update_locks_columns(lease_rows)
-            # CTE `next_offset` (/root/reference/schema.sql:418-423): per
-            # claimed partition, MIN(offset) above last_offset — broadcast
-            # the tiny claimed set against the log.
-            claimed_df = F.broadcast(
-                self.spark.createDataFrame(
-                    [(r["decider_id"], r["last_offset"]) for r in claimed],
-                    "decider_id string, last_offset long",
-                )
-            )
-            events = self.events()
-            next_offsets = (
-                events.join(claimed_df, "decider_id", "inner")
-                .filter(F.col("offset") > F.col("last_offset"))
-                .groupBy("decider_id")
-                .agg(F.min("offset").alias("offset"))
-            )
-            # Final semi join + sort (/root/reference/schema.sql:424-428).
-            return events.join(
-                F.broadcast(next_offsets.select("offset")), "offset", "leftsemi"
-            ).orderBy("offset")
+            served, missing = self._serve_from_prefetch(view, claimed)
+            if missing:
+                self._refill_prefetch(view, missing)
+                more, _ = self._serve_from_prefetch(view, missing)
+                served.extend(more)
+        if not served:
+            return self.events().limit(0)
+        served.sort(key=lambda r: r["offset"])
+        # pandas → Arrow ⇒ a true LocalRelation: .collect() is then a
+        # driver-local read (~10ms), where a tuple-list DataFrame would be
+        # RDD-backed and pay a full job per collect (~300ms measured).
+        cols = [f.name for f in EVENTS_SCHEMA.fields]
+        pdf = pd.DataFrame(served, columns=cols)
+        return self.spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
 
-    def _update_locks_columns(self, updates: DataFrame) -> None:
-        """Partial-column MERGE: update only the columns present in
-        ``updates`` (beyond the keys) for matching (view, decider_id) rows;
-        T5 updated_at bump included by callers
-        (/root/reference/schema.sql:223-237)."""
-        state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
-        keys = ["view", "decider_id"]
-        upd_cols = [c for c in updates.columns if c not in keys]
-        upd = updates.select(
-            *keys, *[F.col(c).alias(f"__new_{c}") for c in upd_cols]
+    def _serve_from_prefetch(
+        self, view: str, claimed: list[tuple[str, int]]
+    ) -> tuple[list, list[tuple[str, int]]]:
+        """Split claims into rows servable from cached windows vs needing
+        a refill.  A window fetched at consumer position ``lo`` covers
+        offsets (lo, last-row] completely (``complete`` = it reached the
+        partition watermark), so for a claim at position L ≥ lo the first
+        cached row above L IS the next unread event."""
+        served, missing = [], []
+        for decider_id, last_offset in claimed:
+            win = self._prefetch.get((view, decider_id))
+            row = None
+            if win is not None and last_offset >= win["lo"]:
+                # prune rows at or below the committed position
+                rows = win["rows"] = [
+                    r for r in win["rows"] if r["offset"] > last_offset
+                ]
+                win["lo"] = last_offset
+                if rows:
+                    row = rows[0]
+                elif win["complete"]:
+                    row = False  # definitively drained (hwm-stale claim)
+            if row is None:
+                missing.append((decider_id, last_offset))
+            elif row is not False:
+                served.append(row)
+        return served, missing
+
+    def _refill_prefetch(self, view: str, pairs: list[tuple[str, int]]) -> None:
+        """ONE Spark job: next K unread events for every partition in
+        ``pairs``.  Broadcast join + per-partition topK — the batched
+        index-probe analogue of schema.sql:418-423."""
+        k = self.PREFETCH_DEPTH
+        events = self.events()
+        pairs_df = F.broadcast(
+            self.spark.createDataFrame(pairs, "decider_id string, last_offset long")
         )
-        merged = state.join(F.broadcast(upd), keys, "left").select(
-            *keys,
-            *[
-                F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
-                if c in upd_cols
-                else F.col(c)
-                for c in [f.name for f in LOCKS_STATE_SCHEMA.fields if f.name not in keys]
-            ],
+        min_last = min(lo for _, lo in pairs)
+        w = Window.partitionBy("decider_id").orderBy("offset")
+        cols = [f.name for f in EVENTS_SCHEMA.fields]
+        fetched = (
+            events.filter(F.col("offset") > F.lit(min_last))
+            .join(pairs_df, "decider_id")
+            .filter(F.col("offset") > F.col("last_offset"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(*cols)
+            .toPandas()  # Arrow transfer; rows cached as plain dicts
         )
-        self.storage.write_state(_LOCKS, merged)
+        by_part: dict[str, list] = {}
+        for r in fetched.to_dict("records"):
+            by_part.setdefault(r["decider_id"], []).append(r)
+        for decider_id, last_offset in pairs:
+            rows = sorted(by_part.get(decider_id, []), key=lambda r: r["offset"])
+            self._prefetch[(view, decider_id)] = {
+                "lo": last_offset,
+                "rows": rows,
+                # fewer than K rows ⇒ the window reached the watermark
+                "complete": len(rows) < k,
+            }
+        self._evict_prefetch()
+
+    def _evict_prefetch(self) -> None:
+        total = sum(len(w["rows"]) for w in self._prefetch.values())
+        if total <= self.PREFETCH_MAX_ROWS:
+            return
+        for key in list(self._prefetch):  # dict order = insertion = LRU-ish
+            total -= len(self._prefetch.pop(key)["rows"])
+            if total <= self.PREFETCH_MAX_ROWS:
+                return
 
     # ------------------------------------------------------------------ #
     # A7/A8/A9 ack / nack / schedule_nack
     # (/root/reference/schema.sql:436-468)
     # ------------------------------------------------------------------ #
 
+    _LOCKS_VIEW_SCHEMA = (
+        "view string, decider_id string, offset long, last_offset long, "
+        "locked_until timestamp, offset_final boolean, "
+        "created_at timestamp, updated_at timestamp"
+    )
+
+    def _locks_rows(self, view: str, decider_ids: list[str]) -> DataFrame:
+        """RETURNING-clause analogue: reference-shaped lock rows for the
+        touched keys, built from the driver frames (no Spark job, no full
+        table materialization)."""
+        state = self.ledger.to_pandas()
+        state = state[
+            (state["view"] == view) & state["decider_id"].isin(decider_ids)
+        ]
+        merged = state.merge(
+            self._hwm_pandas().reset_index(), on="decider_id", how="inner"
+        )[
+            [
+                "view",
+                "decider_id",
+                "offset",
+                "last_offset",
+                "locked_until",
+                "offset_final",
+                "created_at",
+                "updated_at",
+            ]
+        ]
+        if merged.empty:
+            return self.spark.createDataFrame([], self._LOCKS_VIEW_SCHEMA)
+        return self.spark.createDataFrame(merged, schema=self._LOCKS_VIEW_SCHEMA)
+
     def ack_event(self, view: str, decider_id: str, offset: int) -> DataFrame:
         """Commit + release: last_offset = offset, locked_until = NOW()
         (/root/reference/schema.sql:436-446)."""
         now = _utcnow()
-        upd = self.spark.createDataFrame(
-            [(view, decider_id, int(offset))], "view string, decider_id string, last_offset long"
-        ).select(
-            "view",
-            "decider_id",
-            "last_offset",
-            F.lit(now).alias("locked_until"),
-            F.lit(now).alias("updated_at"),
-        )
-        with self._commit_lock:
-            self._update_locks_columns(upd)
-        return self.locks().filter(
-            (F.col("view") == view) & (F.col("decider_id") == decider_id)
-        )
+        with self._commit_lock, self.ledger.guard():
+            self.ledger.ack(view, [(decider_id, int(offset))], now)
+        return self._locks_rows(view, [decider_id])
 
-    def ack_events(self, view: str, acks: list[tuple[str, int]]) -> DataFrame:
-        """Batch commit: one state write for a micro-batch of
-        (decider_id, offset) acks — the consumer-side analogue of
-        ``append_batch``.  Per-pair semantics match ``ack_event``
-        (/root/reference/schema.sql:436-446); a consumer processing
-        ``stream_events(view, limit=N)`` output commits all N partitions
-        in a single O(1)-commits call instead of N row-at-a-time merges —
-        at cluster scale the per-commit latency, not the row count, is
-        the cost."""
+    def ack_events(
+        self, view: str, acks: list[tuple[str, int]], returning: bool = True
+    ) -> DataFrame | None:
+        """Batch commit: ONE ledger mutation + ONE snapshot flush for a
+        micro-batch of (decider_id, offset) acks — the consumer-side
+        analogue of ``append_batch``.  Per-pair semantics match
+        ``ack_event`` (/root/reference/schema.sql:436-446); at cluster
+        scale the per-commit latency, not the row count, is the cost.
+
+        ``returning=False`` skips building the RETURNING DataFrame and
+        returns None — the Kafka-commit-style void ack for delivery loops
+        that never read it (building a DataFrame costs a py4j round trip
+        even when unused)."""
         if not acks:
-            return self.locks().filter(F.lit(False))
+            return self.locks().filter(F.lit(False)) if returning else None
         now = _utcnow()
-        upd = self.spark.createDataFrame(
-            [(view, d, int(o)) for d, o in acks],
-            "view string, decider_id string, last_offset long",
-        ).select(
-            "view",
-            "decider_id",
-            "last_offset",
-            F.lit(now).alias("locked_until"),
-            F.lit(now).alias("updated_at"),
-        )
-        with self._commit_lock:
-            self._update_locks_columns(upd)
-        return self.locks().filter(
-            (F.col("view") == view)
-            & F.col("decider_id").isin([d for d, _ in acks])
-        )
+        with self._commit_lock, self.ledger.guard():
+            self.ledger.ack(view, [(d, int(o)) for d, o in acks], now)
+        if not returning:
+            return None
+        return self._locks_rows(view, [d for d, _ in acks])
 
     def nack_event(self, view: str, decider_id: str) -> DataFrame:
         """Release without committing ⇒ immediate redelivery
@@ -982,19 +1119,14 @@ class EventStore:
         """Delayed retry: locked_until = NOW() + interval
         (/root/reference/schema.sql:460-468)."""
         now = _utcnow()
-        upd = self.spark.createDataFrame(
-            [(view, decider_id)], "view string, decider_id string"
-        ).select(
-            "view",
-            "decider_id",
-            F.lit(now + timedelta(milliseconds=int(milliseconds))).alias("locked_until"),
-            F.lit(now).alias("updated_at"),
-        )
-        with self._commit_lock:
-            self._update_locks_columns(upd)
-        return self.locks().filter(
-            (F.col("view") == view) & (F.col("decider_id") == decider_id)
-        )
+        with self._commit_lock, self.ledger.guard():
+            self.ledger.set_locked_until(
+                view,
+                decider_id,
+                now + timedelta(milliseconds=int(milliseconds)),
+                now,
+            )
+        return self._locks_rows(view, [decider_id])
 
     # ------------------------------------------------------------------ #
     # unregister_view — DELETE FROM views + FK ON DELETE CASCADE on locks
@@ -1016,10 +1148,8 @@ class EventStore:
                 _VIEWS, self.views().filter(F.col("view") != view)
             )
             self._invalidate_state_cache(_VIEWS)
-            state = self.storage.read_state(_LOCKS, LOCKS_STATE_SCHEMA)
-            self.storage.write_state(
-                _LOCKS, state.filter(F.col("view") != view)
-            )
+            with self.ledger.guard():
+                self.ledger.delete_view(view)
             return deleted
 
     # ------------------------------------------------------------------ #

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import urllib.request
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -48,11 +49,26 @@ class PushDelivery:
     delete) trigger semantics in one idempotent pass.
     """
 
-    def __init__(self, store: EventStore, post=http_post, batch_limit: int = 1):
+    def __init__(
+        self,
+        store: EventStore,
+        post=http_post,
+        batch_limit: int = 1,
+        max_parallel_posts: int = 8,
+    ):
         self.store = store
         self.post = post
         # stream_events(view, 1) per tick, mirroring extensions.sql:40-42.
         self.batch_limit = batch_limit
+        # ASYNC transport, matching pg_net's background-worker semantics
+        # (/root/reference/extensions.sql:44-47): POSTs are submitted to a
+        # bounded pool and the tick returns immediately — one slow or dead
+        # endpoint can neither stall the delivery tick nor block other
+        # partitions' sends.  A failed/hung POST is simply never acked, so
+        # lease expiry redelivers (the same recovery pg_net relies on).
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_parallel_posts, thread_name_prefix="push-post"
+        )
         self._queries: dict[str, StreamingQuery] = {}
 
     # ------------------------------------------------------------------ #
@@ -70,16 +86,28 @@ class PushDelivery:
             raise ValueError(f"view {view!r} has no pooling_delay_s (client-pull view)")
         if view in self._queries:
             self.stop(view)
+        if self._pool._shutdown:  # restarted after stop_all → fresh pool
+            self._pool = ThreadPoolExecutor(
+                max_workers=self._pool._max_workers, thread_name_prefix="push-post"
+            )
 
         store, post, limit = self.store, self.post, self.batch_limit
+
+        pool = self._pool
+
+        def send(payload: dict) -> None:
+            try:
+                post(url, payload)
+            except Exception:  # noqa: BLE001 — no ack ⇒ lease-expiry retry
+                pass
 
         def deliver(_batch_df, _batch_id) -> None:
             # The tick payload is ignored; the claim runs on the store's
             # current snapshot (extensions.sql:40-42: stream_events LIMIT 1).
             events = store.stream_events(view, limit=limit).collect()
             for ev in events:
-                post(
-                    url,
+                pool.submit(
+                    send,
                     {
                         # jsonb_build_object shape, extensions.sql:46
                         "view": view,
@@ -132,3 +160,4 @@ class PushDelivery:
     def stop_all(self) -> None:
         for view in list(self._queries):
             self.stop(view)
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -1,0 +1,52 @@
+"""Spawn-safe child-process workers for the cross-process ledger tests.
+
+Kept outside the test module so ``multiprocessing`` spawn children import
+only pandas/pyarrow plumbing — no pytest, no SparkSession."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+
+def _now():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def claim_worker(root: str, out_path: str, rounds: int, limit: int) -> None:
+    """One consumer process: its own LocksLedger over the shared path,
+    claiming in a loop — the two-EventStore-processes-one-store scenario
+    (the reference's concurrent-connection claim test shape)."""
+    import pandas as pd
+
+    from fstore_sql_spark.ledger import LocksLedger
+    from fstore_sql_spark.storage import ParquetStore
+
+    storage = ParquetStore(None, root)
+    ledger = LocksLedger(storage)
+    hwm = pd.read_parquet(os.path.join(root, "hwm.parquet")).set_index("decider_id")
+    claims: list[str] = []
+    for _ in range(rounds):
+        with ledger.guard():
+            got = ledger.claim(
+                "v", hwm, limit, _now(), _now() + timedelta(seconds=300)
+            )
+        claims.extend(d for d, _ in got)
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(claims, f)
+
+
+def lock_counter_worker(root: str, iters: int) -> None:
+    """Increment a shared file counter under ProcessLock — lost updates
+    reveal a broken mutex."""
+    from fstore_sql_spark.ledger import ProcessLock
+
+    lock = ProcessLock(os.path.join(root, "_PROCLOCK"))
+    counter = os.path.join(root, "counter.txt")
+    for _ in range(iters):
+        with lock.held():
+            with open(counter, encoding="utf-8") as f:
+                n = int(f.read().strip())
+            with open(counter, "w", encoding="utf-8") as f:
+                f.write(str(n + 1))

@@ -1,0 +1,249 @@
+"""LocksLedger unit + cross-process tests (no SparkSession needed).
+
+The ledger is the consumer-state authority behind stream_events/ack —
+the ``FOR UPDATE SKIP LOCKED`` analogue
+(/root/reference/schema.sql:402-446).  These tests pin:
+
+- claim/ack/nack semantics at the frame level (fast, Spark-free),
+- snapshot durability + staleness reload between two ledger instances
+  (what two EventStore PROCESSES on one path observe), and
+- the cross-process disjointness contract via real ``multiprocessing``
+  spawn children hammering one store path concurrently.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import tempfile
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+
+from fstore_sql_spark.ledger import LocksLedger, ProcessLock
+from fstore_sql_spark.storage import ParquetStore
+from tests._ledger_worker import claim_worker, lock_counter_worker
+
+
+def now_utc() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture()
+def root():
+    path = tempfile.mkdtemp(prefix="ledger_test_")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def seed_rows(view: str, n: int, last_offset: int = 0) -> pd.DataFrame:
+    past = now_utc() - timedelta(hours=1)
+    return pd.DataFrame(
+        {
+            "view": view,
+            "decider_id": [f"p{i:04d}" for i in range(n)],
+            "last_offset": last_offset,
+            "locked_until": pd.Timestamp(past),
+            "created_at": pd.Timestamp(past),
+            "updated_at": pd.Timestamp(past),
+        }
+    )
+
+
+def hwm_frame(n: int, offset: int = 5) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "decider_id": [f"p{i:04d}" for i in range(n)],
+            "offset": offset,
+            "offset_final": False,
+        }
+    ).set_index("decider_id")
+
+
+class TestLedgerSemantics:
+    def test_claim_leases_and_skips(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 5))
+        hwm = hwm_frame(5)
+        now = now_utc()
+        with ledger.guard():
+            first = ledger.claim("v", hwm, 3, now, now + timedelta(seconds=300))
+        assert len(first) == 3
+        with ledger.guard():
+            second = ledger.claim("v", hwm, 5, now_utc(), now_utc() + timedelta(seconds=300))
+        # leased partitions are skipped — only the 2 unleased remain
+        assert len(second) == 2
+        assert {d for d, _ in first}.isdisjoint({d for d, _ in second})
+
+    def test_claim_orders_by_watermark_offset(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 3))
+        hwm = hwm_frame(3)
+        hwm.loc["p0001", "offset"] = 1  # lowest watermark claims first
+        now = now_utc()
+        with ledger.guard():
+            got = ledger.claim("v", hwm, 1, now, now + timedelta(seconds=300))
+        assert [d for d, _ in got] == ["p0001"]
+
+    def test_ack_advances_and_releases(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 2))
+        now = now_utc()
+        hwm = hwm_frame(2)
+        with ledger.guard():
+            got = ledger.claim("v", hwm, 2, now, now + timedelta(seconds=300))
+        with ledger.guard():
+            ledger.ack("v", [(d, 3) for d, _ in got], now_utc())
+        # released + advanced: claimable again, now from offset 3
+        with ledger.guard():
+            again = ledger.claim("v", hwm, 2, now_utc(), now_utc() + timedelta(seconds=300))
+        assert sorted(o for _, o in again) == [3, 3]
+
+    def test_fully_consumed_not_claimable(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 2, last_offset=5))
+        with ledger.guard():
+            got = ledger.claim("v", hwm_frame(2, offset=5), 2, now_utc(), now_utc())
+        assert got == []
+
+    def test_lease_expiry_reclaims(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 1))
+        hwm = hwm_frame(1)
+        now = now_utc()
+        with ledger.guard():
+            assert len(ledger.claim("v", hwm, 1, now, now + timedelta(milliseconds=1))) == 1
+        # lease instant has passed → redelivery (at-least-once)
+        later = now + timedelta(seconds=1)
+        with ledger.guard():
+            assert len(ledger.claim("v", hwm, 1, later, later + timedelta(seconds=300))) == 1
+
+    def test_insert_missing_is_conflict_do_nothing(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 2))
+            ledger.ack("v", [("p0000", 9)], now_utc())
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 3))  # p0000/p0001 exist
+        pdf = ledger.to_pandas().set_index("decider_id")
+        assert len(pdf) == 3
+        assert pdf.loc["p0000", "last_offset"] == 9  # untouched by re-insert
+
+    def test_upsert_overwrites_offsets_preserves_created_at(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 1))
+        created = ledger.to_pandas()["created_at"].iloc[0]
+        rows = seed_rows("v", 2, last_offset=7)
+        rows["created_at"] = pd.Timestamp(now_utc())
+        with ledger.guard():
+            ledger.upsert(rows)
+        pdf = ledger.to_pandas().set_index("decider_id")
+        assert pdf.loc["p0000", "last_offset"] == 7
+        assert pdf.loc["p0000", "created_at"] == created  # T7 preserves
+        assert pdf.loc["p0001", "last_offset"] == 7  # inserted
+
+    def test_delete_view_cascades_only_that_view(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("a", 2))
+            ledger.insert_missing(seed_rows("b", 2))
+        with ledger.guard():
+            ledger.delete_view("a")
+        assert set(ledger.to_pandas()["view"]) == {"b"}
+
+
+class TestDurabilityAndStaleness:
+    def test_snapshot_survives_restart(self, root):
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 3))
+            ledger.ack("v", [("p0001", 4)], now_utc())
+        reopened = LocksLedger(ParquetStore(None, root))
+        pdf = reopened.to_pandas().set_index("decider_id")
+        assert len(pdf) == 3
+        assert pdf.loc["p0001", "last_offset"] == 4
+
+    def test_sibling_instance_sees_flushed_leases(self, root):
+        """Two ledger instances on one path = two EventStore processes:
+        B's guard() reloads A's flushed lease before claiming."""
+        a = LocksLedger(ParquetStore(None, root))
+        b = LocksLedger(ParquetStore(None, root))
+        with a.guard():
+            a.insert_missing(seed_rows("v", 4))
+        hwm = hwm_frame(4)
+        now = now_utc()
+        with a.guard():
+            got_a = a.claim("v", hwm, 2, now, now + timedelta(seconds=300))
+        with b.guard():
+            got_b = b.claim("v", hwm, 4, now_utc(), now_utc() + timedelta(seconds=300))
+        assert len(got_a) == 2 and len(got_b) == 2
+        assert {d for d, _ in got_a}.isdisjoint({d for d, _ in got_b})
+
+
+class TestCrossProcess:
+    def test_process_lock_no_lost_updates(self, root):
+        with open(os.path.join(root, "counter.txt"), "w", encoding="utf-8") as f:
+            f.write("0")
+        ctx = mp.get_context("spawn")
+        procs = [
+            ctx.Process(target=lock_counter_worker, args=(root, 25))
+            for _ in range(3)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(120)
+            assert p.exitcode == 0
+        with open(os.path.join(root, "counter.txt"), encoding="utf-8") as f:
+            assert int(f.read().strip()) == 75
+
+    def test_two_process_claims_disjoint(self, root):
+        """THE SKIP LOCKED contract (/root/reference/schema.sql:411): two
+        consumer processes on one store path, claiming concurrently in a
+        loop, must never double-claim a partition."""
+        n_parts = 120
+        ledger = LocksLedger(ParquetStore(None, root))
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", n_parts))
+        hwm_frame(n_parts).reset_index().to_parquet(
+            os.path.join(root, "hwm.parquet")
+        )
+        ctx = mp.get_context("spawn")
+        outs = [os.path.join(root, f"claims_{i}.json") for i in range(2)]
+        procs = [
+            ctx.Process(target=claim_worker, args=(root, outs[i], 6, 10))
+            for i in range(2)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(120)
+            assert p.exitcode == 0
+        all_claims: list[str] = []
+        for out in outs:
+            with open(out, encoding="utf-8") as f:
+                all_claims.extend(json.load(f))
+        # 2 procs × 6 rounds × 10 claims = 120 = every partition EXACTLY once
+        assert len(all_claims) == n_parts
+        assert len(set(all_claims)) == n_parts
+
+
+class TestProcessLockStealing:
+    def test_stale_lock_is_stolen(self, root):
+        lock_path = os.path.join(root, "_PROCLOCK")
+        with open(lock_path, "w", encoding="utf-8") as f:
+            f.write(json.dumps({"pid": 999999, "ts": 0}))
+        # age the file beyond the ttl
+        os.utime(lock_path, (0, 0))
+        lock = ProcessLock(lock_path, ttl_s=1.0)
+        lock.acquire(timeout_s=5)  # steals instead of timing out
+        lock.release()

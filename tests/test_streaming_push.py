@@ -68,6 +68,44 @@ def test_push_delivery_posts_and_redelivers(store):
         svc.stop_all()
 
 
+def test_push_slow_endpoint_does_not_stall_other_partitions(store):
+    """Async POST pool (pg_net analogue, extensions.sql:44-47): one dead
+    endpoint call must not block the tick — other partitions keep
+    delivering on the same view."""
+    import threading
+
+    store.register_decider_event("d", "e", "x")
+    store.register_view(
+        "push_slow", start_at=past(), pooling_delay_s=1,
+        edge_function_url="http://example.invalid/slow",
+    )
+    store.append_event("e", uid(), "d", "stuck")
+    store.append_event("e", uid(), "d", "flowing")
+
+    release = threading.Event()
+    posted: list[str] = []
+
+    def post(url, payload):
+        if payload["decider_id"] == "stuck":
+            release.wait(30)  # a hung endpoint call
+        else:
+            posted.append(payload["decider_id"])
+            store.ack_event(payload["view"], payload["decider_id"], payload["offset"])
+        return 200
+
+    svc = PushDelivery(store, post=post, batch_limit=10)
+    try:
+        svc.start("push_slow")
+        # the flowing partition delivers (and its next events keep coming)
+        assert wait_until(lambda: len(posted) >= 1), "stalled by slow endpoint"
+        last = store.get_last_event("flowing", "d").collect()[0]["event_id"]
+        store.append_event("e", uid(), "d", "flowing", previous_id=last)
+        assert wait_until(lambda: len(posted) >= 2), "tick blocked by hung POST"
+    finally:
+        release.set()
+        svc.stop_all()
+
+
 def test_push_sync_reconciles(store):
     store.register_decider_event("d", "e", "x")
     store.register_view("pull_view", start_at=past())  # no pooling delay
