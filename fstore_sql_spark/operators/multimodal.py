@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(`decode_image` raises NotImplementedError unless given the deterministic
-fake decoder) — but the Spark-side plumbing is real and tested: schema,
-partition sizing, UDF signatures, and Arrow batch shapes are exactly what a
-production decode/resize/feature pipeline uses.
+Decode is REAL for the codec-free container formats — uncompressed 24-bit
+BMP, binary PPM (P6), and PCM16 WAV are parsed by pure-Python decoders
+below (header + raster/sample extraction, no external libs), and
+``decode_image`` / ``decode_audio`` run them executor-side over Arrow
+batches with oracle-checked results (channel means, row hashes, RMS).
+Compressed formats (JPEG/MP3/H.264) still need real codec libs; on a
+cluster with PIL/libav you swap the decoder callables, nothing else.
 
 Scale design: media bytes never pass through the driver; ``mapInPandas``
 streams Arrow record batches executor-side.  ``spark.sql.files.
@@ -17,6 +19,7 @@ vectors so downstream shuffles are narrow.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -93,12 +96,238 @@ def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+# --------------------------------------------------------------------- #
+# Pure-Python codecs (no external libs): uncompressed 24-bit BMP, binary
+# PPM (P6), PCM16 WAV.  Encoders exist so pipelines (and the oracle-gated
+# queries below) can synthesize real files; decoders do full header
+# validation + raster/sample extraction.
+# --------------------------------------------------------------------- #
+
+
+def encode_bmp(rgb: bytes, width: int, height: int) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP: bottom-up rows, BGR pixel
+    order, rows padded to 4-byte multiples — the format's real layout
+    quirks, which the decoder must undo exactly."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        # RGB → BGR per pixel
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr) + pad)
+    raster = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(raster), 0, 0, 54,
+        40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    return header + raster
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP → (width, height, top-down RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = height - 1 - y if bottom_up else y
+        row = payload[data_offset + src_y * stride :][: width * 3]
+        # BGR → RGB per pixel
+        rgb = bytearray(row)
+        rgb[0::3], rgb[2::3] = row[2::3], row[0::3]
+        out[y * width * 3 : (y + 1) * width * 3] = rgb
+    return width, height, bytes(out)
+
+
+def encode_ppm(rgb: bytes, width: int, height: int) -> bytes:
+    """Binary PPM (P6), maxval 255 — top-down RGB, no padding."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse binary PPM (P6) → (width, height, top-down RGB)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments not emitted by our encoder; reject rather than mis-parse)
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            raise ValueError("PPM comments unsupported")
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return width, height, payload[i : i + width * height * 3]
+
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """PCM16 little-endian WAV (RIFF/fmt/data)."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    block_align = 2 * n_channels
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ", 16, 1, n_channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse PCM16 WAV → (sample_rate, n_channels, samples).  Walks the
+    RIFF chunk list properly (fmt/data may be preceded by LIST etc.)."""
+    import array
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) // 2 * 2])
+    return rate, channels, samples.tolist()
+
+
+def sniff_decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Dispatch on magic bytes: BMP or PPM → (width, height, RGB)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError("unknown image format (supported: BMP, P6 PPM)")
+
+
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("width", LongType(), nullable=False),
+        StructField("height", LongType(), nullable=False),
+        # exact per-channel byte sums: mergeable across tiles/batches (a
+        # downstream agg can combine them losslessly), and integer-exact
+        # for the DuckDB oracle — no float-accumulation ambiguity
+        StructField("sum_r", LongType(), nullable=False),
+        StructField("sum_g", LongType(), nullable=False),
+        StructField("sum_b", LongType(), nullable=False),
+        StructField("mean_r", DoubleType(), nullable=False),
+        StructField("mean_g", DoubleType(), nullable=False),
+        StructField("mean_b", DoubleType(), nullable=False),
+        StructField("first_row_md5", StringType(), nullable=False),
+    ]
+)
+
+
 def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode is unavailable in this container."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; use "
-        "extract_features(media, decoder=...) with a real decoder on a "
-        "cluster with PIL/libav available"
+    """REAL image decode (BMP/PPM) through mapInPandas: per image, the
+    parsed dimensions, per-channel means and the md5 of the top row's RGB
+    bytes — features that expose every decoder bug class (BGR swap flips
+    the channel means, bottom-up row order or stride padding breaks the
+    row hash, header mis-parse breaks the dims).  Compressed formats need
+    real codec libs — swap the decoder on a cluster that has them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in IMAGE_DECODE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = sniff_decode_image(bytes(payload))
+                n = w * h
+                sr, sg, sb = sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3])
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["mean_r"].append(sr / n)
+                out["mean_g"].append(sg / n)
+                out["mean_b"].append(sb / n)
+                out["first_row_md5"].append(hashlib.md5(rgb[: w * 3]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=IMAGE_DECODE_SCHEMA
+    )
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("sample_rate", LongType(), nullable=False),
+        StructField("n_channels", LongType(), nullable=False),
+        StructField("n_samples", LongType(), nullable=False),
+        # exact mergeable sums (see IMAGE_DECODE_SCHEMA note)
+        StructField("sum_samples", LongType(), nullable=False),
+        StructField("sum_squares", LongType(), nullable=False),
+        StructField("mean_sample", DoubleType(), nullable=False),
+        StructField("rms", DoubleType(), nullable=False),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode (PCM16 WAV) through mapInPandas: parsed rate /
+    channels / sample count plus mean and RMS of the signed samples."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_DECODE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, samples = decode_wav(bytes(payload))
+                n = max(len(samples), 1)
+                ssum = sum(samples)
+                ssq = sum(s * s for s in samples)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_samples"].append(len(samples))
+                out["sum_samples"].append(ssum)
+                out["sum_squares"].append(ssq)
+                out["mean_sample"].append(ssum / n)
+                out["rms"].append(math.sqrt(ssq / n))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_DECODE_SCHEMA
     )
 
 
@@ -190,6 +419,129 @@ def multimodal_frame_grid(spark, sf_dir):
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.max("ts_ms").cast("long").alias("last_ts_ms"),
+    )
+
+
+@query(
+    "multimodal_bmp_decode",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, text,
+             8 AS w, least((n_chars // 3) // 8, 16) AS h
+      FROM documents
+      WHERE doc_id < 64 AND (n_chars // 3) // 8 >= 1
+    ), px AS (
+      SELECT media_id, w, h, text, unnest(range(0, w * h)) AS p FROM d
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(ascii(substr(text, CAST(p * 3 + 1 AS INT), 1))) AS BIGINT) AS sum_r,
+           CAST(SUM(ascii(substr(text, CAST(p * 3 + 2 AS INT), 1))) AS BIGINT) AS sum_g,
+           CAST(SUM(ascii(substr(text, CAST(p * 3 + 3 AS INT), 1))) AS BIGINT) AS sum_b,
+           md5(substr(MAX(text), 1, 24)) AS first_row_md5
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL BMP round trip, oracle-gated: document text bytes become 8×h
+    RGB rasters, encoded to genuine bottom-up padded BGR BMP files
+    executor-side, then parsed back by ``decode_image``.  The oracle
+    computes the channel sums and top-row hash directly from the source
+    bytes — a BGR-swap, row-order, stride, or header bug each breaks a
+    different output column.  Cites the brief's multimodal contract;
+    replaces the round-1 NotImplementedError stub."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("media_id"), "text", "n_chars")
+        .withColumn("h", F.least((F.col("n_chars") / 3).cast("long") / 8, F.lit(16)).cast("long"))
+        .filter(F.col("h") >= 1)
+    )
+
+    enc_schema = StructType(
+        [
+            StructField("media_id", LongType(), nullable=False),
+            StructField("kind", StringType(), nullable=False),
+            StructField("payload", BinaryType(), nullable=False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for mid, text, h in zip(pdf["media_id"], pdf["text"], pdf["h"]):
+                w, h = 8, int(h)
+                rgb = text.encode()[: w * h * 3]
+                out["media_id"].append(mid)
+                out["kind"].append("image")
+                out["payload"].append(encode_bmp(rgb, w, h))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, schema=enc_schema)
+    return decode_image(media).select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b", "first_row_md5"
+    )
+
+
+@query(
+    "multimodal_wav_decode",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, text, least(n_chars // 2, 512) AS n
+      FROM documents WHERE doc_id < 64 AND n_chars >= 2
+    ), s AS (
+      SELECT media_id, n, text, unnest(range(0, n)) AS i FROM d
+    ), v AS (
+      SELECT media_id, n,
+             ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+               + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) AS smp
+      FROM s
+    )
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(smp) AS BIGINT) AS sum_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS sum_squares
+    FROM v GROUP BY media_id
+    """,
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL PCM16 WAV round trip, oracle-gated: text byte pairs become
+    little-endian int16 samples in genuine RIFF/fmt/data files, parsed
+    back by ``decode_audio`` (chunk walk, format validation).  The oracle
+    recomputes the exact sample sums from the source bytes."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 64) & (F.col("n_chars") >= 2))
+        .select(F.col("doc_id").alias("media_id"), "text", "n_chars")
+        .withColumn("n", F.least((F.col("n_chars") / 2).cast("long"), F.lit(512)))
+    )
+
+    enc_schema = StructType(
+        [
+            StructField("media_id", LongType(), nullable=False),
+            StructField("kind", StringType(), nullable=False),
+            StructField("payload", BinaryType(), nullable=False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for mid, text, n in zip(pdf["media_id"], pdf["text"], pdf["n"]):
+                b = text.encode()
+                samples = [b[2 * i] + 256 * b[2 * i + 1] for i in range(int(n))]
+                out["media_id"].append(mid)
+                out["kind"].append("audio")
+                out["payload"].append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, schema=enc_schema)
+    return decode_audio(media).select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        "sum_samples", "sum_squares",
     )
 
 
