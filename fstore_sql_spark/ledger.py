@@ -22,13 +22,13 @@ This module is the embedded-KV analogue of that central table:
   read the snapshots; writes go through pyarrow (no Spark job on the hot
   path).
 - **Cross-process claim safety** — the SKIP LOCKED analogue
-  (/root/reference/schema.sql:411): a filesystem lease lock
-  (O_CREAT|O_EXCL, atomic on POSIX) guards every read-modify-write, and a
-  version check under that lock reloads the frame when another process
-  advanced the snapshot.  Two EventStore processes on one path therefore
-  serialize their claims against the same state and can never
-  double-deliver.  A crashed holder's lock is stolen after ``ttl_s`` via
-  an atomic rename race (only one stealer wins the ``os.rename``).
+  (/root/reference/schema.sql:411): an ``fcntl.flock`` mutex on a
+  persistent lock file guards every read-modify-write, and a version
+  check under that lock reloads the frame when another process advanced
+  the snapshot.  Two EventStore processes on one path therefore serialize
+  their claims against the same state and can never double-deliver.  A
+  crashed holder's lock is released by the KERNEL when its fd closes —
+  no TTL-steal protocol, hence no steal race (ADVICE r2).
 
 Scale ceiling, stated honestly: one frame on one driver, exactly like the
 reference's one table on one Postgres primary.  At ~10M+ lock rows the
@@ -41,8 +41,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
-import uuid
 from contextlib import contextmanager
 from datetime import datetime
 
@@ -75,48 +75,60 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 class ProcessLock:
-    """Filesystem mutex with lease TTL — serializes lock-state
-    read-modify-write across PROCESSES (threads are already serialized by
-    the store's commit lock).  O_CREAT|O_EXCL create is the atomic
-    acquire; a stale holder (crash) is stolen after ``ttl_s`` through an
-    atomic rename so exactly one stealer wins."""
+    """Filesystem mutex via ``fcntl.flock`` on a PERSISTENT lock file —
+    serializes lock-state read-modify-write across PROCESSES (threads are
+    already serialized by the store's commit lock, and two flock fds in
+    one process conflict too, so stray in-process concurrency is safe).
+
+    Why flock (ADVICE r2, medium): the previous O_CREAT|O_EXCL + mtime
+    TTL-steal scheme had a TOCTOU race — between the stale-age stat and
+    the steal rename, the old holder could release and a NEW process
+    acquire, so the stealer renamed away a live lock and two processes
+    entered the critical section.  flock has no steal path at all: the
+    kernel releases the lock when the holder's fd closes, process death
+    included.  The lock file is never unlinked — unlink-on-release would
+    reopen the classic flock race where a waiter holds an fd to the
+    unlinked inode and locks a different file than later arrivals.
+    ``ttl_s`` is kept for constructor compatibility; crash recovery is
+    the kernel's, not a timer's."""
 
     def __init__(self, path: str, ttl_s: float = 30.0):
         self.path = path
         self.ttl_s = ttl_s
+        self._held = threading.local()  # per-thread fd while held
 
     def acquire(self, timeout_s: float = 30.0) -> None:
+        import fcntl
+
         deadline = time.monotonic() + timeout_s
-        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
         while True:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, payload.encode())
-                os.close(fd)
-                return
-            except FileExistsError:
-                try:
-                    age = time.time() - os.stat(self.path).st_mtime
-                except FileNotFoundError:
-                    continue  # released between open and stat — retry now
-                if age > self.ttl_s:
-                    # steal: rename is atomic, only one stealer succeeds
-                    grave = f"{self.path}.stale.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(self.path, grave)
-                        os.unlink(grave)
-                    except FileNotFoundError:
-                        pass
-                    continue
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
                 if time.monotonic() > deadline:
+                    os.close(fd)
                     raise TimeoutError(f"lock {self.path} held > {timeout_s}s")
                 time.sleep(0.002)
+        try:  # holder breadcrumb for operators; correctness never reads it
+            os.ftruncate(fd, 0)
+            os.pwrite(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(), 0)
+        except OSError:
+            pass
+        self._held.fd = fd
 
     def release(self) -> None:
+        import fcntl
+
+        fd = getattr(self._held, "fd", None)
+        if fd is None:
+            return
+        self._held.fd = None
         try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     @contextmanager
     def held(self, timeout_s: float = 30.0):
@@ -180,6 +192,17 @@ class LocksLedger:
     # reads
     # ------------------------------------------------------------------ #
 
+    def refresh(self) -> None:
+        """Lock-free read freshness: reload the frame if a sibling process
+        advanced the snapshot (version-pointer check, one tiny file read).
+        Safe without the process lock — snapshots are immutable and the
+        ``_LATEST`` flip is atomic, so a racing writer can never expose a
+        torn state; callers outside :meth:`guard` have no unflushed
+        mutations (mutators flush before returning).  Read-only callers
+        (``locks()`` views) use this so they never serve arbitrarily stale
+        consumer state (ADVICE r2)."""
+        self._reload_if_stale()
+
     def to_pandas(self) -> pd.DataFrame:
         """Reference-shaped state columns (no hwm join), index reset."""
         return self._df.reset_index()[_COLS].copy()
@@ -242,7 +265,9 @@ class LocksLedger:
                 self._df.at[key, "last_offset"] = int(offset)
                 self._df.at[key, "locked_until"] = ts_now
                 self._df.at[key, "updated_at"] = ts_now
-        self._dirty = True
+                # dirty only when a row actually matched — a no-op ack
+                # must not trigger a snapshot flush (ADVICE r2)
+                self._dirty = True
 
     def set_locked_until(
         self, view: str, decider_id: str, until: datetime, now: datetime

@@ -430,6 +430,7 @@ def multimodal_frame_grid(spark, sf_dir):
              8 AS w, least((n_chars // 3) // 8, 16) AS h
       FROM documents
       WHERE doc_id < 64 AND (n_chars // 3) // 8 >= 1
+        AND strlen(text) = length(text)
     ), px AS (
       SELECT media_id, w, h, text, unnest(range(0, w * h)) AS p FROM d
     )
@@ -454,6 +455,10 @@ def multimodal_bmp_decode(spark, sf_dir):
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
+        # the oracle addresses bytes via character-based substr/ascii, so
+        # restrict to ASCII rows (byte offset == char offset) EXPLICITLY —
+        # same predicate on both sides rather than an implicit assumption
+        .filter(F.octet_length("text") == F.length("text"))
         .select(F.col("doc_id").alias("media_id"), "text", "n_chars")
         .withColumn("h", F.least((F.col("n_chars") / 3).cast("long") / 8, F.lit(16)).cast("long"))
         .filter(F.col("h") >= 1)
@@ -490,13 +495,19 @@ def multimodal_bmp_decode(spark, sf_dir):
     WITH d AS (
       SELECT doc_id AS media_id, text, least(n_chars // 2, 512) AS n
       FROM documents WHERE doc_id < 64 AND n_chars >= 2
+        AND strlen(text) = length(text)
     ), s AS (
       SELECT media_id, n, text, unnest(range(0, n)) AS i FROM d
     ), v AS (
       SELECT media_id, n,
-             ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
-               + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) AS smp
+             CAST(ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+               + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) AS BIGINT) AS raw
       FROM s
+    ), w AS (
+      -- wrap to signed int16: what PCM16 actually stores on disk
+      SELECT media_id, n,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS smp
+      FROM v
     )
     SELECT media_id,
            CAST(8000 AS BIGINT) AS sample_rate,
@@ -504,7 +515,7 @@ def multimodal_bmp_decode(spark, sf_dir):
            CAST(MAX(n) AS BIGINT) AS n_samples,
            CAST(SUM(smp) AS BIGINT) AS sum_samples,
            CAST(SUM(smp * smp) AS BIGINT) AS sum_squares
-    FROM v GROUP BY media_id
+    FROM w GROUP BY media_id
     """,
 )
 def multimodal_wav_decode(spark, sf_dir):
@@ -515,6 +526,8 @@ def multimodal_wav_decode(spark, sf_dir):
     docs = (
         load(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 64) & (F.col("n_chars") >= 2))
+        # ASCII guard — see multimodal_bmp_decode
+        .filter(F.octet_length("text") == F.length("text"))
         .select(F.col("doc_id").alias("media_id"), "text", "n_chars")
         .withColumn("n", F.least((F.col("n_chars") / 2).cast("long"), F.lit(512)))
     )
@@ -532,7 +545,13 @@ def multimodal_wav_decode(spark, sf_dir):
             out = {"media_id": [], "kind": [], "payload": []}
             for mid, text, n in zip(pdf["media_id"], pdf["text"], pdf["n"]):
                 b = text.encode()
-                samples = [b[2 * i] + 256 * b[2 * i + 1] for i in range(int(n))]
+                # little-endian pair → UNSIGNED 0..65535, wrapped to signed
+                # int16 (what PCM16 stores; array('h') overflows above
+                # 32767 otherwise — ADVICE r2)
+                samples = [
+                    ((b[2 * i] + 256 * b[2 * i + 1]) ^ 0x8000) - 0x8000
+                    for i in range(int(n))
+                ]
                 out["media_id"].append(mid)
                 out["kind"].append("audio")
                 out["payload"].append(encode_wav(samples, sample_rate=8000))

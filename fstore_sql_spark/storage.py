@@ -130,6 +130,31 @@ class ParquetStore:
             json.dumps({"max_offset": manifest.max_offset, "commit_id": manifest.commit_id}),
         )
 
+    # ------------------------------------------------------------------ #
+    # published marker — commit VISIBILITY, distinct from the manifest's
+    # commit ALLOCATION role.  The manifest advances BEFORE the log append
+    # (crash ⇒ offset gap, never duplicates); the published marker
+    # advances AFTER the append completes.  Sibling processes key their
+    # cache invalidation on the published id, so they never rebuild from
+    # a log directory that is missing (or partially containing) a batch
+    # still being written (ADVICE r2, high).
+    # ------------------------------------------------------------------ #
+
+    def _published_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}_PUBLISHED")
+
+    def read_published(self, table: str) -> int:
+        """Commit id of the last fully appended (visible) batch.  Falls
+        back to the manifest for pre-marker layouts."""
+        path = self._published_path(table)
+        if not os.path.exists(path):
+            return self.read_manifest(table).commit_id
+        with open(path, encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def write_published(self, table: str, commit_id: int) -> None:
+        _atomic_write(self._published_path(table), str(commit_id))
+
     def init_log(self, table: str, schema: StructType) -> None:
         """Idempotent bootstrap: empty parquet dir with the fixed schema
         (the DDL-bootstrap analogue, SURVEY.md §2.2 'DDL bootstrap')."""

@@ -107,7 +107,7 @@ class EventStore:
         # ledger.py module doc.  Lock mutations never run Spark jobs.
         self.ledger = LocksLedger(self.storage, _LOCKS)
         self._hwm_pdf: pd.DataFrame | None = None
-        self._seen_commit_id = self.storage.read_manifest(_EVENTS).commit_id
+        self._seen_commit_id = self.storage.read_published(_EVENTS)
 
     # ------------------------------------------------------------------ #
     # table accessors
@@ -122,9 +122,12 @@ class EventStore:
         without the cache each call re-lists and re-scans parquet.  Spark
         manages eviction, so at cluster scale the hot tail stays in memory
         and cold partitions spill or recompute; correctness never depends
-        on residency.  Appends and compaction invalidate (the instance is
-        the single committer, so no external writer can stale the cache);
-        ``cache_log=False`` opts out entirely."""
+        on residency.  Own appends and compaction invalidate directly; a
+        SIBLING process's commits are caught by ``_refresh_external``,
+        which keys on the post-append ``_PUBLISHED`` marker — never on the
+        pre-append allocation manifest — so the cache is never rebuilt
+        from a log mid-append (ADVICE r2).  ``cache_log=False`` opts out
+        entirely."""
         if not self._cache_log:
             return self.storage.read_log(_EVENTS, EVENTS_SCHEMA)
         if self._events_cached is None:
@@ -178,10 +181,15 @@ class EventStore:
         return self._hwm_pdf
 
     def _refresh_external(self) -> None:
-        """Cross-process read freshness: if ANOTHER committer advanced the
-        manifest since our caches were built, drop them so claims see the
-        new events.  One tiny JSON read per call."""
-        commit = self.storage.read_manifest(_EVENTS).commit_id
+        """Cross-process read freshness: if ANOTHER committer PUBLISHED a
+        commit since our caches were built, drop them so claims see the
+        new events.  Keys on the post-append published marker, not the
+        pre-append allocation manifest: a sibling mid-append (manifest
+        advanced, log files still landing) must NOT trigger a rebuild —
+        that would cache a partial batch and mark it fresh, stalling or
+        (worse) skipping events (ADVICE r2, high).  One tiny file read
+        per call."""
+        commit = self.storage.read_published(_EVENTS)
         if commit != self._seen_commit_id:
             self._invalidate_log_cache()
             self._seen_commit_id = commit
@@ -226,6 +234,7 @@ class EventStore:
         # driver-resident (ledger + hwm frame), so the reference-shaped
         # join is a pandas merge — no Spark job to expose the table.
         self._refresh_external()
+        self.ledger.refresh()  # don't serve stale sibling-flushed state
         state = self.ledger.to_pandas()
         hwm = self._hwm_pandas().reset_index()
         schema = (
@@ -722,6 +731,10 @@ class EventStore:
                 _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
             )
             self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
+            # VISIBILITY marker: written only after the append completed,
+            # so sibling processes' _refresh_external never rebuilds from
+            # a log missing this batch (ADVICE r2, high).
+            self.storage.write_published(_EVENTS, txn)
             prior_hwm = self._hwm_pdf
             self._invalidate_log_cache()
             self._seen_commit_id = txn
@@ -1058,6 +1071,7 @@ class EventStore:
         """RETURNING-clause analogue: reference-shaped lock rows for the
         touched keys, built from the driver frames (no Spark job, no full
         table materialization)."""
+        self.ledger.refresh()
         state = self.ledger.to_pandas()
         state = state[
             (state["view"] == view) & state["decider_id"].isin(decider_ids)

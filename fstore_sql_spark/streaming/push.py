@@ -66,9 +66,11 @@ class PushDelivery:
         # endpoint can neither stall the delivery tick nor block other
         # partitions' sends.  A failed/hung POST is simply never acked, so
         # lease expiry redelivers (the same recovery pg_net relies on).
+        self._max_parallel_posts = max_parallel_posts
         self._pool = ThreadPoolExecutor(
             max_workers=max_parallel_posts, thread_name_prefix="push-post"
         )
+        self._pool_closed = False
         self._queries: dict[str, StreamingQuery] = {}
 
     # ------------------------------------------------------------------ #
@@ -86,10 +88,11 @@ class PushDelivery:
             raise ValueError(f"view {view!r} has no pooling_delay_s (client-pull view)")
         if view in self._queries:
             self.stop(view)
-        if self._pool._shutdown:  # restarted after stop_all → fresh pool
+        if self._pool_closed:  # restarted after stop_all → fresh pool
             self._pool = ThreadPoolExecutor(
-                max_workers=self._pool._max_workers, thread_name_prefix="push-post"
+                max_workers=self._max_parallel_posts, thread_name_prefix="push-post"
             )
+            self._pool_closed = False
 
         store, post, limit = self.store, self.post, self.batch_limit
 
@@ -161,3 +164,4 @@ class PushDelivery:
         for view in list(self._queries):
             self.stop(view)
         self._pool.shutdown(wait=False, cancel_futures=True)
+        self._pool_closed = True

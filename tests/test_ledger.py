@@ -237,13 +237,28 @@ class TestCrossProcess:
         assert len(set(all_claims)) == n_parts
 
 
-class TestProcessLockStealing:
-    def test_stale_lock_is_stolen(self, root):
+class TestProcessLockCrashRecovery:
+    def test_dead_holder_does_not_block(self, root):
+        """A crashed holder must never wedge the lock.  With flock the
+        kernel releases on fd close (process death included), so a stale
+        lock FILE left behind — even an aged one — is acquirable
+        immediately; no TTL-steal protocol (and none of its TOCTOU race,
+        ADVICE r2) is involved."""
         lock_path = os.path.join(root, "_PROCLOCK")
         with open(lock_path, "w", encoding="utf-8") as f:
             f.write(json.dumps({"pid": 999999, "ts": 0}))
-        # age the file beyond the ttl
-        os.utime(lock_path, (0, 0))
+        os.utime(lock_path, (0, 0))  # arbitrarily old — irrelevant to flock
         lock = ProcessLock(lock_path, ttl_s=1.0)
-        lock.acquire(timeout_s=5)  # steals instead of timing out
+        lock.acquire(timeout_s=5)
         lock.release()
+
+    def test_second_acquire_blocks_until_release(self, root):
+        lock_path = os.path.join(root, "_PROCLOCK")
+        a = ProcessLock(lock_path)
+        b = ProcessLock(lock_path)
+        a.acquire(timeout_s=5)
+        with pytest.raises(TimeoutError):
+            b.acquire(timeout_s=0.2)
+        a.release()
+        b.acquire(timeout_s=5)
+        b.release()

@@ -75,10 +75,21 @@ def test_multimodal_feature_extraction(spark):
     assert again[1] == by_id[1]["feature"]
 
 
-def test_multimodal_decode_is_stubbed(spark):
-    media = spark.createDataFrame([], multimodal.MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError, match="codecs"):
-        multimodal.decode_image(media)
+def test_multimodal_decode_bmp_roundtrip(spark):
+    # decode_image is REAL since round 2 (pure-Python BMP codec through
+    # mapInPandas): a tiny 2x2 raster must round-trip exactly — dims and
+    # per-channel sums recomputed from the source bytes.
+    rgb = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    payload = multimodal.encode_bmp(rgb, 2, 2)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    row = multimodal.decode_image(media).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["sum_r"] == sum(rgb[0::3])
+    assert row["sum_g"] == sum(rgb[1::3])
+    assert row["sum_b"] == sum(rgb[2::3])
 
 
 def test_frame_sample_grid(spark):
