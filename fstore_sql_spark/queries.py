@@ -1021,15 +1021,38 @@ def asof_last_event_before(spark, sf_dir):
     )
 
 
-@query("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark, sf_dir):
-    """approx_count_distinct (HLL++) per event type — the approximate-
-    distinct sketch; sketch internals differ across engines so this is a
-    rows-only check (exact distinct is covered elsewhere)."""
+    """approx_count_distinct (HLL++, rsd 0.05) per event type — the
+    approximate-distinct sketch.  Sketch internals differ across engines,
+    so the oracle is INEQUALITY-style (VERDICT r2 #7): the exact distinct
+    count is verified value-for-value cross-engine, and the sketch is
+    gated by a 3-sigma relative-error bound folded into ``within_tol``
+    (a sketch estimate off by >15% flips the boolean and fails the
+    hash)."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
     )
 
 
