@@ -204,6 +204,74 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # B3c — CONCURRENT consumers (VERDICT r2 #5): 4 claim/ack worker
+    # PROCESSES hammering one store path through the ledger (Spark-free
+    # children) — the reference's FOR UPDATE SKIP LOCKED load shape
+    # (/root/reference/tests/performance/load-tests/
+    #  test_concurrent_consumer_performance.sql:36-68).  Measures
+    # aggregate acked events/s under real lock contention and asserts
+    # cross-process claim disjointness (no (partition, offset) acked
+    # twice).
+    import multiprocessing as mp_
+
+    import pandas as pd
+
+    from fstore_sql_spark.ledger import LocksLedger
+    from fstore_sql_spark.storage import ParquetStore
+    from tests._ledger_worker import bench_claim_ack_worker
+
+    mp_root = tempfile.mkdtemp(prefix="bench_mp_")
+    try:
+        n_parts, per_part, n_workers = 2000, 8, 4
+        from datetime import datetime, timedelta, timezone
+
+        past = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(hours=1)
+        ledger = LocksLedger(ParquetStore(None, mp_root))
+        seed = pd.DataFrame(
+            {
+                "view": "v",
+                "decider_id": [f"p{i:05d}" for i in range(n_parts)],
+                "last_offset": 0,
+                "locked_until": pd.Timestamp(past),
+                "created_at": pd.Timestamp(past),
+                "updated_at": pd.Timestamp(past),
+            }
+        )
+        with ledger.guard():
+            ledger.insert_missing(seed)
+        pd.DataFrame(
+            {
+                "decider_id": seed["decider_id"],
+                "offset": per_part,
+                "offset_final": False,
+            }
+        ).to_parquet(os.path.join(mp_root, "hwm.parquet"))
+        ctx = mp_.get_context("spawn")
+        outs = [os.path.join(mp_root, f"out_{i}.json") for i in range(n_workers)]
+        procs = [
+            ctx.Process(target=bench_claim_ack_worker, args=(mp_root, o, 50))
+            for o in outs
+        ]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(300)
+        b3c = time.time() - t0
+        all_acks: list[tuple] = []
+        for o in outs:
+            with open(o, encoding="utf-8") as f:
+                all_acks.extend(tuple(a) for a in json.load(f)["acked"])
+        expected = n_parts * per_part
+        assert len(all_acks) == len(set(all_acks)) == expected, (
+            f"concurrent claim disjointness violated: "
+            f"{len(all_acks)} acks, {len(set(all_acks))} unique, want {expected}"
+        )
+        timings["b3c_concurrent_deliver_ack"] = round(b3c, 3)
+        b3c_eps = round(expected / b3c, 1)
+    finally:
+        shutil.rmtree(mp_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     regressions = {
         name: {"sec": t, "pinned": PINNED_R01[name]}
@@ -221,6 +289,8 @@ def main() -> None:
                 "b1_events_per_sec": b1_eps,
                 "b3_deliver_events_per_sec": b3_eps,
                 "b3_p50_round_trip_s": b3_p50,
+                "b3_concurrent_events_per_sec": b3c_eps,
+                "b3_concurrent_workers": 4,
                 "regressions": regressions,
             }
         )

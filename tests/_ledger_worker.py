@@ -37,6 +37,43 @@ def claim_worker(root: str, out_path: str, rounds: int, limit: int) -> None:
         json.dump(claims, f)
 
 
+def bench_claim_ack_worker(root: str, out_path: str, limit: int = 50) -> None:
+    """One bench consumer process: claim up to ``limit`` partitions and
+    batch-ack them (one guard = one state commit per round, the
+    batch-commit consumer shape), looping until the work pool drains.
+    Spark-free — this measures the ledger's cross-process claim/ack
+    (SKIP LOCKED analogue) throughput under real lock contention.
+    Records every (decider_id, acked_offset) so the parent can assert
+    global disjointness."""
+    import json as _json
+    import time as _time
+
+    import pandas as pd
+
+    from fstore_sql_spark.ledger import LocksLedger
+    from fstore_sql_spark.storage import ParquetStore
+
+    ledger = LocksLedger(ParquetStore(None, root))
+    hwm = pd.read_parquet(os.path.join(root, "hwm.parquet")).set_index("decider_id")
+    acked: list[list] = []
+    empties = 0
+    t0 = _time.time()
+    while empties < 3:  # transient empties happen only at the tail
+        now = _now()
+        with ledger.guard():
+            got = ledger.claim("v", hwm, limit, now, now + timedelta(seconds=300))
+            if got:
+                ledger.ack("v", [(d, lo + 1) for d, lo in got], _now())
+        if got:
+            empties = 0
+            acked.extend([d, lo + 1] for d, lo in got)
+        else:
+            empties += 1
+            _time.sleep(0.01)
+    with open(out_path, "w", encoding="utf-8") as f:
+        _json.dump({"acked": acked, "elapsed": _time.time() - t0}, f)
+
+
 def lock_counter_worker(root: str, iters: int) -> None:
     """Increment a shared file counter under ProcessLock — lost updates
     reveal a broken mutex."""

@@ -7,6 +7,28 @@ import pytest
 from fstore_sql_spark import EventStore, get_spark
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked @pytest.mark.slow (full tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r2 #4): the default run skips @slow
+    (streaming-query lifecycles, multiprocessing spawn suites, property
+    sweeps) for a fast iteration loop; ``pytest tests/ --runslow`` is the
+    full pre-commit/CI tier."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="fstore-tests", shuffle_partitions=4)

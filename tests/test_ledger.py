@@ -283,15 +283,27 @@ class TestDeltaFlush:
                 "updated_at": pd.Timestamp(past),
             }
         )
-        with ledger.guard():
-            ledger.insert_missing(big)
         t0 = _t.perf_counter()
         with ledger.guard():
-            ledger.ack("v", [("p0000042", 7)], now_utc())
-        elapsed = _t.perf_counter() - t0
-        assert elapsed < 0.05, f"ack flush took {elapsed * 1000:.1f} ms"
+            ledger.insert_missing(big)
+        full_flush = _t.perf_counter() - t0  # bulk insert → full snapshot
+        # best-of-3: wall-clock asserts are flaky under a loaded box (the
+        # full suite runs Spark jobs in parallel with this test), and one
+        # clean tick is what the design promises
+        ticks = []
+        for i in range(3):
+            t0 = _t.perf_counter()
+            with ledger.guard():
+                ledger.ack("v", [(f"p{42 + i:07d}", 7)], now_utc())
+            ticks.append(_t.perf_counter() - t0)
+        best = min(ticks)
+        assert best < 0.05, f"ack flush took {best * 1000:.1f} ms"
+        # load-independent check: the delta flush must beat the full
+        # snapshot rewrite by a wide margin — the actual design claim
+        assert best < full_flush / 10, (full_flush, ticks)
 
 
+@pytest.mark.slow  # multiprocessing spawn suite (full tier)
 class TestCrossProcess:
     def test_process_lock_no_lost_updates(self, root):
         with open(os.path.join(root, "counter.txt"), "w", encoding="utf-8") as f:

@@ -10,6 +10,9 @@ from hypothesis import strategies as st
 
 from fstore_sql_spark import EventStore
 
+# property sweeps run many Spark jobs per example — full tier only
+pytestmark = pytest.mark.slow
+
 
 def uid() -> str:
     return str(uuid.uuid4())

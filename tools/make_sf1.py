@@ -1,0 +1,145 @@
+"""Generate a local sf1 scale point (~10x sf0.1) for the scale-validation
+bench run (VERDICT r2 next-round #2).
+
+The driver ships sf0.001/0.01/0.1 only; the 100x-scale posture claims need
+at least one empirical point above sf0.1.  This derives sf1 from the
+driver's own sf0.1 tables (never synthesizing new distributions): 10
+replicas with DISJOINT KEY SPACES, foreign keys remapped consistently so
+every join in the query registry keeps its selectivity shape:
+
+- region/nation: single copy (shared dimensions, like real deployments)
+- customer/supplier/part/orders/lineitem: keys offset per replica, FKs
+  (o_custkey, l_orderkey, l_partkey, l_suppkey) remapped to match
+- events: event_id/user_id offset (per-user session structure preserved,
+  10x event density in the same time window)
+- documents: doc_id offset; text word-order permuted per replica
+  (reverse + rotate-by-i — a bijection for any length) so replicas are
+  NOT shingle-level near-duplicates of each other: without this every
+  doc gains 9 planted near-dups and the MinHash/LSH workloads degenerate
+  into a quadratic planted-pair benchmark instead of a scaled corpus.
+  n_chars is recomputed from the permuted text (operators assert
+  n_chars == length(text)).  Replica 0 is the identity copy.
+- embeddings: vec_id offset, vectors/labels unchanged
+
+Usage: python tools/make_sf1.py [--out /root/repo/testdata_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# key offsets: comfortably above each table's sf0.1 key range
+OFF = {
+    "custkey": 100_000,
+    "suppkey": 10_000,
+    "partkey": 100_000,
+    "orderkey": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/testdata_sf1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fstore_sql_spark import get_spark
+
+    spark = get_spark(app_name="make-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+
+    def read(t: str):
+        return spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+
+    def write(t: str, df, n_files: int = 8):
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(args.out, f"{t}.parquet")
+        )
+        print(f"{t}: {df.count()} rows")
+
+    # shared dims — single copy
+    write("region", read("region"), 1)
+    write("nation", read("nation"), 1)
+
+    def replicate(df, shifts: dict[str, int], extra=None):
+        parts = []
+        for i in range(REPLICAS):
+            r = df
+            for col, off in shifts.items():
+                r = r.withColumn(col, (F.col(col) + F.lit(i * off)).cast("long"))
+            if extra is not None:
+                r = extra(r, i)
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    write("customer", replicate(read("customer"), {"c_custkey": OFF["custkey"]}))
+    write("supplier", replicate(read("supplier"), {"s_suppkey": OFF["suppkey"]}))
+    write("part", replicate(read("part"), {"p_partkey": OFF["partkey"]}))
+    write(
+        "orders",
+        replicate(
+            read("orders"),
+            {"o_orderkey": OFF["orderkey"], "o_custkey": OFF["custkey"]},
+        ),
+    )
+    write(
+        "lineitem",
+        replicate(
+            read("lineitem"),
+            {
+                "l_orderkey": OFF["orderkey"],
+                "l_partkey": OFF["partkey"],
+                "l_suppkey": OFF["suppkey"],
+            },
+        ),
+        n_files=16,
+    )
+    write(
+        "events",
+        replicate(
+            read("events"),
+            {"event_id": OFF["event_id"], "user_id": OFF["user_id"]},
+        ),
+        n_files=16,
+    )
+
+    def permute_text(r, i: int):
+        if i == 0:
+            return r
+        # reverse + rotate-by-i over the word array: a bijection for any
+        # word count, destroying shingle identity between replicas
+        expr = (
+            "array_join(transform(sequence(0, size(split(text, ' ')) - 1), "
+            f"j -> element_at(split(text, ' '), "
+            f"((size(split(text, ' ')) - 1 - j + {i}) % size(split(text, ' '))) + 1)), ' ')"
+        )
+        return r.withColumn("text", F.expr(expr)).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+
+    write(
+        "documents",
+        replicate(read("documents"), {"doc_id": OFF["doc_id"]}, extra=permute_text),
+    )
+    write("embeddings", replicate(read("embeddings"), {"vec_id": OFF["vec_id"]}))
+    print("sf1 written to", args.out)
+
+
+if __name__ == "__main__":
+    main()
