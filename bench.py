@@ -216,63 +216,74 @@ def main() -> None:
 
     import pandas as pd
 
-    from fstore_sql_spark.ledger import LocksLedger
+    from fstore_sql_spark.ledger import ShardedLocksLedger
     from fstore_sql_spark.storage import ParquetStore
     from tests._ledger_worker import bench_claim_ack_worker
 
-    mp_root = tempfile.mkdtemp(prefix="bench_mp_")
-    try:
-        n_parts, per_part, n_workers = 2000, 8, 4
-        from datetime import datetime, timedelta, timezone
+    from datetime import datetime, timedelta, timezone
 
-        past = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(hours=1)
-        ledger = LocksLedger(ParquetStore(None, mp_root))
-        seed = pd.DataFrame(
-            {
-                "view": "v",
-                "decider_id": [f"p{i:05d}" for i in range(n_parts)],
-                "last_offset": 0,
-                "locked_until": pd.Timestamp(past),
-                "created_at": pd.Timestamp(past),
-                "updated_at": pd.Timestamp(past),
-            }
-        )
-        with ledger.guard():
+    def run_claim_ack_workers(n_workers: int, n_parts: int, per_part: int):
+        """Seed a fresh ledger-only store, drain it with N worker
+        processes, return (events/s by slowest worker clock, elapsed).
+        Asserts global (partition, offset) ack disjointness."""
+        mp_root = tempfile.mkdtemp(prefix="bench_mp_")
+        try:
+            past = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(
+                hours=1
+            )
+            ledger = ShardedLocksLedger(ParquetStore(None, mp_root))
+            seed = pd.DataFrame(
+                {
+                    "view": "v",
+                    "decider_id": [f"p{i:05d}" for i in range(n_parts)],
+                    "last_offset": 0,
+                    "locked_until": pd.Timestamp(past),
+                    "created_at": pd.Timestamp(past),
+                    "updated_at": pd.Timestamp(past),
+                }
+            )
             ledger.insert_missing(seed)
-        pd.DataFrame(
-            {
-                "decider_id": seed["decider_id"],
-                "offset": per_part,
-                "offset_final": False,
-            }
-        ).to_parquet(os.path.join(mp_root, "hwm.parquet"))
-        ctx = mp_.get_context("spawn")
-        outs = [os.path.join(mp_root, f"out_{i}.json") for i in range(n_workers)]
-        procs = [
-            ctx.Process(target=bench_claim_ack_worker, args=(mp_root, o, 50))
-            for o in outs
-        ]
-        t0 = time.time()
-        for p in procs:
-            p.start()
-        for p in procs:
-            p.join(300)
-        b3c = time.time() - t0
-        all_acks: list[tuple] = []
-        for o in outs:
-            with open(o, encoding="utf-8") as f:
-                all_acks.extend(tuple(a) for a in json.load(f)["acked"])
-        expected = n_parts * per_part
-        assert len(all_acks) == len(set(all_acks)) == expected, (
-            f"concurrent claim disjointness violated: "
-            f"{len(all_acks)} acks, {len(set(all_acks))} unique, want {expected}"
-        )
-        timings["b3c_concurrent_deliver_ack"] = round(b3c, 3)
-        b3c_eps = round(expected / b3c, 1)
-    finally:
-        shutil.rmtree(mp_root, ignore_errors=True)
+            pd.DataFrame(
+                {
+                    "decider_id": seed["decider_id"],
+                    "offset": per_part,
+                    "offset_final": False,
+                }
+            ).to_parquet(os.path.join(mp_root, "hwm.parquet"))
+            ctx = mp_.get_context("spawn")
+            outs = [os.path.join(mp_root, f"out_{i}.json") for i in range(n_workers)]
+            procs = [
+                ctx.Process(target=bench_claim_ack_worker, args=(mp_root, o, 50))
+                for o in outs
+            ]
+            for p in procs:
+                p.start()
+            for p in procs:
+                p.join(300)
+            all_acks: list[tuple] = []
+            worker_elapsed = 0.0
+            for o in outs:
+                with open(o, encoding="utf-8") as f:
+                    d = json.load(f)
+                all_acks.extend(tuple(a) for a in d["acked"])
+                worker_elapsed = max(worker_elapsed, d["elapsed"])
+            expected = n_parts * per_part
+            assert len(all_acks) == len(set(all_acks)) == expected, (
+                f"concurrent claim disjointness violated: "
+                f"{len(all_acks)} acks, {len(set(all_acks))} unique, want {expected}"
+            )
+            return round(expected / worker_elapsed, 1), worker_elapsed
+        finally:
+            shutil.rmtree(mp_root, ignore_errors=True)
 
+    # single-worker microbench baseline, then the 4-way contended run
+    b3c1_eps, _ = run_claim_ack_workers(1, 2000, 8)
+    b3c_eps, b3c = run_claim_ack_workers(4, 2000, 8)
+
+    # b3c reported as separate fields, NOT summed into the headline total
+    # (the total's composition is pinned since r01).
     total = round(sum(timings.values()), 3)
+    timings["b3c_concurrent_deliver_ack"] = round(b3c, 3)
     regressions = {
         name: {"sec": t, "pinned": PINNED_R01[name]}
         for name, t in timings.items()
@@ -291,6 +302,7 @@ def main() -> None:
                 "b3_p50_round_trip_s": b3_p50,
                 "b3_concurrent_events_per_sec": b3c_eps,
                 "b3_concurrent_workers": 4,
+                "b3_concurrent_single_worker_events_per_sec": b3c1_eps,
                 "regressions": regressions,
             }
         )

@@ -48,6 +48,7 @@ import json
 import os
 import threading
 import time
+import zlib
 from contextlib import contextmanager
 from datetime import datetime
 
@@ -107,15 +108,21 @@ class ProcessLock:
 
         deadline = time.monotonic() + timeout_s
         fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
+        # Tight spin first: lock hold times are single-digit ms (one
+        # claim/ack + delta flush), so a 0.2 ms retry keeps handoff
+        # latency far below the 2 ms granularity that throttled
+        # contended throughput; back off to 2 ms only for long waits.
+        spin_until = time.monotonic() + 0.05
         while True:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
             except OSError:
-                if time.monotonic() > deadline:
+                now = time.monotonic()
+                if now > deadline:
                     os.close(fd)
                     raise TimeoutError(f"lock {self.path} held > {timeout_s}s")
-                time.sleep(0.002)
+                time.sleep(0.0002 if now < spin_until else 0.002)
         try:  # holder breadcrumb for operators; correctness never reads it
             os.ftruncate(fd, 0)
             os.pwrite(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(), 0)
@@ -169,6 +176,10 @@ class LocksLedger:
         # keys touched since the last flush — what a delta flush writes
         self._pending_upserts: set[tuple[str, str]] = set()
         self._pending_deletes: set[tuple[str, str]] = set()
+        # cached delta-chain length: the directory walk behind
+        # storage.state_delta_chain grows with the chain and was ~1/3 of
+        # the per-flush cost when paid on every tick
+        self._chain_len = 0
         self._reload_if_stale()
 
     # ------------------------------------------------------------------ #
@@ -200,13 +211,16 @@ class LocksLedger:
         if deltas is not None:
             for dpdf in deltas:
                 self._apply_delta(dpdf)
+            self._chain_len += len(deltas)  # siblings appended deltas
         elif disk < 0:  # no snapshot on disk yet (Spark-free bootstrap)
             self._df = _empty_frame()
+            self._chain_len = 0
         else:
             pdf = self.storage.read_state_pandas(
                 self.table, key_cols=["view", "decider_id"]
             )
             self._df = _normalize(pdf) if len(pdf) else _empty_frame()
+            self._chain_len = self.storage.state_delta_chain(self.table)
         self._version = disk
         self._dirty = False
         self._pending_upserts.clear()
@@ -232,18 +246,20 @@ class LocksLedger:
         n_pend = len(self._pending_upserts) + len(self._pending_deletes)
         use_delta = (
             0 < n_pend < max(1024, len(self._df) // 2)
-            and self.storage.state_delta_chain(self.table) + 1 < self.COMPACT_EVERY
+            and self._chain_len + 1 < self.COMPACT_EVERY
             and self._version >= 0
         )
         if use_delta:
-            ups = [k for k in self._pending_upserts if k in self._df.index]
             parts = []
-            if ups:
-                up = self._df.loc[pd.MultiIndex.from_tuples(
-                    ups, names=["view", "decider_id"]
-                )].reset_index()[_COLS]
-                up["_deleted"] = False
-                parts.append(up)
+            if self._pending_upserts:
+                want = pd.MultiIndex.from_tuples(
+                    sorted(self._pending_upserts), names=["view", "decider_id"]
+                )
+                keep = want[want.isin(self._df.index)]
+                if len(keep):
+                    up = self._df.loc[keep].reset_index()[_COLS]
+                    up["_deleted"] = False
+                    parts.append(up)
             if self._pending_deletes:
                 dels = sorted(self._pending_deletes)
                 dd = pd.DataFrame(
@@ -260,9 +276,11 @@ class LocksLedger:
                 parts.append(dd)
             delta = pd.concat(parts, ignore_index=True)
             self._version = self.storage.write_state_delta(self.table, delta)
+            self._chain_len += 1
         else:
             out = self._df.reset_index()[_COLS]
             self._version = self.storage.write_state_pandas(self.table, out)
+            self._chain_len = 0
         self._dirty = False
         self._pending_upserts.clear()
         self._pending_deletes.clear()
@@ -349,17 +367,32 @@ class LocksLedger:
         (release), updated_at bumped (T5)
         (/root/reference/schema.sql:436-446).  Unknown pairs are ignored —
         UPDATE matches zero rows in the reference too."""
-        ts_now = pd.Timestamp(now)
+        if not acks:
+            return
+        # Vectorized batch update: per-key ``.at`` writes on a MultiIndex
+        # cost ~0.1 ms each (get_loc per key) — a 100-ack commit paid
+        # ~30 ms of pure pandas overhead.  One isin + one aligned .loc
+        # assignment is ~100x less.  Duplicate keys keep the LAST offset
+        # (UPDATE semantics).
+        dedup: dict[str, int] = {}
         for decider_id, offset in acks:
-            key = (view, decider_id)
-            if key in self._df.index:
-                self._df.at[key, "last_offset"] = int(offset)
-                self._df.at[key, "locked_until"] = ts_now
-                self._df.at[key, "updated_at"] = ts_now
-                # dirty only when a row actually matched — a no-op ack
-                # must not trigger a snapshot flush (ADVICE r2)
-                self._dirty = True
-                self._touch([key])
+            dedup[decider_id] = int(offset)
+        want = pd.MultiIndex.from_tuples(
+            [(view, d) for d in dedup], names=["view", "decider_id"]
+        )
+        mask = want.isin(self._df.index)
+        if not mask.any():
+            # no row matched — a no-op ack must not trigger a snapshot
+            # flush (ADVICE r2)
+            return
+        idx = want[mask]
+        vals = [o for o, m in zip(dedup.values(), mask) if m]
+        ts_now = pd.Timestamp(now)
+        self._df.loc[idx, "last_offset"] = vals
+        self._df.loc[idx, "locked_until"] = ts_now
+        self._df.loc[idx, "updated_at"] = ts_now
+        self._dirty = True
+        self._touch(idx)
 
     def set_locked_until(
         self, view: str, decider_id: str, until: datetime, now: datetime
@@ -413,3 +446,128 @@ class LocksLedger:
             self._df = self._df.drop(view, level=0)
             self._dirty = True
             self._touch_del(gone)
+
+
+def shard_of(decider_id: str, n_shards: int) -> int:
+    """Stable cross-process shard routing (builtin ``hash`` is per-process
+    randomized and must never be used here)."""
+    return zlib.crc32(decider_id.encode("utf-8")) % n_shards
+
+
+class ShardedLocksLedger:
+    """N independently-locked :class:`LocksLedger` shards, routed by
+    ``crc32(decider_id) % N`` — the row-lock-granularity analogue of the
+    reference's ``FOR UPDATE SKIP LOCKED`` (/root/reference/schema.sql:411).
+
+    A single store-wide mutex serializes EVERY claim/ack across consumer
+    processes; measured on the b3c bench that collapses 4 workers to ~0.4×
+    one worker's throughput.  Postgres doesn't have that problem because
+    claims take row locks: consumers touching different partitions never
+    contend.  Sharding restores exactly that property — two consumers
+    contend only when their claimed partitions hash to the same shard
+    (probability 1/N per pair), and every shard keeps the single-shard
+    ledger's crash/durability story unchanged.
+
+    Methods are SELF-GUARDING: each takes only the shard locks it touches
+    (callers no longer wrap mutations in ``guard()``).  ``claim`` walks
+    shards in rotating order (start advances per call, seeded per-process
+    so concurrent consumers naturally start on different shards) and
+    claims lowest-watermark-first WITHIN each shard; it stops as soon as
+    ``limit`` is filled, so the common claim round pays ONE shard lock +
+    ONE delta flush — the same hot-path cost as the unsharded design.
+    Ordering note: the reference's ORDER BY "offset" claim preference
+    (schema.sql:410) is fairness, not a delivery contract (order is only
+    guaranteed WITHIN a partition, and SKIP LOCKED already breaks strict
+    global claim order under concurrency); shard rotation preserves the
+    same oldest-first fairness per shard and round-robin across shards.
+    """
+
+    def __init__(self, storage, table: str = "locks", n_shards: int = 8):
+        self.table = table
+        self.n_shards = n_shards
+        self.shards = [
+            LocksLedger(storage, f"{table}_s{i:02d}") for i in range(n_shards)
+        ]
+        self._rotor = os.getpid() % n_shards
+
+    # ---- reads ------------------------------------------------------- #
+
+    def refresh(self) -> None:
+        for s in self.shards:
+            s.refresh()
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.concat(
+            [s.to_pandas() for s in self.shards], ignore_index=True
+        )
+
+    def count(self) -> int:
+        return sum(s.count() for s in self.shards)
+
+    # ---- mutators (self-guarding) ------------------------------------ #
+
+    def claim(
+        self,
+        view: str,
+        hwm: pd.DataFrame,
+        limit: int,
+        now,
+        lease_until,
+    ) -> list[tuple[str, int]]:
+        got: list[tuple[str, int]] = []
+        start = self._rotor % self.n_shards
+        self._rotor += 1  # next call starts on the next shard (fairness)
+        for k in range(self.n_shards):
+            if len(got) >= int(limit):
+                break
+            s = self.shards[(start + k) % self.n_shards]
+            # cheap pre-check outside the lock: skip shards with no rows
+            # for this view (claim under the lock re-verifies anyway)
+            s.refresh()
+            if s._df.empty or view not in s._df.index.get_level_values(0):
+                continue
+            with s.guard():
+                got.extend(
+                    s.claim(view, hwm, int(limit) - len(got), now, lease_until)
+                )
+        return got
+
+    def ack(self, view: str, acks: list[tuple[str, int]], now) -> None:
+        by_shard: dict[int, list[tuple[str, int]]] = {}
+        for d, o in acks:
+            by_shard.setdefault(shard_of(d, self.n_shards), []).append((d, o))
+        for i, shard_acks in by_shard.items():
+            s = self.shards[i]
+            with s.guard():
+                s.ack(view, shard_acks, now)
+
+    def set_locked_until(self, view: str, decider_id: str, until, now) -> None:
+        s = self.shards[shard_of(decider_id, self.n_shards)]
+        with s.guard():
+            s.set_locked_until(view, decider_id, until, now)
+
+    def _split(self, rows: pd.DataFrame) -> list[tuple[int, pd.DataFrame]]:
+        shard = rows["decider_id"].map(lambda d: shard_of(d, self.n_shards))
+        return [(int(i), g.drop(columns="_shard")) for i, g in
+                rows.assign(_shard=shard).groupby("_shard")]
+
+    def insert_missing(self, rows: pd.DataFrame) -> None:
+        if rows.empty:
+            return
+        for i, part in self._split(rows):
+            s = self.shards[i]
+            with s.guard():
+                s.insert_missing(part)
+
+    def upsert(self, rows: pd.DataFrame) -> None:
+        if rows.empty:
+            return
+        for i, part in self._split(rows):
+            s = self.shards[i]
+            with s.guard():
+                s.upsert(part)
+
+    def delete_view(self, view: str) -> None:
+        for s in self.shards:
+            with s.guard():
+                s.delete_view(view)

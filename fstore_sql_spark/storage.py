@@ -271,7 +271,7 @@ class ParquetStore:
     # ------------------------------------------------------------------ #
 
     # State-snapshot layout, extended (r3): a version is either a FULL
-    # snapshot directory ``v{N}`` or a DELTA file ``v{N}.delta.parquet``
+    # snapshot directory ``v{N}`` or a DELTA file ``v{N}.delta.arrow``
     # holding only the rows changed by one commit (plus a ``_deleted``
     # tombstone column).  ``_LATEST`` still names the current version.
     # Rationale: the locks ledger flushes on EVERY claim/ack tick; a full
@@ -284,15 +284,30 @@ class ParquetStore:
     # ledger's pyarrow path.
 
     def _state_entry(self, table: str, version: int) -> tuple[str, str] | None:
-        """('full'|'delta', path) for one version, None if absent."""
+        """('full'|'delta', path) for one version, None if absent.  Deltas
+        are Arrow IPC files (``.delta.arrow``): ~5-10x cheaper to write
+        and read than parquet at per-commit sizes, and only the ledger's
+        pyarrow path ever touches them (Spark reads full snapshots only).
+        ``.delta.parquet`` is recognized for layouts written before r3."""
         base = self._state_dir(table)
         full = os.path.join(base, f"v{version:08d}")
         if os.path.isdir(full):
             return ("full", full)
-        delta = os.path.join(base, f"v{version:08d}.delta.parquet")
-        if os.path.exists(delta):
-            return ("delta", delta)
+        for ext in (".delta.arrow", ".delta.parquet"):
+            delta = os.path.join(base, f"v{version:08d}{ext}")
+            if os.path.exists(delta):
+                return ("delta", delta)
         return None
+
+    @staticmethod
+    def _read_delta_pandas(path: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if path.endswith(".arrow"):
+            with pa.memory_map(path) as m:
+                return pa.ipc.open_file(m).read_all().to_pandas()
+        return pq.read_table(path).to_pandas()
 
     def latest_full_state_version(self, table: str) -> int:
         v = self.state_version(table)
@@ -309,29 +324,38 @@ class ParquetStore:
 
     @staticmethod
     def _coerce_us(pdf):
+        """Timestamps as micros (Spark TimestampType round-trip).  No-op
+        without a copy when dtypes are already us-resolution — the hot
+        delta-flush path."""
+        off = [
+            c
+            for c in pdf.columns
+            if str(pdf[c].dtype).startswith("datetime64")
+            and str(pdf[c].dtype) != "datetime64[us]"
+        ]
+        if not off:
+            return pdf
         pdf = pdf.copy()
-        for c in pdf.columns:
-            if str(pdf[c].dtype).startswith("datetime64"):
-                pdf[c] = pdf[c].astype("datetime64[us]")
+        for c in off:
+            pdf[c] = pdf[c].astype("datetime64[us]")
         return pdf
 
     def write_state_delta(self, table: str, pdf) -> int:
         """Append one delta version: the changed rows only, with a
-        ``_deleted`` bool column.  Single-file write via pyarrow staged
-        through a tmp name + os.replace, so readers never see a torn
-        delta.  No GC here — full-snapshot writes compact the chain."""
+        ``_deleted`` bool column.  Single Arrow IPC file staged through a
+        tmp name + os.replace, so readers never see a torn delta.  No GC
+        here — full-snapshot writes compact the chain."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         with self._lock:
             version = self.state_version(table) + 1
             target = os.path.join(
-                self._state_dir(table), f"v{version:08d}.delta.parquet"
+                self._state_dir(table), f"v{version:08d}.delta.arrow"
             )
             tmp = f"{target}.tmp.{uuid.uuid4().hex}"
-            pq.write_table(
-                pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False), tmp
-            )
+            t = pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False)
+            with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
             os.replace(tmp, target)
             _atomic_write(self._latest_path(table), str(version))
             return version
@@ -342,14 +366,12 @@ class ParquetStore:
         (caller falls back to a full reload).  This is the incremental
         cross-process reload path: a sibling that advanced the state by K
         small commits costs K tiny file reads, not a snapshot scan."""
-        import pyarrow.parquet as pq
-
         out = []
         for v in range(after_version + 1, to_version + 1):
             e = self._state_entry(table, v)
             if e is None or e[0] != "delta":
                 return None
-            out.append(pq.read_table(e[1]).to_pandas())
+            out.append(self._read_delta_pandas(e[1]))
         return out
 
     def read_state_pandas(self, table: str, key_cols: list[str] | None = None):
@@ -412,8 +434,10 @@ class ParquetStore:
         for d in os.listdir(base):
             if d.startswith("v") and d[1:].isdigit():
                 entries.append((int(d[1:]), d, True))
-            elif d.startswith("v") and d.endswith(".delta.parquet"):
-                core = d[1 : -len(".delta.parquet")]
+            elif d.startswith("v") and (
+                d.endswith(".delta.parquet") or d.endswith(".delta.arrow")
+            ):
+                core = d[1:].split(".delta.", 1)[0]
                 if core.isdigit():
                     entries.append((int(core), d, False))
         fulls = sorted(v for v, _, is_full in entries if is_full)

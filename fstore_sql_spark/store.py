@@ -50,11 +50,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fstore_sql_spark import errors
-from fstore_sql_spark.ledger import LocksLedger
+from fstore_sql_spark.ledger import ShardedLocksLedger
 from fstore_sql_spark.schemas import (
     DECIDERS_SCHEMA,
     EVENTS_SCHEMA,
-    LOCKS_STATE_SCHEMA,
     VIEWS_SCHEMA,
 )
 from fstore_sql_spark.storage import Manifest, ParquetStore
@@ -101,11 +100,13 @@ class EventStore:
         self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
         self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
         self.storage.init_state(_VIEWS, VIEWS_SCHEMA)
-        self.storage.init_state(_LOCKS, LOCKS_STATE_SCHEMA)
         # Consumer-state authority: in-memory + pyarrow-flushed snapshots +
-        # cross-process lease lock (the SKIP LOCKED analogue) — see
-        # ledger.py module doc.  Lock mutations never run Spark jobs.
-        self.ledger = LocksLedger(self.storage, _LOCKS)
+        # per-shard cross-process lease locks (the row-lock-granularity
+        # SKIP LOCKED analogue) — see ledger.py module doc.  Sharded by
+        # hash(decider_id) so concurrent consumer processes claiming
+        # different partitions don't serialize on one mutex; mutations
+        # self-guard and never run Spark jobs.
+        self.ledger = ShardedLocksLedger(self.storage, _LOCKS)
         self._hwm_pdf: pd.DataFrame | None = None
         self._seen_commit_id = self.storage.read_published(_EVENTS)
 
@@ -773,8 +774,7 @@ class EventStore:
         rows["locked_until"] = pd.Timestamp(now - _UNLOCK_DELTA)
         rows["created_at"] = pd.Timestamp(now)
         rows["updated_at"] = pd.Timestamp(now)
-        with self.ledger.guard():
-            self.ledger.insert_missing(rows)
+        self.ledger.insert_missing(rows)
 
     # ------------------------------------------------------------------ #
     # A3 get_events / A4 get_last_event (/root/reference/schema.sql:348-367)
@@ -922,8 +922,7 @@ class EventStore:
                 "updated_at": pd.Timestamp(now),
             }
         )
-        with self.ledger.guard():
-            self.ledger.upsert(rows)
+        self.ledger.upsert(rows)
 
     # ------------------------------------------------------------------ #
     # A6 stream_events (/root/reference/schema.sql:402-430)
@@ -960,14 +959,9 @@ class EventStore:
             now = _utcnow()
             self._refresh_external()
             hwm = self._hwm_pandas()
-            with self.ledger.guard():
-                claimed = self.ledger.claim(
-                    view,
-                    hwm,
-                    int(limit),
-                    now,
-                    now + timedelta(seconds=int(seconds)),
-                )
+            claimed = self.ledger.claim(
+                view, hwm, int(limit), now, now + timedelta(seconds=int(seconds))
+            )
             if not claimed:
                 return self.events().limit(0)
             served, missing = self._serve_from_prefetch(view, claimed)
@@ -1098,7 +1092,7 @@ class EventStore:
         """Commit + release: last_offset = offset, locked_until = NOW()
         (/root/reference/schema.sql:436-446)."""
         now = _utcnow()
-        with self._commit_lock, self.ledger.guard():
+        with self._commit_lock:
             self.ledger.ack(view, [(decider_id, int(offset))], now)
         return self._locks_rows(view, [decider_id])
 
@@ -1118,7 +1112,7 @@ class EventStore:
         if not acks:
             return self.locks().filter(F.lit(False)) if returning else None
         now = _utcnow()
-        with self._commit_lock, self.ledger.guard():
+        with self._commit_lock:
             self.ledger.ack(view, [(d, int(o)) for d, o in acks], now)
         if not returning:
             return None
@@ -1133,7 +1127,7 @@ class EventStore:
         """Delayed retry: locked_until = NOW() + interval
         (/root/reference/schema.sql:460-468)."""
         now = _utcnow()
-        with self._commit_lock, self.ledger.guard():
+        with self._commit_lock:
             self.ledger.set_locked_until(
                 view,
                 decider_id,
@@ -1162,8 +1156,7 @@ class EventStore:
                 _VIEWS, self.views().filter(F.col("view") != view)
             )
             self._invalidate_state_cache(_VIEWS)
-            with self.ledger.guard():
-                self.ledger.delete_view(view)
+            self.ledger.delete_view(view)
             return deleted
 
     # ------------------------------------------------------------------ #
@@ -1215,7 +1208,10 @@ class EventStore:
             "n_registered_events": self.deciders().count(),
             "n_views": self.views().count(),
             "state_versions": {
-                t: self.storage.state_version(t)
-                for t in (_DECIDERS, _VIEWS, _LOCKS)
+                **{t: self.storage.state_version(t) for t in (_DECIDERS, _VIEWS)},
+                **{
+                    s.table: self.storage.state_version(s.table)
+                    for s in self.ledger.shards
+                },
             },
         }

@@ -15,55 +15,53 @@ def _now():
 
 
 def claim_worker(root: str, out_path: str, rounds: int, limit: int) -> None:
-    """One consumer process: its own LocksLedger over the shared path,
-    claiming in a loop — the two-EventStore-processes-one-store scenario
-    (the reference's concurrent-connection claim test shape)."""
+    """One consumer process: its own ShardedLocksLedger over the shared
+    path (the store's real claim path), claiming in a loop — the
+    two-EventStore-processes-one-store scenario (the reference's
+    concurrent-connection claim test shape)."""
     import pandas as pd
 
-    from fstore_sql_spark.ledger import LocksLedger
+    from fstore_sql_spark.ledger import ShardedLocksLedger
     from fstore_sql_spark.storage import ParquetStore
 
-    storage = ParquetStore(None, root)
-    ledger = LocksLedger(storage)
+    ledger = ShardedLocksLedger(ParquetStore(None, root))
     hwm = pd.read_parquet(os.path.join(root, "hwm.parquet")).set_index("decider_id")
     claims: list[str] = []
     for _ in range(rounds):
-        with ledger.guard():
-            got = ledger.claim(
-                "v", hwm, limit, _now(), _now() + timedelta(seconds=300)
-            )
+        got = ledger.claim("v", hwm, limit, _now(), _now() + timedelta(seconds=300))
         claims.extend(d for d, _ in got)
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(claims, f)
 
 
-def bench_claim_ack_worker(root: str, out_path: str, limit: int = 50) -> None:
+def bench_claim_ack_worker(
+    root: str, out_path: str, limit: int = 50, n_shards: int = 8
+) -> None:
     """One bench consumer process: claim up to ``limit`` partitions and
     batch-ack them (one guard = one state commit per round, the
     batch-commit consumer shape), looping until the work pool drains.
-    Spark-free — this measures the ledger's cross-process claim/ack
-    (SKIP LOCKED analogue) throughput under real lock contention.
-    Records every (decider_id, acked_offset) so the parent can assert
-    global disjointness."""
+    Spark-free — this measures the sharded ledger's cross-process
+    claim/ack (row-lock-granularity SKIP LOCKED analogue) throughput
+    under real contention.  Records every (decider_id, acked_offset) so
+    the parent can assert global disjointness."""
     import json as _json
     import time as _time
 
     import pandas as pd
 
-    from fstore_sql_spark.ledger import LocksLedger
+    from fstore_sql_spark.ledger import ShardedLocksLedger
     from fstore_sql_spark.storage import ParquetStore
 
-    ledger = LocksLedger(ParquetStore(None, root))
+    ledger = ShardedLocksLedger(ParquetStore(None, root), n_shards=n_shards)
     hwm = pd.read_parquet(os.path.join(root, "hwm.parquet")).set_index("decider_id")
     acked: list[list] = []
     empties = 0
     t0 = _time.time()
     while empties < 3:  # transient empties happen only at the tail
         now = _now()
-        with ledger.guard():
-            got = ledger.claim("v", hwm, limit, now, now + timedelta(seconds=300))
-            if got:
-                ledger.ack("v", [(d, lo + 1) for d, lo in got], _now())
+        got = ledger.claim("v", hwm, limit, now, now + timedelta(seconds=300))
+        if got:
+            ledger.ack("v", [(d, lo + 1) for d, lo in got], _now())
         if got:
             empties = 0
             acked.extend([d, lo + 1] for d, lo in got)

@@ -23,7 +23,7 @@ from datetime import datetime, timedelta, timezone
 import pandas as pd
 import pytest
 
-from fstore_sql_spark.ledger import LocksLedger, ProcessLock
+from fstore_sql_spark.ledger import LocksLedger, ProcessLock, ShardedLocksLedger
 from fstore_sql_spark.storage import ParquetStore
 from tests._ledger_worker import claim_worker, lock_counter_worker
 
@@ -205,9 +205,7 @@ class TestDeltaFlush:
         v = storage.state_version("locks")
         kind, path = storage._state_entry("locks", v)
         assert kind == "delta"
-        import pyarrow.parquet as pq
-
-        dpdf = pq.read_table(path).to_pandas()
+        dpdf = storage._read_delta_pandas(path)
         assert len(dpdf) == 1 and dpdf["decider_id"].iloc[0] == "p0007"
 
     def test_cold_reader_replays_chain(self, root):
@@ -324,11 +322,11 @@ class TestCrossProcess:
     def test_two_process_claims_disjoint(self, root):
         """THE SKIP LOCKED contract (/root/reference/schema.sql:411): two
         consumer processes on one store path, claiming concurrently in a
-        loop, must never double-claim a partition."""
+        loop through the SHARDED ledger (the store's real claim path),
+        must never double-claim a partition."""
         n_parts = 120
-        ledger = LocksLedger(ParquetStore(None, root))
-        with ledger.guard():
-            ledger.insert_missing(seed_rows("v", n_parts))
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", n_parts))
         hwm_frame(n_parts).reset_index().to_parquet(
             os.path.join(root, "hwm.parquet")
         )

@@ -229,23 +229,35 @@ class TestApproxAccuracy:
 class TestIvfRecall:
     def test_ivf_topk_recall_vs_bruteforce(self, spark, sf_dir):
         """IVF probes a subset of cells, so its top-k may miss true
-        neighbors; pin recall >= 0.6 at nprobe=4 so quantizer regressions
-        surface.  (Brute force is the oracle-checked ground truth.)"""
-        from fstore_sql_spark.queries import QUERIES
-
-        from fstore_sql_spark.operators.similarity import topk_bruteforce
-        from fstore_sql_spark.queries import load
+        neighbors; pin recall >= 0.6 (spherical k-means, nprobe=5) so
+        quantizer regressions surface.  (Brute force is the
+        oracle-checked ground truth.)"""
+        from fstore_sql_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk,
+            topk_bruteforce,
+        )
+        from fstore_sql_spark.queries import QUERIES, load
 
         emb = load(spark, sf_dir, "embeddings")
-        # exact ground truth for the SAME query the IVF operator answers
-        # (vec_id=0, k=5)
         bf = topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=5)
-        ivf = QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir)
-        bf_ids = {r["vec_id"] for r in bf.select("vec_id").collect()}
-        ivf_ids = {r["vec_id"] for r in ivf.select("vec_id").collect()}
+        bf_ids = [r["vec_id"] for r in bf.select("vec_id").collect()]
         assert bf_ids, "brute-force top-k returned nothing"
-        recall = len(bf_ids & ivf_ids) / len(bf_ids)
+        assigned, centroids = build_ivf_index(emb, k=8)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        ivf = ivf_topk(
+            assigned.filter(F.col("vec_id") != 0), centroids, qvec, k=5, nprobe=5
+        )
+        ivf_ids = {r["vec_id"] for r in ivf.select("vec_id").collect()}
+        recall = len(set(bf_ids) & ivf_ids) / len(bf_ids)
         assert recall >= 0.6, recall
+        # the registry query folds this contract into its oracle row
+        row = QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).collect()[0]
+        assert row["recall_ok"] is True
+        assert row["bf_top1"] == bf_ids[0]
 
 
 class TestAqeSkewJoin:
