@@ -116,6 +116,18 @@ PINNED_R01 = {
 }
 
 
+# sf1 scale-validation pin (BENCH_SF1_r03.json, generated via
+# tools/make_sf1.py — see BASELINE.md "Scale-validation point"):
+# 10x the data in 2.4x the wall clock, no query superlinear.
+PINNED_SF1_R03 = {
+    "headline_queries_total": 127.208,
+    "b1_append_validate": 17.888,  # 55.9k events/s (amortizes vs sf0.1)
+    "b2_replay_partition": 0.415,
+    "b3_deliver_ack": 2.183,  # 733 ev/s across ~95k partitions
+    "b4_backfill_register_view": 2.959,
+}
+
+
 def force(df) -> None:
     """Execute the full plan without driver-side collection."""
     df.write.format("noop").mode("overwrite").save()

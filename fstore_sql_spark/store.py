@@ -1024,28 +1024,38 @@ class EventStore:
         missing: list[tuple[str, int]],
         hwm: pd.DataFrame,
     ) -> list[tuple[str, int]]:
-        """The round's missing pairs plus (up to the cap) every other
-        partition of the view with unread events — leased-or-not, since a
-        leased partition's window will be wanted as soon as its ack
-        lands.  Driver-frame scan only; no Spark work."""
+        """The round's missing pairs plus (up to the cap) the view's other
+        unread partitions with the LOWEST watermark offsets — the same
+        order the sharded claim prefers, so the warmed set is the set the
+        next rounds will actually claim (index-order selection was
+        measured to miss at sf1's ~100k partitions: every round paid a
+        refill job, 15x slower delivery).  Leased partitions are
+        included — their windows are wanted as soon as the ack lands.
+        Driver-frame scan only; no Spark work."""
         pairs = dict(missing)
         budget = self.PREFETCH_PARTITIONS - len(pairs)
         if budget > 0:
+            cands: list[tuple[int, str, int]] = []
             for s in self.ledger.shards:
-                if budget <= 0:
-                    break
                 df = s._df
                 if df.empty or view not in df.index.get_level_values(0):
                     continue
                 sub = df.xs(view, level=0, drop_level=True)
                 offs = hwm["offset"].reindex(sub.index)
                 el = sub[offs.notna() & (sub["last_offset"] < offs)]
-                for d, lo in zip(el.index, el["last_offset"]):
-                    if d not in pairs and (view, d) not in self._prefetch:
-                        pairs[d] = int(lo)
-                        budget -= 1
-                        if budget <= 0:
-                            break
+                cands.extend(
+                    (int(o), str(d), int(lo))
+                    for o, d, lo in zip(
+                        offs.loc[el.index], el.index, el["last_offset"]
+                    )
+                )
+            cands.sort()
+            for _, d, lo in cands:
+                if budget <= 0:
+                    break
+                if d not in pairs and (view, d) not in self._prefetch:
+                    pairs[d] = lo
+                    budget -= 1
         return list(pairs.items())
 
     def _refill_prefetch(self, view: str, pairs: list[tuple[str, int]]) -> None:
