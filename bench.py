@@ -122,9 +122,9 @@ PINNED_R01 = {
 PINNED_SF1_R03 = {
     "headline_queries_total": 127.208,
     "b1_append_validate": 17.888,  # 55.9k events/s (amortizes vs sf0.1)
-    "b2_replay_partition": 0.415,
+    "b2_replay_partition": 0.635,
     "b3_deliver_ack": 2.183,  # 733 ev/s across ~95k partitions
-    "b4_backfill_register_view": 2.959,
+    "b4_backfill_register_view": 2.751,
 }
 
 
