@@ -54,7 +54,6 @@ def _run_stream(spark, src_path, ckpt, qname):
     q.awaitTermination(180)
 
 
-@pytest.mark.slow  # ~3 min: real multi-batch stateful streaming lifecycle
 def test_chain_monitor_tracks_state_across_batches(spark, tmp_path):
     src = str(tmp_path / "events")
     a1, a2, a3 = (str(uuid.uuid4()) for _ in range(3))
@@ -98,7 +97,6 @@ def test_chain_monitor_tracks_state_across_batches(spark, tmp_path):
     assert by_id["B"]["n_events"] == 2
 
 
-@pytest.mark.slow  # ~3 min: real stateful streaming lifecycle
 def test_chain_monitor_flags_non_null_first_previous(spark, tmp_path):
     src = str(tmp_path / "events")
     _write_batch(
