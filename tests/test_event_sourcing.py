@@ -310,3 +310,33 @@ def test_get_events_many_replays_selected_streams(store):
     assert offs[0] < offs[1] and offs[2] < offs[3]
     # the shared decider_id 'a' under d2 is NOT included (pair semantics)
     assert all(not (r.decider_id == "a" and r.decider == "d2") for r in out)
+
+
+def test_refresh_keys_on_publish_marker_not_manifest(store, spark):
+    """Commit VISIBILITY contract (ADVICE r2, high): a sibling reader must
+    invalidate its caches only when the post-append _PUBLISHED marker
+    advances — never on the pre-append allocation manifest, which moves
+    BEFORE the log files land (reacting to it caches a partial batch and
+    marks it fresh)."""
+    from fstore_sql_spark.storage import Manifest
+
+    store.register_decider_event("d", "e", "x")
+    store.append_event("e", uid(), "d", "p1")
+    reader = type(store)(spark, store.storage.root)
+    assert reader.events().count() == 1
+    seen = reader._seen_commit_id
+
+    # simulate a sibling mid-append: manifest (allocation) advanced, no
+    # publish marker yet → the reader must NOT invalidate
+    m = store.storage.read_manifest("events")
+    store.storage.write_manifest("events", Manifest(m.max_offset + 1, m.commit_id + 7))
+    reader._refresh_external()
+    assert reader._seen_commit_id == seen  # untouched — still unpublished
+
+    # the append completes: marker advances → reader invalidates and sees it
+    store.storage.write_manifest("events", m)  # restore
+    last = store.get_last_event("p1", "d").collect()[0]
+    store.append_event("e", uid(), "d", "p1", previous_id=last["event_id"])
+    reader._refresh_external()
+    assert reader._seen_commit_id != seen
+    assert reader.events().count() == 2
