@@ -296,10 +296,15 @@ def main() -> None:
     # (the total's composition is pinned since r01).
     total = round(sum(timings.values()), 3)
     timings["b3c_concurrent_deliver_ack"] = round(b3c, 3)
+    # pins are per scale factor: sf0.1 → PINNED_R01 (full per-query set),
+    # sf1 → PINNED_SF1_R03 (totals + b-benches); other sf dirs have no
+    # pins (comparing sf1 timings to sf0.1 pins would flag everything)
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    pins = {"0.1": PINNED_R01, "1": PINNED_SF1_R03}.get(sf_tag, {})
     regressions = {
-        name: {"sec": t, "pinned": PINNED_R01[name]}
+        name: {"sec": t, "pinned": pins[name]}
         for name, t in timings.items()
-        if name in PINNED_R01 and t > 2.0 * PINNED_R01[name]
+        if name in pins and t > 2.0 * pins[name]
     }
     print(
         json.dumps(

@@ -227,6 +227,10 @@ class LocksLedger:
         self._pending_deletes.clear()
 
     def _apply_delta(self, dpdf: pd.DataFrame) -> None:
+        # Indexed-frame twin of storage.apply_state_delta (which serves
+        # the cold-reader reconstruction on unindexed frames) — the two
+        # MUST stay semantically identical: drop every key named by the
+        # delta, re-insert its non-tombstoned rows.
         keys = pd.MultiIndex.from_arrays(
             [dpdf["view"], dpdf["decider_id"]], names=["view", "decider_id"]
         )
@@ -494,6 +498,30 @@ class ShardedLocksLedger:
             LocksLedger(storage, f"{table}_s{i:02d}") for i in range(n_shards)
         ]
         self._rotor = os.getpid() % n_shards
+        self._maybe_migrate_legacy(storage)
+
+    def _maybe_migrate_legacy(self, storage) -> None:
+        """One-time in-place upgrade: a store written before r3 holds all
+        consumer state in the single unsharded ``locks`` table; without
+        this, opening it with the sharded ledger would silently show zero
+        lock rows and delivery for pre-upgrade views would stop.  Rows
+        route into their shards via insert_missing (ON CONFLICT DO
+        NOTHING), so a concurrent double-migration is harmless; the
+        marker just skips the read on later opens."""
+        legacy_dir = os.path.join(storage.root, f"{self.table}_state")
+        marker = os.path.join(legacy_dir, "_MIGRATED")
+        if os.path.exists(marker) or storage.state_version(self.table) < 0:
+            return
+        pdf = storage.read_state_pandas(
+            self.table, key_cols=["view", "decider_id"]
+        )
+        if len(pdf):
+            self.insert_missing(pdf[_COLS])
+        try:
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write("migrated to sharded layout (r3)")
+        except OSError:
+            pass
 
     # ---- reads ------------------------------------------------------- #
 

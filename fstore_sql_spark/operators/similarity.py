@@ -192,9 +192,18 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # norm computed ONCE per row via a column: referencing norm(v) inside
+    # the transform lambda would re-evaluate the O(d) aggregate per
+    # element (no CSE across higher-order-function calls) — O(d^2)/row
     v = _as_double(F.col(vec_col))
-    unit = F.transform(v, lambda x: x / F.greatest(norm(v), F.lit(1e-12)))
-    with_vec = embeddings.withColumn("_features", array_to_vector(unit))
+    with_vec = (
+        embeddings.withColumn("_vnorm", F.greatest(norm(v), F.lit(1e-12)))
+        .withColumn(
+            "_features",
+            array_to_vector(F.transform(v, lambda x: x / F.col("_vnorm"))),
+        )
+        .drop("_vnorm")
+    )
     model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="cell").fit(
         with_vec
     )

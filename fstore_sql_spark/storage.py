@@ -371,7 +371,13 @@ class ParquetStore:
             e = self._state_entry(table, v)
             if e is None or e[0] != "delta":
                 return None
-            out.append(self._read_delta_pandas(e[1]))
+            try:
+                out.append(self._read_delta_pandas(e[1]))
+            except FileNotFoundError:
+                # a sibling's full-snapshot GC unlinked the delta between
+                # the existence check and the open (lock-free readers are
+                # allowed here) — fall back to a full reload
+                return None
         return out
 
     def read_state_pandas(self, table: str, key_cols: list[str] | None = None):
@@ -381,22 +387,32 @@ class ParquetStore:
         snapshots never need it."""
         import pyarrow.parquet as pq
 
-        version = self.state_version(table)
-        entry = self._state_entry(table, version)
-        if entry is not None and entry[0] == "full":
-            return pq.read_table(entry[1]).to_pandas()
-        base_v = self.latest_full_state_version(table)
-        if base_v < 0:
-            raise FileNotFoundError(f"no full state snapshot for {table}")
-        if key_cols is None:
-            raise ValueError(f"{table} has a delta chain; key_cols required")
-        pdf = pq.read_table(self._state_entry(table, base_v)[1]).to_pandas()
-        deltas = self.read_state_deltas(table, base_v, version)
-        if deltas is None:
-            raise FileNotFoundError(f"broken delta chain for {table} @v{version}")
-        for dpdf in deltas:
-            pdf = apply_state_delta(pdf, dpdf, key_cols)
-        return pdf.reset_index(drop=True)
+        last_err: Exception | None = None
+        for _attempt in range(3):  # GC by a sibling can unlink mid-read;
+            try:                   # re-resolving _LATEST always converges
+                version = self.state_version(table)
+                entry = self._state_entry(table, version)
+                if entry is not None and entry[0] == "full":
+                    return pq.read_table(entry[1]).to_pandas()
+                base_v = self.latest_full_state_version(table)
+                if base_v < 0:
+                    raise FileNotFoundError(f"no full state snapshot for {table}")
+                if key_cols is None:
+                    raise ValueError(
+                        f"{table} has a delta chain; key_cols required"
+                    )
+                pdf = pq.read_table(self._state_entry(table, base_v)[1]).to_pandas()
+                deltas = self.read_state_deltas(table, base_v, version)
+                if deltas is None:
+                    raise FileNotFoundError(
+                        f"broken delta chain for {table} @v{version}"
+                    )
+                for dpdf in deltas:
+                    pdf = apply_state_delta(pdf, dpdf, key_cols)
+                return pdf.reset_index(drop=True)
+            except FileNotFoundError as e:
+                last_err = e
+        raise last_err
 
     def write_state_pandas(self, table: str, pdf) -> int:
         """Snapshot write via pyarrow: ~ms instead of a Spark job — sized
@@ -409,13 +425,8 @@ class ParquetStore:
             version = self.state_version(table) + 1
             target = os.path.join(self._state_dir(table), f"v{version:08d}")
             os.makedirs(target, exist_ok=True)
-            # timestamps as micros: what Spark's TimestampType round-trips
-            pdf = pdf.copy()
-            for c in pdf.columns:
-                if str(pdf[c].dtype).startswith("datetime64"):
-                    pdf[c] = pdf[c].astype("datetime64[us]")
             pq.write_table(
-                pa.Table.from_pandas(pdf, preserve_index=False),
+                pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False),
                 os.path.join(target, "part-00000.parquet"),
             )
             _atomic_write(self._latest_path(table), str(version))

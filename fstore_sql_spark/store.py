@@ -234,10 +234,13 @@ class EventStore:
         # (/root/reference/schema.sql:290-294).  Both sides are
         # driver-resident (ledger + hwm frame), so the reference-shaped
         # join is a pandas merge — no Spark job to expose the table.
-        self._refresh_external()
-        self.ledger.refresh()  # don't serve stale sibling-flushed state
-        state = self.ledger.to_pandas()
-        hwm = self._hwm_pandas().reset_index()
+        # under the commit lock: refresh() rebinds shard frames, which
+        # must not race an in-flight mutator thread (claim/ack/T6)
+        with self._commit_lock:
+            self._refresh_external()
+            self.ledger.refresh()  # don't serve stale sibling-flushed state
+            state = self.ledger.to_pandas()
+            hwm = self._hwm_pandas().reset_index()
         schema = (
             "view string, decider_id string, offset long, last_offset long, "
             "locked_until timestamp, offset_final boolean, "
@@ -1116,13 +1119,15 @@ class EventStore:
         """RETURNING-clause analogue: reference-shaped lock rows for the
         touched keys, built from the driver frames (no Spark job, no full
         table materialization)."""
-        self.ledger.refresh()
-        state = self.ledger.to_pandas()
+        with self._commit_lock:  # see locks(): refresh must not race mutators
+            self.ledger.refresh()
+            state = self.ledger.to_pandas()
+            hwm_reset = self._hwm_pandas().reset_index()
         state = state[
             (state["view"] == view) & state["decider_id"].isin(decider_ids)
         ]
         merged = state.merge(
-            self._hwm_pandas().reset_index(), on="decider_id", how="inner"
+            hwm_reset, on="decider_id", how="inner"
         )[
             [
                 "view",

@@ -18,9 +18,11 @@ def pytest_addoption(parser):
 
 def pytest_collection_modifyitems(config, items):
     """Two-tier suite (VERDICT r2 #4): the default run skips @slow
-    (streaming-query lifecycles, multiprocessing spawn suites, property
-    sweeps) for a fast iteration loop; ``pytest tests/ --runslow`` is the
-    full pre-commit/CI tier."""
+    (multiprocessing spawn suites, hypothesis property sweeps) for a
+    fast iteration loop; ``pytest tests/ --runslow`` is the full
+    pre-commit/CI tier.  (The stateful-streaming lifecycle tests were
+    originally slow-tier candidates; after the chain_monitor
+    AvailableNow fix they run in ~30 s and stay in the default tier.)"""
     if config.getoption("--runslow"):
         return
     skip = pytest.mark.skip(reason="slow tier: pass --runslow to include")

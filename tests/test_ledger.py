@@ -161,6 +161,24 @@ class TestLedgerSemantics:
         assert set(ledger.to_pandas()["view"]) == {"b"}
 
 
+class TestLegacyMigration:
+    def test_unsharded_state_migrates_into_shards(self, root):
+        """A pre-r3 store keeps consumer state in the single 'locks'
+        table; the sharded ledger must pick it up on open (else delivery
+        for pre-upgrade views silently stops)."""
+        legacy = LocksLedger(ParquetStore(None, root))
+        with legacy.guard():
+            legacy.insert_missing(seed_rows("v", 10))
+            legacy.ack("v", [("p0003", 4)], now_utc())
+        sharded = ShardedLocksLedger(ParquetStore(None, root))
+        pdf = sharded.to_pandas().set_index("decider_id")
+        assert len(pdf) == 10
+        assert pdf.loc["p0003", "last_offset"] == 4
+        # second open: marker short-circuits, state intact
+        again = ShardedLocksLedger(ParquetStore(None, root))
+        assert len(again.to_pandas()) == 10
+
+
 class TestDurabilityAndStaleness:
     def test_snapshot_survives_restart(self, root):
         ledger = LocksLedger(ParquetStore(None, root))

@@ -6,7 +6,6 @@ from __future__ import annotations
 import uuid
 from datetime import datetime
 
-import pytest
 from pyspark.sql import functions as F
 
 from fstore_sql_spark.schemas import EVENTS_SCHEMA
