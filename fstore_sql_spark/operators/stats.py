@@ -900,8 +900,8 @@ def join_key_skew_report(spark, sf_dir):
     """
     WITH q AS (
         SELECT event_type,
-               CAST(quantile_cont(value, 0.05) AS DOUBLE) AS p05,
-               CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95
+               CAST(ROUND(quantile_cont(value, 0.05), 6) AS DOUBLE) AS p05,
+               CAST(ROUND(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
@@ -926,11 +926,16 @@ def winsorized_value_stats(spark, sf_dir):
     exact interpolated percentiles per group, broadcast back (5 rows), then
     one clipped-sum aggregate.  Clipped values go through DECIMAL(18,6) so
     the cross-row sum is order-free; the final mean is one double division
-    (queries.py determinism conventions)."""
+    (queries.py determinism conventions).
+
+    The thresholds are ROUNDED to 6dp before clipping/counting: the two
+    engines' percentile interpolation can differ by an ULP, and comparing
+    data against a knife-edge double threshold flips boundary rows — at
+    sf1 (values replicated ~10x) that showed up as count diffs."""
     e = load(spark, sf_dir, "events")
     q = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     return (

@@ -335,11 +335,11 @@ def es_ingest_mapping(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (1 - CAST(l_discount AS DECIMAL(18,2))) *
-                    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                    (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
@@ -360,8 +360,15 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            # ROUND the wide (scale-4/6) decimal sums to 2dp BEFORE the
+            # double cast: at sf1 the exact decimal exceeds double
+            # precision (17 sig digits) and the engines' decimal->double
+            # conversions can differ by one ULP; 2dp keeps every engine's
+            # conversion exact at any realistic scale
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (one + _dec("l_tax"))), 2)
+            .cast("double")
+            .alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -2176,11 +2183,14 @@ def user_mode_event_type(spark, sf_dir):
     "session_window_rollup",
     """
     WITH flagged AS (
+        -- gap test in exact integer microseconds: date_diff('second')
+        -- counts BOUNDARY CROSSINGS, so a 1738.7s real gap can read as
+        -- 1739 and split a session Spark correctly merges
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                         OR date_diff('second',
-                                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                                ts) >= 1739
+                         OR epoch_us(ts) -
+                            epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                            >= 1739 * 1000000
                     THEN 1 ELSE 0 END AS brk
         FROM events
     ), numbered AS (

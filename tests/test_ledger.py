@@ -161,6 +161,45 @@ class TestLedgerSemantics:
         assert set(ledger.to_pandas()["view"]) == {"b"}
 
 
+class TestShardedLedger:
+    def test_routing_is_stable_and_acks_land(self, root):
+        from fstore_sql_spark.ledger import shard_of
+
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 64))
+        hwm = hwm_frame(64)
+        ledger.ack("v", [("p0005", 3), ("p0042", 4)], now_utc())
+        pdf = ledger.to_pandas().set_index("decider_id")
+        assert pdf.loc["p0005", "last_offset"] == 3
+        assert pdf.loc["p0042", "last_offset"] == 4
+        # the ack landed in the routed shard's own frame
+        s = ledger.shards[shard_of("p0005", ledger.n_shards)]
+        assert s._df.loc[("v", "p0005"), "last_offset"] == 3
+
+    def test_rotation_claims_reach_every_shard(self, root):
+        """Fairness: repeated claims must not starve any shard — a full
+        drain touches every partition exactly once."""
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 64))
+        hwm = hwm_frame(64)
+        seen: list[str] = []
+        for _ in range(64):
+            now = now_utc()
+            got = ledger.claim("v", hwm, 4, now, now + timedelta(seconds=300))
+            seen.extend(d for d, _ in got)
+            if len(seen) >= 64:
+                break
+        assert sorted(seen) == sorted(f"p{i:04d}" for i in range(64))
+
+    def test_delete_view_cascades_across_shards(self, root):
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("a", 32))
+        ledger.insert_missing(seed_rows("b", 32))
+        ledger.delete_view("a")
+        assert set(ledger.to_pandas()["view"]) == {"b"}
+        assert ledger.count() == 32
+
+
 class TestLegacyMigration:
     def test_unsharded_state_migrates_into_shards(self, root):
         """A pre-r3 store keeps consumer state in the single 'locks'

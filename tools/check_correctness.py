@@ -74,8 +74,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):  # Spark-written dataset directory
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
