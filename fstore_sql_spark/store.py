@@ -285,6 +285,20 @@ class EventStore:
             self._invalidate_log_cache()
             return self.storage.log_file_count(_EVENTS)
 
+    def maybe_compact(
+        self, max_files: int = 64, target_partitions: int | None = None
+    ) -> int | None:
+        """Opportunistic OPTIMIZE: compact the event log only when its
+        current-generation file count exceeds ``max_files`` (each append
+        batch writes its own files, so continuous small appends fragment
+        the log and slow scans).  Returns the new file count, or None when
+        skipped.  Synchronous full rewrite — call between batches from an
+        ingest loop (the auto-compaction analogue) or from a maintenance
+        window; readers stay snapshot-safe via the generation pointer."""
+        if self.storage.log_file_count(_EVENTS) <= max_files:
+            return None
+        return self.compact(target_partitions)
+
     def register_sql_views(self, prefix: str = "") -> None:
         """Expose all four tables as temp views so ``spark.sql`` works over
         the store (SURVEY.md §7.1 step 7)."""

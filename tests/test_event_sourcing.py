@@ -340,3 +340,17 @@ def test_refresh_keys_on_publish_marker_not_manifest(store, spark):
     reader._refresh_external()
     assert reader._seen_commit_id != seen
     assert reader.events().count() == 2
+
+
+def test_maybe_compact_thresholds(store):
+    """Opportunistic compaction: a no-op below the file threshold, a real
+    compaction (fewer files, log intact) above it."""
+    store.register_decider_event("d", "e", "x")
+    for i in range(3):
+        store.append_event("e", uid(), "d", f"p{i}")
+    n_files = store.storage.log_file_count("events")
+    assert store.maybe_compact(max_files=n_files) is None  # under threshold
+    out = store.maybe_compact(max_files=1)
+    assert out is not None and out <= n_files
+    assert store.events().count() == 3
+    assert [r["offset"] for r in store.get_events("p1", "d").collect()] == [2]
