@@ -32,6 +32,7 @@ import json
 import os
 import shutil
 import threading
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -181,6 +182,14 @@ class ParquetStore:
             empty.write.mode("overwrite").parquet(path)
             _atomic_write(os.path.join(self._log_base(table), _LATEST), "0")
             self.write_manifest(table, Manifest())
+        # Seed the published marker at bootstrap (ADVICE r3): without it,
+        # read_published falls back to the MANIFEST — which advances
+        # BEFORE the append — so during the very first commit a sibling
+        # could rebuild its cache from a partially-landed batch.  With
+        # the marker present from init, visibility is marker-gated from
+        # the FIRST commit, not the second.
+        if not os.path.exists(self._published_path(table)):
+            self.write_published(table, self.read_manifest(table).commit_id)
 
     def append_log(self, table: str, df: DataFrame, cluster_by: str | None = None) -> None:
         """Append a committed batch.  ``cluster_by`` repartitions so row
@@ -443,6 +452,18 @@ class ParquetStore:
         base = self._state_dir(table)
         entries: list[tuple[int, str, bool]] = []  # (version, name, is_full)
         for d in os.listdir(base):
+            if ".tmp." in d:
+                # a crash between staging and os.replace orphans the tmp
+                # file forever (no other code path deletes it, ADVICE r3);
+                # reclaim after a grace period so a LIVE writer's staging
+                # file is never yanked mid-rename
+                p = os.path.join(base, d)
+                try:
+                    if time.time() - os.path.getmtime(p) > 300:
+                        os.unlink(p)
+                except OSError:
+                    pass
+                continue
             if d.startswith("v") and d[1:].isdigit():
                 entries.append((int(d[1:]), d, True))
             elif d.startswith("v") and (

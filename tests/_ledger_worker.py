@@ -35,15 +35,17 @@ def claim_worker(root: str, out_path: str, rounds: int, limit: int) -> None:
 
 
 def bench_claim_ack_worker(
-    root: str, out_path: str, limit: int = 50, n_shards: int = 8
+    root: str, out_path: str, limit: int = 50, n_shards: int | None = None
 ) -> None:
-    """One bench consumer process: claim up to ``limit`` partitions and
-    batch-ack them (one guard = one state commit per round, the
-    batch-commit consumer shape), looping until the work pool drains.
-    Spark-free — this measures the sharded ledger's cross-process
-    claim/ack (row-lock-granularity SKIP LOCKED analogue) throughput
-    under real contention.  Records every (decider_id, acked_offset) so
-    the parent can assert global disjointness."""
+    """One bench consumer process: the steady-state consumer tick —
+    ``ack_and_claim`` fuses the previous round's batch ack with the next
+    claim (ONE shard lock + ONE delta flush on the sticky shard), looping
+    until the work pool drains.  Spark-free — this measures the sharded
+    ledger's cross-process claim/ack (row-lock-granularity SKIP LOCKED
+    analogue) throughput under real contention.  Records every
+    (decider_id, acked_offset) so the parent can assert global
+    disjointness.  ``n_shards=None`` adopts the store's pinned layout
+    marker (ADVICE r3)."""
     import json as _json
     import time as _time
 
@@ -55,19 +57,30 @@ def bench_claim_ack_worker(
     ledger = ShardedLocksLedger(ParquetStore(None, root), n_shards=n_shards)
     hwm = pd.read_parquet(os.path.join(root, "hwm.parquet")).set_index("decider_id")
     acked: list[list] = []
+    pend: list[tuple[str, int]] = []  # delivered batch awaiting ack
     empties = 0
     t0 = _time.time()
     while empties < 3:  # transient empties happen only at the tail
         now = _now()
-        got = ledger.claim("v", hwm, limit, now, now + timedelta(seconds=300))
-        if got:
-            ledger.ack("v", [(d, lo + 1) for d, lo in got], _now())
+        got = ledger.ack_and_claim(
+            "v",
+            [(d, lo + 1) for d, lo in pend],
+            hwm,
+            limit,
+            now,
+            now + timedelta(seconds=300),
+        )
+        # ack_and_claim applies acks before returning — safe to record
+        acked.extend([d, lo + 1] for d, lo in pend)
+        pend = got
         if got:
             empties = 0
-            acked.extend([d, lo + 1] for d, lo in got)
         else:
             empties += 1
             _time.sleep(0.01)
+    if pend:  # tail batch: nothing left to claim, ack it standalone
+        ledger.ack("v", [(d, lo + 1) for d, lo in pend], _now())
+        acked.extend([d, lo + 1] for d, lo in pend)
     with open(out_path, "w", encoding="utf-8") as f:
         _json.dump({"acked": acked, "elapsed": _time.time() - t0}, f)
 
