@@ -177,6 +177,9 @@ def main() -> None:
         b1 = time.time() - t0
         timings["b1_append_validate"] = round(b1, 3)
         b1_eps = round(n / b1, 1)
+        # per-phase breakdown of the append tick (VERDICT r3 #3):
+        # candidates/validate/t6/offset-numbering/parquet/marker
+        b1_profile = dict(store.last_append_profile)
 
         # B4 — register_view T7 lock backfill against the full events table.
         t0 = time.time()
@@ -213,6 +216,15 @@ def main() -> None:
         timings["b3_deliver_ack"] = round(b3, 3)
         b3_eps = round(delivered / b3, 1) if b3 else 0.0
         b3_p50 = round(sorted(round_times)[len(round_times) // 2], 4)
+        # read-ahead cache counters (VERDICT r3 #6): the loop above runs
+        # PREFETCH_DEPTH rounds off ONE refill — steady-state hit rate
+        # must be high, else the warm-order regression class is back.
+        pf = dict(store.prefetch_counters)
+        pf_total = pf["hits"] + pf["misses"]
+        b3_hit_rate = round(pf["hits"] / pf_total, 3) if pf_total else 0.0
+        assert b3_hit_rate >= 0.8, (
+            f"prefetch hit rate collapsed: {pf} (warm-order regression?)"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -288,9 +300,15 @@ def main() -> None:
         finally:
             shutil.rmtree(mp_root, ignore_errors=True)
 
-    # single-worker microbench baseline, then the 4-way contended run
-    b3c1_eps, _ = run_claim_ack_workers(1, 2000, 8)
-    b3c_eps, b3c = run_claim_ack_workers(4, 2000, 8)
+    # single-worker microbench baseline, then the 4-way contended run.
+    # Pool sized so steady state dominates: at r4 per-worker speeds
+    # (~9k ev/s) a 16k-event pool drains in ~1.4s and worker-startup
+    # skew swamps the window; 64k events (~7s single) measures the
+    # contention shape the harness exists for.  sf1 runs a 160k pool
+    # across 20k partitions (the ~sf1 partition count, VERDICT r3 #7).
+    b3c_parts = 20_000 if SF_DIR.rstrip("/").endswith("sf1") else 8_000
+    b3c1_eps, _ = run_claim_ack_workers(1, b3c_parts, 8)
+    b3c_eps, b3c = run_claim_ack_workers(4, b3c_parts, 8)
 
     # b3c reported as separate fields, NOT summed into the headline total
     # (the total's composition is pinned since r01).
@@ -306,24 +324,45 @@ def main() -> None:
         for name, t in timings.items()
         if name in pins and t > 2.0 * pins[name]
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-                "b1_events_per_sec": b1_eps,
-                "b3_deliver_events_per_sec": b3_eps,
-                "b3_p50_round_trip_s": b3_p50,
-                "b3_concurrent_events_per_sec": b3c_eps,
-                "b3_concurrent_workers": 4,
-                "b3_concurrent_single_worker_events_per_sec": b3c1_eps,
-                "regressions": regressions,
-            }
-        )
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_tag,
+        "n_queries": len(timings),
+        "b1_events_per_sec": b1_eps,
+        "b3_deliver_events_per_sec": b3_eps,
+        "b3_p50_round_trip_s": b3_p50,
+        "b3_prefetch_hit_rate": b3_hit_rate,
+        "b3_concurrent_events_per_sec": b3c_eps,
+        "b3_concurrent_workers": 4,
+        "b3_concurrent_single_worker_events_per_sec": b3c1_eps,
+        "b3_concurrent_scaling": (
+            round(b3c_eps / b3c1_eps, 2) if b3c1_eps else None
+        ),
+        "regressions": regressions,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    # Per-query dict + profiles go to a SIDE file: the 57-entry inline
+    # dict outgrew the driver's tail capture in r03 ("parsed: null",
+    # VERDICT r3 #2) — the stdout line must stay compact and LAST.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL_SF1.json" if sf_tag == "1" else "BENCH_DETAIL.json",
     )
+    headline["detail_file"] = os.path.basename(detail_path)
+    with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                **headline,
+                "queries": timings,
+                "b1_append_profile": b1_profile,
+                "b3_prefetch_counters": pf,
+            },
+            f,
+            indent=1,
+        )
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -38,8 +38,10 @@ reference's one table on one Postgres primary.  Per-tick flush cost no
 longer grows with the table (deltas); the remaining growth axes are the
 in-memory frame itself and the periodic full compaction — both
 O(#views × #partitions), the same central ceiling as the reference's
-``locks`` table, with a Delta MERGE backend as the escape hatch if it is
-ever real.
+``locks`` table.  (A Delta MERGE backend was considered as an escape
+hatch and formally struck in r4 — see SURVEY.md §7.1 step 2: the
+sharded append-delta layout already provides the MERGE-shaped
+semantics, and delta-spark is not installable here.)
 """
 
 from __future__ import annotations

@@ -41,6 +41,7 @@ Design decisions (SURVEY.md §7):
 from __future__ import annotations
 
 import threading
+import time
 import uuid as _uuid
 from contextlib import contextmanager
 from datetime import datetime, timedelta, timezone
@@ -97,6 +98,15 @@ class EventStore:
         # (view, decider_id) -> {"lo": fetch-time last_offset, "rows":
         # [Row sorted by offset], "complete": window reached hwm}
         self._prefetch: dict[tuple[str, str], dict] = {}
+        # read-ahead cache observability (VERDICT r3 #6): the cache is
+        # load-bearing for delivery perf, so hit/miss/refill are counted
+        # and surfaced via stats() / asserted in bench + tests — a
+        # silent ordering regression (the sf1 warm-order bug) would show
+        # as a collapsed hit rate instead of just slow rounds.
+        self.prefetch_counters = {"hits": 0, "misses": 0, "refills": 0}
+        # per-phase wall times of the most recent append_batch (b1
+        # profile, VERDICT r3 #3): candidates/validate/t6/commit
+        self.last_append_profile: dict[str, float] = {}
         self.storage.init_log(_EVENTS, EVENTS_SCHEMA)
         self.storage.init_state(_DECIDERS, DECIDERS_SCHEMA)
         self.storage.init_state(_VIEWS, VIEWS_SCHEMA)
@@ -409,13 +419,18 @@ class EventStore:
                 seen = self.events().select("event_id")
                 cand = cand.join(seen, "event_id", "leftanti")
             cand = cand.persist()
+            prof = self.last_append_profile = {}
+            _t = time.monotonic()
             try:
                 n = cand.count()  # materialize the cache once, up front
+                prof["candidates_s"] = round(time.monotonic() - _t, 3)
                 if n == 0:
                     return self.events().limit(0)
                 with self._shuffle_sized_for(n):
+                    _t = time.monotonic()
                     if validate:
                         self._validate_batch(cand)
+                    prof["validate_s"] = round(time.monotonic() - _t, 3)
                     manifest = self.storage.read_manifest(_EVENTS)
                     # T6: lock rows for partitions born in this batch
                     # (/root/reference/schema.sql:240-263).  Runs BEFORE
@@ -428,7 +443,9 @@ class EventStore:
                     # the derived locks() inner-join until the partition's
                     # events actually land, and last_offset=0 is exactly
                     # what T6 would write on retry.
+                    _t = time.monotonic()
                     self._t6_new_partition_locks(self._new_stream_keys(cand), now)
+                    prof["t6_locks_s"] = round(time.monotonic() - _t, 3)
                     appended = self._commit(cand, manifest, now, n=n)
                 return appended
             finally:
@@ -718,14 +735,18 @@ class EventStore:
             .select([f.name for f in EVENTS_SCHEMA.fields])
         )
         finished = finished.persist()
+        prof = self.last_append_profile
         try:
+            _t = time.monotonic()
             assert finished.count() == n
+            prof["offset_number_s"] = round(time.monotonic() - _t, 3)
             # Incremental high-watermark maintenance: aggregate THIS batch
             # (already persisted) and merge into the driver hwm frame, so
             # steady ingest+deliver never recomputes the full watermark
             # from the log.  Skipped (left to lazy full recompute) when no
             # claim path has materialized the frame yet.
             batch_hwm = None
+            _t = time.monotonic()
             if self._hwm_pdf is not None:
                 batch_hwm = (
                     finished.groupBy("decider_id")
@@ -736,6 +757,7 @@ class EventStore:
                     .toPandas()
                     .set_index("decider_id")
                 )
+            prof["hwm_merge_s"] = round(time.monotonic() - _t, 3)
             # Crash-atomicity: advance the manifest BEFORE the log append.
             # A crash between the two then yields only an offset gap (which
             # BIGSERIAL permits — rollback gaps, SURVEY.md §7.4), never
@@ -748,11 +770,15 @@ class EventStore:
             self.storage.write_manifest(
                 _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
             )
+            _t = time.monotonic()
             self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
+            prof["parquet_write_s"] = round(time.monotonic() - _t, 3)
+            _t = time.monotonic()
             # VISIBILITY marker: written only after the append completed,
             # so sibling processes' _refresh_external never rebuilds from
             # a log missing this batch (ADVICE r2, high).
             self.storage.write_published(_EVENTS, txn)
+            prof["marker_publish_s"] = round(time.monotonic() - _t, 3)
             prior_hwm = self._hwm_pdf
             self._invalidate_log_cache()
             self._seen_commit_id = txn
@@ -991,7 +1017,7 @@ class EventStore:
                 self._refill_prefetch(
                     view, self._union_eligible_pairs(view, missing, hwm)
                 )
-                more, _ = self._serve_from_prefetch(view, missing)
+                more, _ = self._serve_from_prefetch(view, missing, count=False)
                 served.extend(more)
         if not served:
             return self.events().limit(0)
@@ -1004,13 +1030,15 @@ class EventStore:
         return self.spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
 
     def _serve_from_prefetch(
-        self, view: str, claimed: list[tuple[str, int]]
+        self, view: str, claimed: list[tuple[str, int]], count: bool = True
     ) -> tuple[list, list[tuple[str, int]]]:
         """Split claims into rows servable from cached windows vs needing
         a refill.  A window fetched at consumer position ``lo`` covers
         offsets (lo, last-row] completely (``complete`` = it reached the
         partition watermark), so for a claim at position L ≥ lo the first
-        cached row above L IS the next unread event."""
+        cached row above L IS the next unread event.  ``count=False``
+        (the post-refill retry) keeps the hit/miss counters measuring
+        only FIRST-attempt serves — the cache's steady-state hit rate."""
         served, missing = [], []
         for decider_id, last_offset in claimed:
             win = self._prefetch.get((view, decider_id))
@@ -1027,8 +1055,13 @@ class EventStore:
                     row = False  # definitively drained (hwm-stale claim)
             if row is None:
                 missing.append((decider_id, last_offset))
-            elif row is not False:
-                served.append(row)
+                if count:
+                    self.prefetch_counters["misses"] += 1
+            else:
+                if count:
+                    self.prefetch_counters["hits"] += 1
+                if row is not False:
+                    served.append(row)
         return served, missing
 
     # Partitions covered per refill job: bounds the windows fetched to
@@ -1079,6 +1112,7 @@ class EventStore:
         """ONE Spark job: next K unread events for every partition in
         ``pairs``.  Broadcast join + per-partition topK — the batched
         index-probe analogue of schema.sql:418-423."""
+        self.prefetch_counters["refills"] += 1
         k = self.PREFETCH_DEPTH
         events = self.events()
         pairs_df = F.broadcast(
@@ -1277,6 +1311,8 @@ class EventStore:
             "log_files": self.storage.log_file_count(_EVENTS),
             "n_registered_events": self.deciders().count(),
             "n_views": self.views().count(),
+            "prefetch": dict(self.prefetch_counters),
+            "last_append_profile": dict(self.last_append_profile),
             "state_versions": {
                 **{t: self.storage.state_version(t) for t in (_DECIDERS, _VIEWS)},
                 **{

@@ -238,3 +238,25 @@ def test_three_views_full_drain_at_least_once(store):
             per_part.setdefault(part, []).append(off)
         for part, offs in per_part.items():
             assert offs == sorted(offs), (part, offs)
+
+
+def test_prefetch_hit_rate_steady_state(store):
+    """Read-ahead observability (VERDICT r3 #6): draining a view whose
+    windows fit one refill must serve almost every round from the cache
+    — one refill job, first-round misses only.  A collapsed hit rate is
+    the signature of the sf1 warm-order bug class, caught here instead
+    of as silently slow delivery."""
+    seed(store, n_partitions=4, events_per=5)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    drained = 0
+    while True:
+        rows = store.stream_events("v1", limit=4).collect()
+        if not rows:
+            break
+        store.ack_events("v1", [(r["decider_id"], r["offset"]) for r in rows])
+        drained += len(rows)
+    assert drained == 20
+    pf = store.prefetch_counters
+    assert pf["refills"] == 1, pf
+    # 4 first-round misses, everything after from cache
+    assert pf["hits"] / (pf["hits"] + pf["misses"]) >= 0.75, pf

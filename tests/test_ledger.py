@@ -432,3 +432,58 @@ class TestProcessLockCrashRecovery:
         a.release()
         b.acquire(timeout_s=5)
         b.release()
+
+
+class TestR4Hardening:
+    def test_process_lock_nested_acquire_fails_fast(self, root):
+        """ProcessLock is non-reentrant by design; a nested acquire on
+        the same thread must raise immediately (ADVICE r3) instead of
+        leaking the held fd and deadlocking on the second flock."""
+        from fstore_sql_spark.ledger import ProcessLock
+
+        lock = ProcessLock(os.path.join(root, "_PL"))
+        with lock.held():
+            with pytest.raises(RuntimeError, match="already held"):
+                lock.acquire(timeout_s=0.1)
+            with pytest.raises(RuntimeError, match="already held"):
+                lock.try_acquire()
+        # released — a fresh acquire works again
+        with lock.held():
+            pass
+
+    def test_shard_count_pinned_in_layout(self, root):
+        """crc32 % n_shards routing is part of the persistent layout: a
+        marker pins the count at first creation; an explicit mismatching
+        n_shards on reopen fails loudly (ADVICE r3, medium) instead of
+        silently mis-routing acks into shards where the key doesn't
+        exist (which drops them and redelivers forever)."""
+        first = ShardedLocksLedger(ParquetStore(None, root), n_shards=4)
+        assert first.n_shards == 4
+        # default open adopts the pinned layout
+        adopted = ShardedLocksLedger(ParquetStore(None, root))
+        assert adopted.n_shards == 4
+        with pytest.raises(ValueError, match="mis-route"):
+            ShardedLocksLedger(ParquetStore(None, root), n_shards=8)
+
+    def test_ack_and_claim_fused_tick(self, root):
+        """The fused consumer tick: previous batch's acks land (durable,
+        visible to a cold reader) and the next claim excludes them in
+        the same call."""
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 8))
+        hwm = hwm_frame(8, offset=1)  # one event per partition
+        now = now_utc()
+        first = ledger.claim("v", hwm, 4, now, now + timedelta(seconds=300))
+        assert len(first) == 4
+        acks = [(d, lo + 1) for d, lo in first]
+        second = ledger.ack_and_claim(
+            "v", acks, hwm, 8, now_utc(), now_utc() + timedelta(seconds=300)
+        )
+        # the 4 acked partitions are consumed (last_offset == hwm); the
+        # other 4 are claimable — and only those come back
+        assert len(second) == 4
+        assert {d for d, _ in second}.isdisjoint({d for d, _ in first})
+        cold = ShardedLocksLedger(ParquetStore(None, root))
+        pdf = cold.to_pandas().set_index("decider_id")
+        for d, _ in first:
+            assert pdf.loc[d, "last_offset"] == 1
