@@ -660,3 +660,231 @@ def doc_chunks_sliding(spark, sf_dir):
             ).alias("chunk_hash"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# r4 additions: statistical quality scoring + corpus-level dedup stats
+# (the "is this worth training on" trio a large-scale pipeline runs
+# after the heuristic filters: LM scoring, exact-substring duplication,
+# DSIR-style importance weighting)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "bigram_lm_source_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_WORDS} AS ts FROM documents),
+    bi AS (
+        SELECT doc_id, source, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(ts) - 1)) u(i)
+        WHERE len(ts) >= 2
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    firsts AS (SELECT w1, SUM(c) AS tot FROM counts GROUP BY 1),
+    scored AS (
+        SELECT b.doc_id, b.source, ln(c.c * 1.0 / f.tot) AS lp
+        FROM bi b JOIN counts c USING (w1, w2) JOIN firsts f USING (w1)
+    ),
+    per_doc AS (
+        SELECT doc_id, source, AVG(lp) AS alp FROM scored GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(alp), 6) AS avg_logp,
+           ROUND(MIN(alp), 6) AS min_logp
+    FROM per_doc GROUP BY source
+    """,
+)
+def bigram_lm_source_scores(spark, sf_dir):
+    """Bigram language-model quality scoring (perplexity family): fit
+    P(w2|w1) = c(w1,w2)/c(w1·) on the corpus itself, score each doc by
+    its mean bigram log-probability, aggregate per source — the
+    CCNet-style "LM fluency" signal of a training-data pipeline.
+
+    Scale shape: bigram construction is a NARROW per-row transform
+    (``transform(sequence(...))`` over the token array — no shuffle, no
+    posexplode self-join); the model is vocabulary²-bounded, so both
+    model joins broadcast; the only corpus-sized shuffles are the
+    model-fit groupBy and the per-doc aggregate.  At 100 TB the model is
+    still MBs (natural-language bigram vocabularies), so the scoring
+    pass stays shuffle-free."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", words_col().alias("ts")
+    )
+    bi = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    firsts = counts.groupBy("w1").agg(F.sum("c").alias("tot"))
+    scored = bi.join(F.broadcast(counts), ["w1", "w2"]).join(
+        F.broadcast(firsts), "w1"
+    )
+    per_doc = (
+        scored.withColumn("lp", F.log(F.col("c") / F.col("tot")))
+        .groupBy("doc_id", "source")
+        .agg(F.avg("lp").alias("alp"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("alp"), 6).alias("avg_logp"),
+        F.round(F.min("alp"), 6).alias("min_logp"),
+    )
+
+
+@query(
+    "repeated_ngram_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_WORDS} AS ts FROM documents),
+    ng AS (
+        SELECT doc_id, source, array_to_string(ts[i : i + 5], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(ts) - 5)) u(i)
+        WHERE len(ts) >= 6
+    ),
+    gstats AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS n_docs_with FROM ng GROUP BY g
+    )
+    SELECT ng.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT ng.g) AS BIGINT) AS n_distinct,
+           ROUND(AVG(CASE WHEN gs.n_docs_with > 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS crossdoc_share
+    FROM ng JOIN gstats gs ON ng.g = gs.g
+    GROUP BY ng.source
+    """,
+)
+def repeated_ngram_stats(spark, sf_dir):
+    """Exact-substring duplication audit (ExactSubstr-lite, the Lee et
+    al. "Deduplicating Training Data Makes Language Models Better"
+    shape): which share of each source's 6-gram occurrences also appears
+    in ANOTHER document?  High cross-doc share = boilerplate / template
+    contamination that exact doc-level dedup misses.
+
+    Scale shape: n-gram construction is narrow (sequence+slice over the
+    token array); the occurrence count is ONE shuffle keyed by the
+    6-gram hash — the canonical scalable layout (no pairwise compare,
+    no suffix array); the stats join shuffles on the same key so AQE
+    co-partitions it."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", words_col().alias("ts")
+    )
+    ng = (
+        d.filter(F.size("ts") >= 6)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 6),"
+                    " i -> array_join(slice(ts, i + 1, 6), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    gstats = ng.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        ng.join(gstats, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("g").alias("n_distinct"),
+            F.round(
+                F.avg(F.when(F.col("n_docs_with") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("crossdoc_share"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang, UNNEST({_WORDS}) AS w FROM documents
+    ),
+    corpus AS (SELECT w, COUNT(*) AS cc FROM toks GROUP BY w),
+    tgt AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+    consts AS (
+        SELECT (SELECT COUNT(*) FROM corpus) AS v,
+               (SELECT SUM(cc) FROM corpus) AS nc,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+    ),
+    wt AS (
+        SELECT c.w,
+               ln((COALESCE(t.ct, 0) + 1.0) / (k.nt + k.v))
+                 - ln((c.cc + 1.0) / (k.nc + k.v)) AS lw
+        FROM corpus c LEFT JOIN tgt t ON c.w = t.w CROSS JOIN consts k
+    ),
+    per_doc AS (
+        SELECT toks.doc_id, toks.source, AVG(wt.lw) AS iw
+        FROM toks JOIN wt ON toks.w = wt.w
+        GROUP BY toks.doc_id, toks.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(iw), 6) AS avg_weight,
+           CAST(SUM(CASE WHEN iw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target_like
+    FROM per_doc GROUP BY source
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): per-token
+    log-likelihood ratio between a TARGET distribution (here: the
+    English sub-corpus) and the full-corpus distribution, Laplace
+    smoothing on both, averaged per document — docs with positive
+    weight are "target-like" and would be up-sampled.
+
+    Scale shape: both unigram models are vocabulary-bounded (broadcast);
+    token explosion is narrow; the model fit is one shuffle keyed by
+    word; scoring is a broadcast join + per-doc aggregate.  The
+    smoothed-vocabulary constants are scalar aggregates (driver
+    scalars, not collected rows)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", F.explode(words_col()).alias("w"))
+    )
+    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    model = corpus.join(tgt, "w", "left").fillna({"ct": 0})
+    consts = model.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cc").alias("nc"),
+        F.sum("ct").alias("nt"),
+    ).first()
+    v, nc, nt = int(consts["v"]), int(consts["nc"]), int(consts["nt"])
+    wt = model.select(
+        "w",
+        (
+            F.log((F.col("ct") + 1.0) / F.lit(float(nt + v)))
+            - F.log((F.col("cc") + 1.0) / F.lit(float(nc + v)))
+        ).alias("lw"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(wt), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.avg("lw").alias("iw"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("iw"), 6).alias("avg_weight"),
+        F.sum(F.when(F.col("iw") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_target_like"),
+    )
