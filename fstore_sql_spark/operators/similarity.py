@@ -483,3 +483,159 @@ def ann_blocked_recall(spark, sf_dir):
             (F.count("hvec").cast("double") / F.lit(3.0)).alias("recall_at_3"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# r4 additions: vector-index infrastructure stats (what you compute
+# BEFORE building an ANN index at 100 TB: quantization error budget,
+# LSH bucket balance)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "int8_quantization_stats",
+    """
+    WITH elems AS (
+        SELECT vec_id, label,
+               UNNEST(embedding)::DOUBLE AS v,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    dimstats AS (SELECT i, MAX(ABS(v)) AS absmax FROM elems GROUP BY i),
+    quant AS (
+        SELECT e.vec_id, e.label,
+               e.v,
+               CASE WHEN d.absmax = 0 THEN 0.0
+                    ELSE FLOOR(e.v * 127.0 / d.absmax + 0.5) * d.absmax / 127.0
+               END AS v_rec
+        FROM elems e JOIN dimstats d USING (i)
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               AVG((v - v_rec) * (v - v_rec)) AS mse,
+               MAX(ABS(v - v_rec)) AS max_abs_err
+        FROM quant GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(mse), 9) AS avg_mse,
+           ROUND(MAX(max_abs_err), 6) AS worst_abs_err
+    FROM per_vec GROUP BY label
+    """,
+)
+def int8_quantization_stats(spark, sf_dir):
+    """Symmetric per-dimension int8 scalar quantization with its
+    reconstruction-error budget per label — the sizing study run before
+    committing a 100 TB vector corpus to an int8 index (4x memory cut vs
+    float32; is the recall budget affordable?).  ``floor(x + 0.5)``
+    instead of ``round`` so Spark and the oracle share one
+    half-way-rounding rule.
+
+    Scale shape: dimension stats are a 64-row aggregate (broadcast
+    back); quantize/error is a narrow per-element map after one explode;
+    per-vector and per-label aggregates are ordinary hash aggs — nothing
+    pairwise, nothing collected."""
+    elems = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(_as_double("embedding")).alias("i0", "v"),
+        )
+        .withColumn("i", F.col("i0") + 1)
+        .drop("i0")
+    )
+    dimstats = elems.groupBy("i").agg(F.max(F.abs("v")).alias("absmax"))
+    quant = elems.join(F.broadcast(dimstats), "i").withColumn(
+        "v_rec",
+        F.when(F.col("absmax") == 0, F.lit(0.0)).otherwise(
+            F.floor(F.col("v") * 127.0 / F.col("absmax") + 0.5)
+            * F.col("absmax")
+            / 127.0
+        ),
+    )
+    per_vec = quant.groupBy("vec_id", "label").agg(
+        F.avg((F.col("v") - F.col("v_rec")) * (F.col("v") - F.col("v_rec"))).alias("mse"),
+        F.max(F.abs(F.col("v") - F.col("v_rec"))).alias("max_abs_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mse"), 9).alias("avg_mse"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_abs_err"),
+    )
+
+
+@query(
+    "lsh_hyperplane_buckets",
+    """
+    WITH planes AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+    dots AS (
+        SELECT e.vec_id, p.j,
+               SUM(u.v * SIN(p.j * 97 + u.i)) AS d
+        FROM embeddings e
+        CROSS JOIN planes p
+        JOIN LATERAL (
+            SELECT UNNEST(e.embedding)::DOUBLE AS v,
+                   UNNEST(generate_series(1, len(e.embedding))) AS i
+        ) u ON true
+        GROUP BY e.vec_id, p.j
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN d >= 0 THEN POWER(2, j) ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM dots GROUP BY vec_id
+    ),
+    buckets AS (SELECT bucket, COUNT(*) AS sz FROM sigs GROUP BY bucket)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz) AS BIGINT) AS n_vecs,
+           ROUND(SUM(sz * (sz - 1.0) / 2.0)
+                 / (SUM(sz) * (SUM(sz) - 1.0) / 2.0), 9) AS candidate_share
+    FROM buckets
+    """,
+)
+def lsh_hyperplane_buckets(spark, sf_dir):
+    """Random-hyperplane (SimHash-for-cosine) LSH bucketing audit: 8
+    deterministic pseudo-random planes (plane j, dim i = sin(97j + i) —
+    seedless and engine-reproducible), signature = sign-bit pattern of
+    the 8 projections, reported as bucket-balance stats plus
+    ``candidate_share`` — the fraction of all pairs an LSH-bucketed
+    near-dup join would actually compare (the whole point of LSH at
+    100 TB: here ~1/2⁸ of the quadratic work).
+
+    Scale shape: projections are a narrow per-row fold over the vector
+    (zip-free: aggregate over posexploded elements grouped per vec —
+    one shuffle keyed by vec_id x 8 planes); bucket histogram and the
+    final scalars are tiny aggregates.  Nothing pairwise is
+    materialized — the operator MEASURES the pruning an ANN join gets."""
+    elems = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(_as_double("embedding")).alias("i0", "v"))
+        .withColumn("i", F.col("i0") + 1)
+    )
+    planes = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    dots = (
+        elems.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.sin(F.col("j") * 97 + F.col("i"))).alias("d"))
+    )
+    sigs = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("d") >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    buckets = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    n = F.sum("sz")
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        n.cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("sz") * (F.col("sz") - 1.0) / 2.0)
+            / (n * (n - 1.0) / 2.0),
+            9,
+        ).alias("candidate_share"),
+    )

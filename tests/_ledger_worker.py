@@ -98,3 +98,27 @@ def lock_counter_worker(root: str, iters: int) -> None:
                 n = int(f.read().strip())
             with open(counter, "w", encoding="utf-8") as f:
                 f.write(str(n + 1))
+
+
+def claim_and_hang_worker(root: str, out_path: str, limit: int, lease_s: float) -> None:
+    """Crash-recovery probe: claim ``limit`` partitions with a short
+    lease, record them, then grab shard 0's process lock and hang —
+    the parent SIGKILLs this process while the flock is HELD.  The
+    kernel must release the lock (no TTL-steal protocol), and the
+    dead consumer's leases must redeliver after expiry."""
+    import json as _json
+    import time as _time
+
+    import pandas as pd
+
+    from fstore_sql_spark.ledger import ShardedLocksLedger
+    from fstore_sql_spark.storage import ParquetStore
+
+    ledger = ShardedLocksLedger(ParquetStore(None, root))
+    hwm = pd.read_parquet(os.path.join(root, "hwm.parquet")).set_index("decider_id")
+    now = _now()
+    got = ledger.claim("v", hwm, limit, now, now + timedelta(seconds=lease_s))
+    with open(out_path, "w", encoding="utf-8") as f:
+        _json.dump([d for d, _ in got], f)
+    ledger.shards[0]._plock.acquire()
+    _time.sleep(120)  # parent kills us long before this

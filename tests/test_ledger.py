@@ -487,3 +487,49 @@ class TestR4Hardening:
         pdf = cold.to_pandas().set_index("decider_id")
         for d, _ in first:
             assert pdf.loc[d, "last_offset"] == 1
+
+
+class TestCrashRecovery:
+    def test_killed_consumer_releases_lock_and_leases_redeliver(self, root):
+        """The no-TTL-steal crash story (ledger module doc): a consumer
+        SIGKILLed while HOLDING a shard flock must not wedge the store —
+        the kernel releases the lock with the process — and its
+        unacked (flushed) leases must block siblings until expiry, then
+        redeliver (at-least-once)."""
+        import multiprocessing as mp
+        import time
+
+        from tests._ledger_worker import claim_and_hang_worker
+
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 16))
+        hwm_frame(16).reset_index().to_parquet(os.path.join(root, "hwm.parquet"))
+        out = os.path.join(root, "claims.json")
+        ctx = mp.get_context("spawn")
+        p = ctx.Process(target=claim_and_hang_worker, args=(root, out, 4, 2.0))
+        p.start()
+        deadline = time.monotonic() + 60
+        while not os.path.exists(out) and time.monotonic() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)  # let the child take shard 0's lock
+        p.kill()
+        p.join(30)
+        import json as _json
+
+        with open(out, encoding="utf-8") as f:
+            dead_claims = set(_json.load(f))
+        assert len(dead_claims) == 4
+        hwm = hwm_frame(16)
+        survivor = ShardedLocksLedger(ParquetStore(None, root))
+        # kernel released the dead holder's flock: claims proceed, and
+        # the dead consumer's still-leased partitions are excluded
+        now = now_utc()
+        got = survivor.claim("v", hwm, 16, now, now + timedelta(seconds=300))
+        assert {d for d, _ in got} == {
+            f"p{i:04d}" for i in range(16)
+        } - dead_claims
+        # after lease expiry the dead consumer's partitions redeliver
+        time.sleep(2.1)
+        later = now_utc()
+        again = survivor.claim("v", hwm, 16, later, later + timedelta(seconds=300))
+        assert {d for d, _ in again} == dead_claims

@@ -520,3 +520,25 @@ class TestLayoutTemporalGraphPlans:
     def test_triangle_joins_broadcast(self, spark):
         # the oriented edge list is top-k bounded: all joins broadcast.
         assert P.sort_merge_join_count(q(spark, "triangle_count")) == 0
+
+
+class TestR4CurationOps:
+    """r4 statistical-curation operators: the LM/dedup/DSIR models are
+    vocabulary-bounded and must BROADCAST into their corpus-sized
+    scoring joins — a sort-merge join here would shuffle the whole
+    corpus per model application."""
+
+    def test_bigram_lm_model_joins_broadcast(self, spark):
+        df = q(spark, "bigram_lm_source_scores")
+        assert P.broadcast_join_count(df) >= 2  # counts + firsts
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_dsir_weight_join_broadcasts(self, spark):
+        df = q(spark, "dsir_importance_weights")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
+
+    def test_repeated_ngram_gram_keyed_equi_join(self, spark):
+        # gram-keyed equi join only; no pairwise/cartesian anywhere
+        df = q(spark, "repeated_ngram_stats")
+        assert P.sort_merge_join_count(df) + P.broadcast_join_count(df) >= 1
