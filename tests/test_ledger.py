@@ -489,6 +489,33 @@ class TestR4Hardening:
             assert pdf.loc[d, "last_offset"] == 1
 
 
+class TestFairness:
+    def test_no_shard_starves_under_continuous_load(self, root):
+        """Starvation guard (review r4 finding #1): with limit=1 and a
+        sticky shard that ALWAYS has claimable work (hwm far ahead,
+        instant acks), the fairness rotation must still deliver every
+        partition on every shard within FAIRNESS_EVERY * n_shards *
+        n_partition rounds — without it, only the sticky shard's
+        partitions are ever claimed."""
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        n_parts = 16
+        ledger.insert_missing(seed_rows("v", n_parts))
+        hwm = hwm_frame(n_parts, offset=10**6)  # effectively endless
+        seen: set[str] = set()
+        budget = ledger.FAIRNESS_EVERY * ledger.n_shards * n_parts
+        for _ in range(budget):
+            now = now_utc()
+            got = ledger.claim("v", hwm, 1, now, now + timedelta(seconds=300))
+            assert got, "continuous-load claim must never come back empty"
+            ledger.ack("v", [(d, lo + 1) for d, lo in got], now)
+            seen.update(d for d, _ in got)
+            if len(seen) == n_parts:
+                break
+        assert len(seen) == n_parts, f"starved partitions: " + str(
+            {f"p{i:04d}" for i in range(n_parts)} - seen
+        )
+
+
 class TestCrashRecovery:
     def test_killed_consumer_releases_lock_and_leases_redeliver(self, root):
         """The no-TTL-steal crash story (ledger module doc): a consumer
@@ -506,7 +533,10 @@ class TestCrashRecovery:
         hwm_frame(16).reset_index().to_parquet(os.path.join(root, "hwm.parquet"))
         out = os.path.join(root, "claims.json")
         ctx = mp.get_context("spawn")
-        p = ctx.Process(target=claim_and_hang_worker, args=(root, out, 4, 2.0))
+        # long lease + VIRTUAL clock below: wall-clock sleeps made the
+        # expiry assertion flaky on loaded machines (spawn startup alone
+        # can eat seconds)
+        p = ctx.Process(target=claim_and_hang_worker, args=(root, out, 4, 600.0))
         p.start()
         deadline = time.monotonic() + 60
         while not os.path.exists(out) and time.monotonic() < deadline:
@@ -524,12 +554,129 @@ class TestCrashRecovery:
         # kernel released the dead holder's flock: claims proceed, and
         # the dead consumer's still-leased partitions are excluded
         now = now_utc()
-        got = survivor.claim("v", hwm, 16, now, now + timedelta(seconds=300))
+        # survivor lease (3600s) outlives the virtual probe time below,
+        # so only the DEAD consumer's 600s leases expire at +601s
+        got = survivor.claim("v", hwm, 16, now, now + timedelta(seconds=3600))
         assert {d for d, _ in got} == {
             f"p{i:04d}" for i in range(16)
         } - dead_claims
-        # after lease expiry the dead consumer's partitions redeliver
-        time.sleep(2.1)
-        later = now_utc()
+        # after lease expiry the dead consumer's partitions redeliver —
+        # probed with a virtual post-expiry timestamp (claims compare
+        # locked_until against the caller's ``now``), no sleeping
+        later = now_utc() + timedelta(seconds=601)
         again = survivor.claim("v", hwm, 16, later, later + timedelta(seconds=300))
         assert {d for d, _ in again} == dead_claims
+
+
+# --------------------------------------------------------------------- #
+# Ledger state-machine property: the positional fast paths
+# (searchsorted/iloc claim+ack, in-place delta apply, delta-chain
+# reload) must agree with a naive dict model AND with a cold reader
+# reconstructing the same state from disk after every operation
+# sequence.  Spark-free and fast, so it lives in the DEFAULT tier —
+# it pins exactly the code a positional-indexing regression would
+# break (review r4 finding #6).
+# --------------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ledger_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("insert"), st.integers(0, 30), st.integers(1, 8)),
+        st.tuples(st.just("claim"), st.integers(1, 10), st.just(0)),
+        st.tuples(st.just("ack_next"), st.integers(1, 10), st.just(0)),
+        st.tuples(st.just("nack"), st.integers(0, 30), st.just(0)),
+        st.tuples(st.just("delete_view"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=ledger_ops)
+def test_ledger_state_machine_matches_model_and_cold_reader(tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("ledger_prop"))
+    try:
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        model: dict[str, dict] = {}  # decider_id -> {lo, lu}
+        hwm_rows: dict[str, int] = {}
+        clock = datetime(2026, 1, 1)
+        past = clock - timedelta(hours=1)
+        view = "v"
+        leased: list[tuple[str, int]] = []  # last claim result
+
+        def hwm_frame_() :
+            return pd.DataFrame(
+                {
+                    "decider_id": list(hwm_rows),
+                    "offset": [hwm_rows[d] for d in hwm_rows],
+                    "offset_final": False,
+                }
+            ).set_index("decider_id")
+
+        for op, a, b in ops:
+            clock += timedelta(seconds=1)
+            if op == "insert":
+                dids = [f"p{(a + k) % 40:03d}" for k in range(b)]
+                rows = pd.DataFrame(
+                    {
+                        "view": view,
+                        "decider_id": dids,
+                        "last_offset": 0,
+                        "locked_until": pd.Timestamp(past),
+                        "created_at": pd.Timestamp(past),
+                        "updated_at": pd.Timestamp(past),
+                    }
+                )
+                ledger.insert_missing(rows)
+                for d in dids:
+                    model.setdefault(d, {"lo": 0, "lu": past})
+                    hwm_rows.setdefault(d, 3)
+            elif op == "claim" and hwm_rows:
+                lease = clock + timedelta(seconds=300)
+                got = ledger.claim(view, hwm_frame_(), a, clock, lease)
+                # post-conditions: within limit, distinct, all eligible
+                assert len(got) <= a
+                assert len({d for d, _ in got}) == len(got)
+                for d, lo in got:
+                    m = model[d]
+                    assert m["lu"] < clock, (d, m)
+                    assert m["lo"] < hwm_rows[d]
+                    assert lo == m["lo"]
+                    m["lu"] = lease
+                leased = got
+            elif op == "ack_next" and leased:
+                acks = [(d, lo + 1) for d, lo in leased[:a]]
+                ledger.ack(view, acks, clock)
+                for d, o in acks:
+                    model[d]["lo"] = o
+                    model[d]["lu"] = clock
+                leased = leased[a:]
+            elif op == "nack":
+                d = f"p{a % 40:03d}"
+                if d in model:
+                    ledger.set_locked_until(view, d, clock, clock)
+                    model[d]["lu"] = clock
+            elif op == "delete_view":
+                ledger.delete_view(view)
+                model.clear()
+                leased = []
+        # live frame == model
+        live = ledger.to_pandas().set_index("decider_id")
+        assert len(live) == len(model)
+        for d, m in model.items():
+            assert int(live.loc[d, "last_offset"]) == m["lo"], d
+            assert live.loc[d, "locked_until"] == pd.Timestamp(m["lu"]), d
+        # cold reader reconstructing from disk == live frame
+        cold = ShardedLocksLedger(ParquetStore(None, root))
+        a_ = ledger.to_pandas().sort_values(["view", "decider_id"]).reset_index(drop=True)
+        b_ = cold.to_pandas().sort_values(["view", "decider_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a_, b_)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

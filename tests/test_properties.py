@@ -131,120 +131,3 @@ def test_two_phase_pack_positions_equal_global_cumsum(spark, toks, width):
         ).collect()
     }
     assert got == want
-
-
-# --------------------------------------------------------------------- #
-# Ledger state-machine property (r4): the positional fast paths
-# (searchsorted/iloc claim+ack, in-place delta apply, delta-chain
-# reload) must agree with a naive dict model AND with a cold reader
-# reconstructing the same state from disk after every operation
-# sequence.
-# --------------------------------------------------------------------- #
-
-ledger_ops = st.lists(
-    st.one_of(
-        st.tuples(st.just("insert"), st.integers(0, 30), st.integers(1, 8)),
-        st.tuples(st.just("claim"), st.integers(1, 10), st.just(0)),
-        st.tuples(st.just("ack_next"), st.integers(1, 10), st.just(0)),
-        st.tuples(st.just("nack"), st.integers(0, 30), st.just(0)),
-        st.tuples(st.just("delete_view"), st.just(0), st.just(0)),
-    ),
-    min_size=1,
-    max_size=25,
-)
-
-
-@settings(
-    max_examples=20,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
-)
-@given(ops=ledger_ops)
-def test_ledger_state_machine_matches_model_and_cold_reader(tmp_path_factory, ops):
-    import shutil as _shutil
-    from datetime import datetime, timedelta
-
-    import pandas as pd
-
-    from fstore_sql_spark.ledger import ShardedLocksLedger
-    from fstore_sql_spark.storage import ParquetStore
-
-    root = str(tmp_path_factory.mktemp("ledger_prop"))
-    try:
-        ledger = ShardedLocksLedger(ParquetStore(None, root))
-        model: dict[str, dict] = {}  # decider_id -> {lo, locked_until}
-        hwm_rows: dict[str, int] = {}
-        clock = datetime(2026, 1, 1)
-        past = clock - timedelta(hours=1)
-        view = "v"
-        leased: list[tuple[str, int]] = []  # last claim result
-
-        def hwm_frame():
-            return pd.DataFrame(
-                {
-                    "decider_id": list(hwm_rows),
-                    "offset": [hwm_rows[d] for d in hwm_rows],
-                    "offset_final": False,
-                }
-            ).set_index("decider_id")
-
-        for op, a, b in ops:
-            clock += timedelta(seconds=1)
-            if op == "insert":
-                dids = [f"p{(a + k) % 40:03d}" for k in range(b)]
-                rows = pd.DataFrame(
-                    {
-                        "view": view,
-                        "decider_id": dids,
-                        "last_offset": 0,
-                        "locked_until": pd.Timestamp(past),
-                        "created_at": pd.Timestamp(past),
-                        "updated_at": pd.Timestamp(past),
-                    }
-                )
-                ledger.insert_missing(rows)
-                for d in dids:
-                    model.setdefault(d, {"lo": 0, "lu": past})
-                    hwm_rows.setdefault(d, 3)
-            elif op == "claim" and hwm_rows:
-                lease = clock + timedelta(seconds=300)
-                got = ledger.claim(view, hwm_frame(), a, clock, lease)
-                # post-conditions: within limit, distinct, all eligible
-                assert len(got) <= a
-                assert len({d for d, _ in got}) == len(got)
-                for d, lo in got:
-                    m = model[d]
-                    assert m["lu"] < clock, (d, m)
-                    assert m["lo"] < hwm_rows[d]
-                    assert lo == m["lo"]
-                    m["lu"] = lease
-                leased = got
-            elif op == "ack_next" and leased:
-                acks = [(d, lo + 1) for d, lo in leased[:a]]
-                ledger.ack(view, acks, clock)
-                for d, o in acks:
-                    model[d]["lo"] = o
-                    model[d]["lu"] = clock
-                leased = leased[a:]
-            elif op == "nack":
-                d = f"p{a % 40:03d}"
-                if d in model:
-                    ledger.set_locked_until(view, d, clock, clock)
-                    model[d]["lu"] = clock
-            elif op == "delete_view":
-                ledger.delete_view(view)
-                model.clear()
-                leased = []
-        # live frame == model
-        live = ledger.to_pandas().set_index("decider_id")
-        assert len(live) == len(model)
-        for d, m in model.items():
-            assert int(live.loc[d, "last_offset"]) == m["lo"], d
-            assert live.loc[d, "locked_until"] == pd.Timestamp(m["lu"]), d
-        # cold reader reconstructing from disk == live frame
-        cold = ShardedLocksLedger(ParquetStore(None, root))
-        a_ = ledger.to_pandas().sort_values(["view", "decider_id"]).reset_index(drop=True)
-        b_ = cold.to_pandas().sort_values(["view", "decider_id"]).reset_index(drop=True)
-        pd.testing.assert_frame_equal(a_, b_)
-    finally:
-        _shutil.rmtree(root, ignore_errors=True)
