@@ -888,3 +888,320 @@ def dsir_importance_weights(spark, sf_dir):
         .cast("long")
         .alias("n_target_like"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# PII detection / redaction (r4).  A production training-data pipeline
+# scrubs emails / phone numbers / IP addresses before anything reaches a
+# tokenizer (C4 and Dolma both ship exactly this regex family).  The
+# synthetic corpus contains no organic PII, so the query plants
+# deterministic PII-shaped spans derived from (source, doc_id) — the
+# detection + redaction logic then runs against non-trivial input and the
+# oracle checks the REDACTED TEXT byte-for-byte via md5.  Pure JVM-side
+# regexp_count / regexp_replace — zero Python, one shuffle (the final
+# per-source aggregate).  Patterns stay in the Java∩RE2 common subset so
+# Spark and DuckDB agree exactly.
+# --------------------------------------------------------------------------- #
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b10\.[0-9]{1,3}\.0\.[0-9]{1,3}\b"
+
+
+def _md5_sig(col: Column) -> Column:
+    """First 15 hex digits of md5 as a BIGINT (60 bits, overflow-free)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(len(regexp_extract_all(aug, '{_PII_EMAIL}'))) AS BIGINT) AS emails,
+           CAST(SUM(len(regexp_extract_all(aug, '{_PII_PHONE}'))) AS BIGINT) AS phones,
+           CAST(SUM(len(regexp_extract_all(aug, '{_PII_IP}')))    AS BIGINT) AS ips,
+           CAST(SUM(len(aug) - len(red)) AS BIGINT)          AS chars_removed,
+           MIN(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS min_red_sig,
+           MAX(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS max_red_sig
+    FROM (
+        SELECT source,
+               'contact ' || source || '.' || doc_id || '@example.com ph 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text AS aug,
+               regexp_replace(regexp_replace(regexp_replace(
+                   'contact ' || source || '.' || doc_id || '@example.com ph 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                       || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g') AS red
+        FROM documents
+    ) GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII scrub: detect + redact emails / phones / IPv4 and account for
+    what was removed, per source.  Redaction is three chained
+    ``regexp_replace`` calls inside whole-stage codegen; the md5 columns
+    pin the redacted bytes exactly (not just the counts)."""
+    aug = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("."), F.col("doc_id"),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IP, "<IP>",
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            aug.alias("aug"),
+            red.alias("red"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL))).alias("emails"),
+            F.sum(F.regexp_count(F.col("aug"), F.lit(_PII_PHONE))).alias("phones"),
+            F.sum(F.regexp_count(F.col("aug"), F.lit(_PII_IP))).alias("ips"),
+            F.sum(F.length("aug") - F.length("red")).alias("chars_removed"),
+            # 60-bit md5 prefix as BIGINT: numeric min/max keeps the
+            # aggregate buffer fixed-width, so Spark plans HashAggregate
+            # (map-side partials) instead of the string-buffer
+            # SortAggregate fallback — the cheap plan at corpus scale.
+            F.min(_md5_sig(F.col("red"))).alias("min_red_sig"),
+            F.max(_md5_sig(F.col("red"))).alias("max_red_sig"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Gopher-style quality rule suite (r4).  The Gopher / MassiveText cleaning
+# rules (word-count band, mean-word-length band, alphabetic-word ratio,
+# minimum stopword evidence) as independent per-doc flags, aggregated to a
+# per-source rule report — the "why was this doc dropped" accounting view a
+# curation pipeline needs before committing to a filter.  All native
+# expressions; bounds are tuned to the synthetic corpus so every rule
+# discriminates (word counts span 10–99, mean word length 3.7–5.3).
+# --------------------------------------------------------------------------- #
+
+@query(
+    "gopher_quality_rules",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+           CAST(SUM(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha_ratio,
+           CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+           ROUND(CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+    FROM (
+        SELECT source,
+               len(string_split(text, ' ')) BETWEEN 30 AND 10000 AS r_wc,
+               CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w)))
+                    AS DOUBLE) / len(string_split(text, ' '))
+                    BETWEEN 3.0 AND 4.6 AS r_mwl,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '^[A-Za-z]+$'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.8 AS r_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains({_STOP_SQL}, w))) >= 2 AS r_stop
+        FROM documents
+    ) GROUP BY source
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher/MassiveText rule flags per doc, rolled up per source: how
+    many docs pass each rule and all rules together.  Scan-side map work
+    only — the single shuffle is the 20-group aggregate."""
+    w = tokens_col()
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_len.cast("double") / n_words
+    alpha_ratio = (
+        F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$"))).cast("double")
+        / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    flags = load(spark, sf_dir, "documents").select(
+        "source",
+        n_words.between(30, 10000).alias("r_wc"),
+        mean_wl.between(3.0, 4.6).alias("r_mwl"),
+        (alpha_ratio >= 0.8).alias("r_alpha"),
+        (n_stop >= 2).alias("r_stop"),
+    )
+    all_pass = F.col("r_wc") & F.col("r_mwl") & F.col("r_alpha") & F.col("r_stop")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        one(F.col("r_wc")).alias("pass_word_count"),
+        one(F.col("r_mwl")).alias("pass_mean_word_len"),
+        one(F.col("r_alpha")).alias("pass_alpha_ratio"),
+        one(F.col("r_stop")).alias("pass_stopwords"),
+        one(all_pass).alias("pass_all"),
+        F.round(
+            F.sum(F.when(all_pass, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Token-budget mixture planner (r4).  Dolma-style mixing: given a corpus
+# token budget and per-source mixing weights (uniform here), compute each
+# source's sampling rate, planned token yield, and epoch factor
+# (rate > 1 ⇒ the source must be up-sampled / repeated to hit its
+# allocation).  Two tiny aggregates + a window total — the output is one
+# row per source, so at 100 TB this is a metadata query regardless of
+# corpus size.
+# --------------------------------------------------------------------------- #
+
+_MIX_BUDGET_TOKENS = 200_000
+
+
+@query(
+    "token_budget_mixture",
+    f"""
+    SELECT source,
+           CAST(tokens_s AS BIGINT) AS source_tokens,
+           ROUND(CAST({_MIX_BUDGET_TOKENS} AS DOUBLE) / n_sources / tokens_s, 6)
+               AS epoch_factor,
+           ROUND(LEAST(1.0, CAST({_MIX_BUDGET_TOKENS} AS DOUBLE) / n_sources
+               / tokens_s), 6) AS sample_rate,
+           CAST(ROUND(LEAST(1.0, CAST({_MIX_BUDGET_TOKENS} AS DOUBLE) / n_sources
+               / tokens_s) * tokens_s, 0) AS BIGINT) AS planned_tokens
+    FROM (
+        SELECT source,
+               SUM(len(string_split(text, ' '))) AS tokens_s,
+               COUNT(*) OVER () AS n_sources
+        FROM documents GROUP BY source
+    )
+    """,
+)
+def token_budget_mixture(spark, sf_dir):
+    """Per-source sampling plan for a fixed token budget with uniform
+    mixing weights: rate = min(1, budget/n_sources/source_tokens)."""
+    from pyspark.sql import Window
+
+    per_source = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens_col())).alias("tokens_s"))
+        .withColumn("n_sources", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    alloc = F.lit(float(_MIX_BUDGET_TOKENS)) / F.col("n_sources") / F.col("tokens_s")
+    rate = F.least(F.lit(1.0), alloc)
+    return per_source.select(
+        "source",
+        F.col("tokens_s").cast("long").alias("source_tokens"),
+        F.round(alloc, 6).alias("epoch_factor"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(rate * F.col("tokens_s"), 0).cast("long").alias("planned_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# BM25 lexical retrieval (r4).  The lexical half of a hybrid RAG retrieval
+# stack, complementing the ANN family in operators/similarity.py.  Corpus
+# statistics (N, avgdl, per-term df) are tiny aggregates that BROADCAST;
+# term frequencies are computed only for the query terms (the explode is
+# filtered before the shuffle); the final top-k is ORDER BY + LIMIT, which
+# Spark plans as TakeOrderedAndProject (per-partition heaps + driver merge
+# — no global sort at any scale).  Scores are rounded to 6dp on both
+# engines before ranking so cross-engine libm ULP differences in ln()
+# cannot flip the ordering; ties break on doc_id.
+# --------------------------------------------------------------------------- #
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents),
+    corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks
+        WHERE word IN ('spark', 'join', 'window') GROUP BY word
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks
+        WHERE word IN ('spark', 'join', 'window') GROUP BY doc_id, word
+    )
+    SELECT doc_id, score FROM (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * dl.dlen / corpus.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN df USING (word)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    ) ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k for a fixed query term set over ``documents``."""
+    d = load(spark, sf_dir, "documents")
+    words = tokens_col()
+    dl = d.select("doc_id", F.size(words).alias("dlen"))
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(words)).alias("avgdl"),
+    )
+    toks = d.select("doc_id", F.explode(words).alias("word")).filter(
+        F.col("word").isin(_BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -20,7 +20,10 @@ the consumer acking, else lease expiry redelivers (README.md:135).
 from __future__ import annotations
 
 import json
+import threading
+import time
 import urllib.request
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import functions as F
@@ -72,6 +75,13 @@ class PushDelivery:
         )
         self._pool_closed = False
         self._queries: dict[str, StreamingQuery] = {}
+        # cron.job_run_details analogue: one record per delivery tick,
+        # pruned by housekeeping() (the reference schedules a daily
+        # ``delete_<view>`` cron for exactly this,
+        # /root/reference/extensions.sql:69-70).  Bounded so a forgotten
+        # housekeeping job can't leak memory either.
+        self.run_details: deque = deque(maxlen=100_000)
+        self._run_details_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
 
@@ -104,10 +114,13 @@ class PushDelivery:
             except Exception:  # noqa: BLE001 — no ack ⇒ lease-expiry retry
                 pass
 
+        record = self._record_run
+
         def deliver(_batch_df, _batch_id) -> None:
             # The tick payload is ignored; the claim runs on the store's
             # current snapshot (extensions.sql:40-42: stream_events LIMIT 1).
             events = store.stream_events(view, limit=limit).collect()
+            record(view, len(events))
             for ev in events:
                 pool.submit(
                     send,
@@ -151,6 +164,8 @@ class PushDelivery:
             .collect()
         }
         for view in list(self._queries):
+            if view == self._HOUSEKEEPING:  # maintenance job, not a view
+                continue
             if view not in push_views:
                 self.stop(view)
                 actions[view] = "stopped"
@@ -163,5 +178,72 @@ class PushDelivery:
     def stop_all(self) -> None:
         for view in list(self._queries):
             self.stop(view)
+        self.stop_housekeeping()
         self._pool.shutdown(wait=False, cancel_futures=True)
         self._pool_closed = True
+
+    # ------------------------------------------------------------------ #
+    # T8 housekeeping cron analogue (/root/reference/extensions.sql:69-70:
+    # a daily ``delete_<view>`` job prunes cron.job_run_details older than
+    # one day).  Here the run log is in-process (run_details) and the
+    # store-side fragmentation cleanup (maybe_compact) rides the same
+    # maintenance tick — the Spark analogue of the DB doing VACUUM-ish
+    # work on a cron.
+    # ------------------------------------------------------------------ #
+
+    _HOUSEKEEPING = "_housekeeping"
+
+    def _record_run(self, view: str, n_events: int) -> None:
+        with self._run_details_lock:
+            self.run_details.append((view, time.time(), n_events))
+
+    def housekeeping(
+        self, older_than_s: float = 86_400.0, max_files: int = 64
+    ) -> dict:
+        """One maintenance pass: prune run records older than
+        ``older_than_s`` and compact the event log if fragmented.
+        Idempotent and synchronous — callable directly (tests, manual
+        maintenance windows) or from the scheduled query."""
+        cutoff = time.time() - older_than_s
+        with self._run_details_lock:
+            before = len(self.run_details)
+            kept = [r for r in self.run_details if r[1] >= cutoff]
+            self.run_details.clear()
+            self.run_details.extend(kept)
+            pruned = before - len(kept)
+        try:
+            compacted = self.store.maybe_compact(max_files=max_files)
+        except Exception:  # noqa: BLE001 — never let maintenance kill ticks
+            compacted = None
+        return {"pruned_runs": pruned, "compacted_to_files": compacted}
+
+    def start_housekeeping(
+        self,
+        interval_s: int = 60,
+        older_than_s: float = 86_400.0,
+        max_files: int = 64,
+    ) -> StreamingQuery:
+        """Schedule housekeeping as its own named StreamingQuery — the
+        ``cron.schedule('delete_<view>', '0 12 * * *', ...)`` analogue
+        (daily-noon in the reference; interval-based here)."""
+        if self._HOUSEKEEPING in self._queries:
+            self.stop(self._HOUSEKEEPING)
+
+        def tick(_batch_df, _batch_id) -> None:
+            self.housekeeping(older_than_s=older_than_s, max_files=max_files)
+
+        q = (
+            self.store.spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .writeStream.queryName(self._HOUSEKEEPING)
+            .trigger(processingTime=f"{int(interval_s)} seconds")
+            .foreachBatch(tick)
+            .start()
+        )
+        self._queries[self._HOUSEKEEPING] = q
+        return q
+
+    def stop_housekeeping(self) -> None:
+        if self._HOUSEKEEPING in self._queries:
+            self.stop(self._HOUSEKEEPING)

@@ -309,3 +309,67 @@ class TestAqeSkewJoin:
         finally:
             for k, v in saved.items():
                 conf.set(k, v)
+
+
+class TestPIIAndQualityRules:
+    """r4 curation additions: PII redaction, Gopher rules, mixture plan."""
+
+    def test_pii_redaction_removes_planted_spans(self, spark, sf_dir):
+        from fstore_sql_spark.operators.text import pii_redaction_stats
+
+        out = pii_redaction_stats(spark, sf_dir).collect()
+        assert len(out) == 20  # one row per source
+        for r in out:
+            # every doc gets exactly one planted email/phone/IP
+            assert r["emails"] == r["n_docs"]
+            assert r["phones"] == r["n_docs"]
+            assert r["ips"] == r["n_docs"]
+            assert r["chars_removed"] > 0
+
+    def test_pii_redacted_text_has_no_matches_left(self, spark, sf_dir):
+        from fstore_sql_spark.operators import text as t
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        aug = F.concat(
+            F.lit("contact "), F.col("source"), F.lit("."), F.col("doc_id"),
+            F.lit("@example.com ph 555-0042 ip 10.1.0.2 "), F.col("text"),
+        )
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(aug, t._PII_EMAIL, "<EMAIL>"),
+                t._PII_PHONE, "<PHONE>",
+            ),
+            t._PII_IP, "<IP>",
+        )
+        leftover = df.select(
+            F.sum(F.regexp_count(red, F.lit(t._PII_EMAIL))).alias("e"),
+            F.sum(F.regexp_count(red, F.lit(t._PII_PHONE))).alias("p"),
+            F.sum(F.regexp_count(red, F.lit(t._PII_IP))).alias("i"),
+        ).first()
+        assert (leftover["e"], leftover["p"], leftover["i"]) == (0, 0, 0)
+
+    def test_gopher_rules_discriminate(self, spark, sf_dir):
+        from fstore_sql_spark.operators.text import gopher_quality_rules
+
+        rows = gopher_quality_rules(spark, sf_dir).collect()
+        total = sum(r["n_docs"] for r in rows)
+        wc = sum(r["pass_word_count"] for r in rows)
+        mwl = sum(r["pass_mean_word_len"] for r in rows)
+        allp = sum(r["pass_all"] for r in rows)
+        # each rule must actually reject something AND keep something
+        assert 0 < wc < total
+        assert 0 < mwl < total
+        assert 0 < allp <= min(wc, mwl)
+        for r in rows:
+            assert 0.0 <= r["pass_rate"] <= 1.0
+
+    def test_token_budget_mixture_caps_rates(self, spark, sf_dir):
+        from fstore_sql_spark.operators.text import token_budget_mixture
+
+        rows = token_budget_mixture(spark, sf_dir).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0.0 < r["sample_rate"] <= 1.0
+            assert r["planned_tokens"] <= r["source_tokens"]
+            # epoch_factor is the uncapped allocation ratio
+            assert r["epoch_factor"] >= r["sample_rate"] - 1e-9

@@ -542,3 +542,30 @@ class TestR4CurationOps:
         # gram-keyed equi join only; no pairwise/cartesian anywhere
         df = q(spark, "repeated_ngram_stats")
         assert P.sort_merge_join_count(df) + P.broadcast_join_count(df) >= 1
+
+
+class TestR4RetrievalAndScrubOps:
+    """r4 additions: BM25 retrieval, PII scrub, Gopher rules."""
+
+    def test_bm25_is_takeordered_with_broadcast_stats(self, spark):
+        df = q(spark, "bm25_topk")
+        # top-k must be heap-based, never a global sort
+        assert P.has_take_ordered(df)
+        # df + corpus stats are vocabulary/1-row sized: broadcast both
+        assert P.broadcast_join_count(df) >= 2
+
+    def test_pii_redaction_is_single_shuffle_hash_agg(self, spark):
+        df = q(spark, "pii_redaction_stats")
+        # regex scrub is scan-side map work; the only exchange is the
+        # 20-group aggregate.  The md5 checksum is folded to a BIGINT so
+        # the aggregate buffer stays fixed-width → HashAggregate with
+        # map-side partials, never the string-buffer SortAggregate.
+        # (No codegen-span assertion: regexp_extract_all is a
+        # CodegenFallback expression in Spark 4.)
+        assert P.shuffle_exchange_count(df) == 1
+        plan = P.formatted_plan(df)
+        assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+    def test_gopher_rules_single_shuffle(self, spark):
+        df = q(spark, "gopher_quality_rules")
+        assert P.shuffle_exchange_count(df) == 1

@@ -378,3 +378,35 @@ def test_streaming_trending_topk_matches_batch(store, spark, tmp_path):
     )
     assert got == want
     assert [g[0] for g in got] == ["d1", "d2"]  # top-2 by count
+
+
+def test_housekeeping_prunes_run_details_and_compacts(store):
+    """T8's daily cleanup cron analogue (extensions.sql:69-70): old run
+    records are pruned, recent ones kept, and the store-side compaction
+    hook runs (skipping below the file threshold)."""
+    svc = PushDelivery(store)
+    now = time.time()
+    svc.run_details.append(("v_old", now - 90_000, 1))  # > 1 day old
+    svc.run_details.append(("v_new", now - 10, 1))
+    out = svc.housekeeping(older_than_s=86_400)
+    assert out["pruned_runs"] == 1
+    assert [r[0] for r in svc.run_details] == ["v_new"]
+    # fresh store is far below the fragmentation threshold → skip
+    assert out["compacted_to_files"] is None
+
+
+def test_housekeeping_streaming_query_ticks(store):
+    store.register_decider_event("d", "e", "x")
+    svc = PushDelivery(store)
+    svc.run_details.append(("v_old", time.time() - 90_000, 1))
+    try:
+        q = svc.start_housekeeping(interval_s=1)
+        assert q.isActive
+        assert wait_until(lambda: len(svc.run_details) == 0, timeout=30), (
+            "housekeeping tick never pruned the stale run record"
+        )
+        # sync() must not kill the maintenance job (it is not a view)
+        svc.sync()
+        assert svc._queries[svc._HOUSEKEEPING].isActive
+    finally:
+        svc.stop_all()

@@ -33,6 +33,8 @@ FLAGSHIP = [
     ("frequent_words_mg", "MG sketch prune (mapInPandas) + broadcast semi-join exact verify"),
     ("triangle_count", "oriented-edge closure: broadcast self-joins, no SMJ"),
     ("snapshot_diff_users", "two aligned aggregates + full outer join, no extra shuffle"),
+    ("pii_redaction_stats", "regex scrub scan-side; single 20-group HashAggregate"),
+    ("bm25_topk", "broadcast df/corpus stats; top-k as TakeOrderedAndProject"),
 ]
 
 
