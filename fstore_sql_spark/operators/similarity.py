@@ -639,3 +639,64 @@ def lsh_hyperplane_buckets(spark, sf_dir):
             9,
         ).alias("candidate_share"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Embedding-space benchmark decontamination (r4).  The semantic counterpart
+# of the 5-gram `benchmark_contamination` in operators/text.py: training
+# vectors too close (cosine) to ANY held-out benchmark vector are flagged,
+# catching paraphrased contamination that exact n-gram overlap misses.
+# Benchmark sets are small by definition, so the scale design is
+# broadcast-benchmark × linear corpus scan — no LSH recall loss, no
+# all-pairs blowup; cost is O(|corpus| × |benchmark|) map work.
+# Aggregates are order-free (max/min/count) so Spark and DuckDB agree
+# bit-for-bit after 6dp rounding.
+# --------------------------------------------------------------------------- #
+
+_CONTAM_TAU = 0.30
+
+
+@query(
+    "embedding_contamination",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT t.vec_id, t.label,
+               ROUND(MAX(list_cosine_similarity(t.v, b.v)), 6) AS max_sim
+        FROM (SELECT * FROM e WHERE label <> 0) t
+        CROSS JOIN (SELECT * FROM e WHERE label = 0) b
+        GROUP BY t.vec_id, t.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN max_sim >= {_CONTAM_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS contaminated,
+           MAX(max_sim) AS top_sim,
+           MIN(max_sim) AS low_sim
+    FROM m GROUP BY label
+    """,
+)
+def embedding_contamination(spark, sf_dir):
+    """Per-label contamination report: training vectors (label<>0) whose
+    max cosine against the benchmark set (label=0) crosses tau."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    bench = e.filter(F.col("label") == 0).select(F.col("v").alias("bv"))
+    per_vec = (
+        e.filter(F.col("label") != 0)
+        .crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.max(cosine(F.col("v"), F.col("bv"))), 6).alias("max_sim"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("max_sim") >= _CONTAM_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("contaminated"),
+        F.max("max_sim").alias("top_sim"),
+        F.min("max_sim").alias("low_sim"),
+    )

@@ -569,3 +569,10 @@ class TestR4RetrievalAndScrubOps:
     def test_gopher_rules_single_shuffle(self, spark):
         df = q(spark, "gopher_quality_rules")
         assert P.shuffle_exchange_count(df) == 1
+
+    def test_embedding_contamination_broadcasts_benchmark(self, spark):
+        # the benchmark side is small by definition: must broadcast, and
+        # the corpus must never hit a sort-merge or shuffled cartesian
+        df = q(spark, "embedding_contamination")
+        assert P.broadcast_join_count(df) >= 1
+        assert P.sort_merge_join_count(df) == 0
