@@ -1188,7 +1188,9 @@ def bm25_topk(spark, sf_dir):
         F.col("word").isin(_BM25_TERMS)
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (one row per containing doc), saving a second
+    # corpus scan — at 100 TB the explode+filter pass dominates this query.
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
