@@ -736,3 +736,180 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Incremental-batch dedup (r4).  The daily-crawl shape: a NEW batch arrives
+# and must be deduped against the EXISTING corpus index without touching
+# new×new or base×base pairs.  The planted copies stand in as the incoming
+# batch.  Scale design: the increment is small relative to the corpus by
+# definition, so its digests and band keys BROADCAST into the base-side
+# joins — the base corpus is scanned once per representation and never
+# self-joined.
+# --------------------------------------------------------------------------- #
+
+_INCR_NEW_SQL = f"""
+    SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents
+    WHERE doc_id < {N_PLANTED}
+"""
+
+
+def _band_sql(src: str) -> str:
+    """(doc_id, band) rows: 2 bands of 2 md5-minhashes each, from ``src``."""
+    return f"""
+        SELECT doc_id, h0 || h1 AS band FROM {src}
+        UNION ALL
+        SELECT doc_id, h2 || h3 AS band FROM {src}
+    """
+
+
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    new_batch AS ({_INCR_NEW_SQL}),
+    bsig AS (
+        SELECT doc_id,
+               MIN(md5('0' || shingle)) AS h0, MIN(md5('1' || shingle)) AS h1,
+               MIN(md5('2' || shingle)) AS h2, MIN(md5('3' || shingle)) AS h3
+        FROM (SELECT doc_id, unnest({_shingles_sql()}) AS shingle FROM base)
+        GROUP BY doc_id
+    ),
+    nsig AS (
+        SELECT doc_id,
+               MIN(md5('0' || shingle)) AS h0, MIN(md5('1' || shingle)) AS h1,
+               MIN(md5('2' || shingle)) AS h2, MIN(md5('3' || shingle)) AS h3
+        FROM (SELECT doc_id, unnest({_shingles_sql()}) AS shingle
+              FROM new_batch)
+        GROUP BY doc_id
+    ),
+    near AS (
+        SELECT DISTINCT n.doc_id AS new_doc_id, b.doc_id AS base_doc_id
+        FROM ({_band_sql('nsig')}) n JOIN ({_band_sql('bsig')}) b USING (band)
+    ),
+    exact AS (
+        SELECT n.doc_id AS new_doc_id, b.doc_id AS base_doc_id
+        FROM new_batch n JOIN base b ON md5(n.text) = md5(b.text)
+    )
+    SELECT nb.doc_id AS new_doc_id,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_near,
+           CAST(nr.first_match AS BIGINT) AS first_match
+    FROM new_batch nb
+    LEFT JOIN (SELECT new_doc_id, COUNT(*) AS n FROM exact GROUP BY 1) e
+        ON e.new_doc_id = nb.doc_id
+    LEFT JOIN (SELECT new_doc_id, COUNT(*) AS n, MIN(base_doc_id) AS first_match
+               FROM near GROUP BY 1) nr
+        ON nr.new_doc_id = nb.doc_id
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Dedup an incoming batch against the existing corpus only: exact by
+    content digest, near by LSH band collision.  New-side digests/bands
+    broadcast; the base corpus is never self-joined."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    new_batch = d.filter(F.col("doc_id") < N_PLANTED).select(
+        (F.col("doc_id") + _SHIFT).alias("doc_id"), "text"
+    )
+    bands = lambda sigs: sigs.select(  # noqa: E731
+        "doc_id", F.concat("h0", "h1").alias("band")
+    ).unionByName(sigs.select("doc_id", F.concat("h2", "h3").alias("band")))
+
+    near = (
+        bands(minhash_signatures(new_batch))
+        .withColumnRenamed("doc_id", "new_doc_id")
+        .join(
+            bands(minhash_signatures(base)).withColumnRenamed(
+                "doc_id", "base_doc_id"
+            ),
+            "band",
+        )
+        .select("new_doc_id", "base_doc_id")
+        .distinct()
+        .groupBy("new_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("base_doc_id").alias("first_match"),
+        )
+    )
+    exact = (
+        F.broadcast(
+            new_batch.select(
+                F.col("doc_id").alias("new_doc_id"), F.md5("text").alias("dg")
+            )
+        )
+        .join(base.select(F.md5("text").alias("dg")), "dg")
+        .groupBy("new_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        new_batch.select(F.col("doc_id").alias("new_doc_id"))
+        .join(exact, "new_doc_id", "left")
+        .join(near, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.col("first_match").cast("long").alias("first_match"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Train/test split leakage audit (r4).  Deduplication and splitting compose
+# badly: a hash-of-id split sends exact duplicates to BOTH sides, leaking
+# evaluation data into training.  This audit joins the duplicate-group view
+# with the split assignment and counts groups straddling the boundary —
+# the check to run before any split ships.  Single digest-keyed aggregate;
+# the same deterministic hash-split as sampling.train_test_split.
+# --------------------------------------------------------------------------- #
+
+_LEAK_TEST_RATE = 0.1
+
+
+@query(
+    "split_leakage_audit",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tagged AS (
+        SELECT md5(text) AS dg,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0 < {_LEAK_TEST_RATE}
+                    THEN 1 ELSE 0 END AS is_test
+        FROM corpus
+    ),
+    groups AS (
+        SELECT dg, COUNT(*) AS n, SUM(is_test) AS n_test
+        FROM tagged GROUP BY dg
+    )
+    SELECT CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+           CAST(SUM(CASE WHEN n > 1 AND n_test > 0 AND n_test < n
+                    THEN 1 ELSE 0 END) AS BIGINT) AS leaky_groups,
+           CAST(SUM(CASE WHEN n > 1 AND n_test > 0 AND n_test < n
+                    THEN n_test ELSE 0 END) AS BIGINT) AS leaked_test_docs
+    FROM groups
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Exact-duplicate groups straddling a deterministic train/test split:
+    the 'is my eval set contaminated by training dups' report."""
+    from fstore_sql_spark.operators.sampling import _hash_frac
+
+    tagged = _corpus(spark, sf_dir).select(
+        F.md5("text").alias("dg"),
+        F.when(_hash_frac("doc_id") < _LEAK_TEST_RATE, 1).otherwise(0).alias(
+            "is_test"
+        ),
+    )
+    groups = tagged.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_test").alias("n_test")
+    )
+    leaky = (F.col("n") > 1) & (F.col("n_test") > 0) & (F.col("n_test") < F.col("n"))
+    return groups.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("dup_groups"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("long").alias("leaky_groups"),
+        F.sum(F.when(leaky, F.col("n_test")).otherwise(0))
+        .cast("long")
+        .alias("leaked_test_docs"),
+    )

@@ -373,3 +373,27 @@ class TestPIIAndQualityRules:
             assert r["planned_tokens"] <= r["source_tokens"]
             # epoch_factor is the uncapped allocation ratio
             assert r["epoch_factor"] >= r["sample_rate"] - 1e-9
+
+
+class TestIncrementalDedupAndLeakage:
+    def test_incremental_batch_finds_its_base_copy(self, spark, sf_dir):
+        from fstore_sql_spark.operators.dedup import (
+            _SHIFT,
+            dedup_incremental_batch,
+        )
+
+        rows = dedup_incremental_batch(spark, sf_dir).collect()
+        assert len(rows) == 25
+        for r in rows:
+            # each planted doc is an exact copy of (new_doc_id - _SHIFT)
+            assert r["n_exact"] >= 1
+            assert r["n_near"] >= 1
+            assert r["first_match"] <= r["new_doc_id"] - _SHIFT
+
+    def test_split_leakage_counts_planted_straddlers(self, spark, sf_dir):
+        from fstore_sql_spark.operators.dedup import split_leakage_audit
+
+        row = split_leakage_audit(spark, sf_dir).first()
+        assert row["dup_groups"] >= 25  # at least the planted copies
+        assert 0 <= row["leaky_groups"] <= row["dup_groups"]
+        assert row["leaked_test_docs"] >= row["leaky_groups"] * 0  # non-negative
