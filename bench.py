@@ -236,69 +236,7 @@ def main() -> None:
     # aggregate acked events/s under real lock contention and asserts
     # cross-process claim disjointness (no (partition, offset) acked
     # twice).
-    import multiprocessing as mp_
-
-    import pandas as pd
-
-    from fstore_sql_spark.ledger import ShardedLocksLedger
-    from fstore_sql_spark.storage import ParquetStore
-    from tests._ledger_worker import bench_claim_ack_worker
-
-    from datetime import datetime, timedelta, timezone
-
-    def run_claim_ack_workers(n_workers: int, n_parts: int, per_part: int):
-        """Seed a fresh ledger-only store, drain it with N worker
-        processes, return (events/s by slowest worker clock, elapsed).
-        Asserts global (partition, offset) ack disjointness."""
-        mp_root = tempfile.mkdtemp(prefix="bench_mp_")
-        try:
-            past = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(
-                hours=1
-            )
-            ledger = ShardedLocksLedger(ParquetStore(None, mp_root))
-            seed = pd.DataFrame(
-                {
-                    "view": "v",
-                    "decider_id": [f"p{i:05d}" for i in range(n_parts)],
-                    "last_offset": 0,
-                    "locked_until": pd.Timestamp(past),
-                    "created_at": pd.Timestamp(past),
-                    "updated_at": pd.Timestamp(past),
-                }
-            )
-            ledger.insert_missing(seed)
-            pd.DataFrame(
-                {
-                    "decider_id": seed["decider_id"],
-                    "offset": per_part,
-                    "offset_final": False,
-                }
-            ).to_parquet(os.path.join(mp_root, "hwm.parquet"))
-            ctx = mp_.get_context("spawn")
-            outs = [os.path.join(mp_root, f"out_{i}.json") for i in range(n_workers)]
-            procs = [
-                ctx.Process(target=bench_claim_ack_worker, args=(mp_root, o, 50))
-                for o in outs
-            ]
-            for p in procs:
-                p.start()
-            for p in procs:
-                p.join(300)
-            all_acks: list[tuple] = []
-            worker_elapsed = 0.0
-            for o in outs:
-                with open(o, encoding="utf-8") as f:
-                    d = json.load(f)
-                all_acks.extend(tuple(a) for a in d["acked"])
-                worker_elapsed = max(worker_elapsed, d["elapsed"])
-            expected = n_parts * per_part
-            assert len(all_acks) == len(set(all_acks)) == expected, (
-                f"concurrent claim disjointness violated: "
-                f"{len(all_acks)} acks, {len(set(all_acks))} unique, want {expected}"
-            )
-            return round(expected / worker_elapsed, 1), worker_elapsed
-        finally:
-            shutil.rmtree(mp_root, ignore_errors=True)
+    from tests._ledger_worker import run_claim_ack_harness
 
     # single-worker microbench baseline, then the 4-way contended run.
     # Pool sized so steady state dominates: at r4 per-worker speeds
@@ -307,8 +245,8 @@ def main() -> None:
     # contention shape the harness exists for.  sf1 runs a 160k pool
     # across 20k partitions (the ~sf1 partition count, VERDICT r3 #7).
     b3c_parts = 20_000 if SF_DIR.rstrip("/").endswith("sf1") else 8_000
-    b3c1_eps, _ = run_claim_ack_workers(1, b3c_parts, 8)
-    b3c_eps, b3c = run_claim_ack_workers(4, b3c_parts, 8)
+    b3c1_eps, _ = run_claim_ack_harness(1, b3c_parts, 8)
+    b3c_eps, b3c = run_claim_ack_harness(4, b3c_parts, 8)
 
     # b3c reported as separate fields, NOT summed into the headline total
     # (the total's composition is pinned since r01).

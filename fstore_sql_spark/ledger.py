@@ -198,6 +198,8 @@ class LocksLedger:
     # folded into a full snapshot at the next flush, bounding the chain a
     # cold reader must replay.
     COMPACT_EVERY = 64
+    # consumer flushes between _CLAIMSTAMP publishes (see flush)
+    STAMP_EVERY = 16
 
     def __init__(self, storage, table: str = "locks"):
         self.storage = storage  # ParquetStore (state-snapshot layout owner)
@@ -215,6 +217,16 @@ class LocksLedger:
         # storage.state_delta_chain grows with the chain and was ~1/3 of
         # the per-flush cost when paid on every tick
         self._chain_len = 0
+        # CONSUMER-progress stamp (see ShardedLocksLedger._fairness_probe):
+        # claim/ack/set_locked_until record their views here; flush then
+        # publishes {"version", "views"} to _CLAIMSTAMP.  Producer writes
+        # (insert_missing/upsert) do NOT touch it, so a probe can tell
+        # "a consumer is progressing view X on this shard" apart from
+        # mere version churn.
+        self._claim_stamp_path = os.path.join(state_dir, "_CLAIMSTAMP")
+        self._consumer_views: set[str] = set()
+        self._stamp_written_version = -(10**9)  # force first publish
+        self._stamp_written_views: list[str] = []
         self._reload_if_stale()
 
     # ------------------------------------------------------------------ #
@@ -424,6 +436,35 @@ class LocksLedger:
         self._dirty = False
         self._pending_upserts.clear()
         self._pending_deletes.clear()
+        if self._consumer_views:
+            # Throttled publish: probes sample the stamp only every
+            # FAIRNESS_EVERY x n_shards ticks, so per-flush freshness
+            # buys nothing — write every STAMP_EVERY consumer flushes
+            # (or when the view set changes) to keep the hot-path
+            # critical section free of an extra file replace per tick.
+            views = sorted(self._consumer_views)
+            due = (
+                self._version - self._stamp_written_version >= self.STAMP_EVERY
+                or views != self._stamp_written_views
+            )
+            if due:
+                tmp = f"{self._claim_stamp_path}.tmp.{os.getpid()}"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump({"version": self._version, "views": views}, f)
+                os.replace(tmp, self._claim_stamp_path)
+                self._stamp_written_version = self._version
+                self._stamp_written_views = views
+            self._consumer_views.clear()
+
+    def read_claim_stamp(self) -> dict | None:
+        """Last consumer-mutation flush on this shard: {"version", "views"}
+        or None (no consumer has ever committed here / pre-stamp layout).
+        Lock-free read — the stamp is published by atomic replace."""
+        try:
+            with open(self._claim_stamp_path, encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     # ------------------------------------------------------------------ #
     # reads
@@ -522,9 +563,10 @@ class LocksLedger:
         dual-write (SURVEY.md §7.5)."""
         import numpy as np
 
-        # Positional scan (no MultiIndex alignment): the slice's ids are
-        # sorted, so a stable argsort on the hwm offsets reproduces the
-        # reference's ORDER BY ("offset", decider_id) tie order exactly.
+        # Positional scan (no MultiIndex alignment) over the view's
+        # sorted id slice; candidate ordering below deliberately refines
+        # the reference's ORDER BY "offset" (schema.sql:410) — see the
+        # tie-break comment.
         scan = self._eligible_scan(view, hwm, now)
         if scan is None:
             return []
@@ -548,6 +590,7 @@ class LocksLedger:
         self._df.iloc[gpos, self._df.columns.get_loc("updated_at")] = now64
         self._dirty = True
         self._touch((view, d) for d in ids[take])
+        self._consumer_views.add(view)
         return [(str(d), int(o)) for d, o in zip(ids[take], lo_vals[take])]
 
     def ack(self, view: str, acks: list[tuple[str, int]], now: datetime) -> None:
@@ -585,6 +628,7 @@ class LocksLedger:
         self._df.iloc[gpos, cols.get_loc("updated_at")] = now64
         self._dirty = True
         self._touch((view, d) for d in t[ok])
+        self._consumer_views.add(view)
 
     def set_locked_until(
         self, view: str, decider_id: str, until: datetime, now: datetime
@@ -596,6 +640,7 @@ class LocksLedger:
             self._df.at[key, "updated_at"] = pd.Timestamp(now)
             self._dirty = True
             self._touch([key])
+            self._consumer_views.add(view)
 
     def insert_missing(self, rows: pd.DataFrame) -> None:
         """T6 insert branch (ON CONFLICT DO NOTHING shape): add rows whose
@@ -688,12 +733,17 @@ class ShardedLocksLedger:
     ORDER BY "offset" preference (schema.sql:410) is fairness, not a
     delivery contract (order is only guaranteed WITHIN a partition, and
     SKIP LOCKED already breaks strict global claim order under
-    concurrency).  No-starvation is guaranteed by FAIRNESS ROTATION:
-    every ``FAIRNESS_EVERY``-th claim starts its walk at a rotating
-    shard instead of the sticky one, so even when the sticky shard can
-    fill ``limit`` forever (continuous appends), every shard leads the
-    walk at least once per FAIRNESS_EVERY x n_shards claims — a bounded
-    delivery delay for every partition.  The store's delivery
+    concurrency).  No-starvation comes from the FAIRNESS PROBE: every
+    ``FAIRNESS_EVERY``-th claim additionally inspects one rotating
+    foreign shard and claims at most one partition from it, deferring
+    ONLY while the shard's consumer claim stamp shows a live sibling
+    progressing the same view there (producer-only version churn never
+    touches the stamp, so it cannot defer the probe — see
+    :meth:`_fairness_probe`).  Even when the sticky shard fills
+    ``limit`` indefinitely, every shard is probed once per
+    FAIRNESS_EVERY x n_shards claims and must yield unless its
+    partitions are already being served — a bounded delivery delay
+    for every partition.  The store's delivery
     read-ahead stays effective regardless of claim order because
     refills warm ALL eligible partitions of the view in one job
     (store._refill_prefetch).
@@ -707,7 +757,7 @@ class ShardedLocksLedger:
     """
 
     DEFAULT_SHARDS = 8
-    # claims between fairness-rotation ticks (see ack_and_claim): lower
+    # claims between fairness-probe ticks (see _fairness_probe): lower
     # = tighter starvation bound, higher = more shard affinity
     FAIRNESS_EVERY = 8
 
@@ -729,6 +779,8 @@ class ShardedLocksLedger:
         # shard -> disk version at our last fairness inspection: the
         # live-sibling detector (see ack_and_claim fairness pass)
         self._fairness_seen: dict[int, int] = {}
+        # shard -> last observed claim stamp (see _fairness_probe)
+        self._fairness_stamp: dict[int, tuple | None] = {}
         self._maybe_migrate_legacy(storage)
 
     @staticmethod
@@ -754,14 +806,24 @@ class ShardedLocksLedger:
                 n = max(found) + 1
             else:
                 n = requested or ShardedLocksLedger.DEFAULT_SHARDS
-            # whole-file publish via os.replace: no torn/empty-marker
-            # window for concurrent openers or after a crash (a direct
-            # O_EXCL create left a readable zero-byte file between
-            # create and write)
+            # Atomic first-writer-wins publish: hard-link the fully
+            # written tmp into place.  os.link fails with EEXIST when a
+            # concurrent opener already published, so two first-openers
+            # can never adopt different counts (os.replace was last-wins:
+            # opener A could adopt 4 while B overwrote the marker with 8,
+            # permanently mis-routing A's acks).  No torn-read window
+            # either — the link appears with its full contents (a direct
+            # O_EXCL create would expose a readable zero-byte file
+            # between create and write).
             tmp = f"{marker}.tmp.{_uuid.uuid4().hex}"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(str(n))
-            os.replace(tmp, marker)
+            try:
+                os.link(tmp, marker)
+            except FileExistsError:
+                pass  # a concurrent first-open won; adopt its count below
+            finally:
+                os.unlink(tmp)
         with open(marker, encoding="utf-8") as f:
             pinned = int(f.read().strip())
         if requested is not None and requested != pinned:
@@ -822,11 +884,13 @@ class ShardedLocksLedger:
     ) -> list[tuple[str, int]]:
         return self.ack_and_claim(view, [], hwm, limit, now, lease_until)
 
-    def _fairness_probe(self, view, hwm, now, lease_until) -> list[tuple[str, int]]:
+    def _fairness_probe(
+        self, view, hwm, now, lease_until, skip_shards=()
+    ) -> list[tuple[str, int]]:
         """The starvation guard (every FAIRNESS_EVERY-th claim): inspect
         ONE rotating foreign shard and claim AT MOST ONE partition from
-        it, and only when the shard looks ORPHANED — no commits since
-        our previous inspection.  Why so conservative:
+        it, preferring shards that look ORPHANED — no commits since our
+        previous inspection.  Why so conservative:
 
         - a shard a LIVE consumer works cannot starve, and stealing
           from it forces both sides to replay each other's deltas
@@ -840,29 +904,60 @@ class ShardedLocksLedger:
           consumer's sticky shard drains (walk-on-empty), so the probe
           only matters for the persistent-saturation case.
 
-        Detector: version-file read per inspection (cheap).  version
-        advanced since last look => live sibling, skip; quiet since
-        last look but ahead of our frame => orphaned, sync once and
-        claim."""
+        Detector: one version-file read + one tiny stamp-file read per
+        inspection.  The _CLAIMSTAMP file is written ONLY by consumer
+        mutations (claim/ack/nack flushes record {"version", "views"});
+        producer writes (T6 insert_missing, T7 upsert) bump the state
+        version but never the stamp.  So:
+
+        - stamp advanced since our last probe AND lists OUR view =>
+          a live consumer is progressing this view on this shard —
+          its partitions are being served, defer (no starvation);
+        - anything else (stamp static under version churn = producer-
+          only appends; stamp advanced for other views only) => the
+          shard is effectively orphaned FOR THIS VIEW: sync once and
+          claim.  This is what keeps continuous producer churn — new
+          partitions every tick — from deferring the probe forever,
+          without ever paying a foreign-shard delta replay while a
+          sibling is genuinely consuming our view there (measured on
+          b3c: a blind every-Nth forced claim cost ~20% aggregate
+          throughput in the all-shards-live drain regime; the stamp
+          makes that regime zero-cost again).
+
+        Shards in ``skip_shards`` (this tick's pending acks) are never
+        probed: an un-acked partition there may hold an expired lease,
+        and claiming it before the ack lands would both redeliver
+        already-consumed offsets and let the subsequent ack release the
+        just-taken lease.  Such a shard is our own working set — the
+        walk visits it this very tick — so skipping costs no liveness."""
         n = self.n_shards
         k = self._rotor
         self._rotor = (self._rotor + 1) % n
-        if k == self._sticky:
+        if k == self._sticky or k in skip_shards:
             return []
         s = self.shards[k]
         v = s.storage.state_version(s.table)
         if v != s._version:
-            if v != self._fairness_seen.get(k):
-                self._fairness_seen[k] = v
-                return []  # advanced since our last look: live sibling
-            s.refresh()  # quiet since our last look: sync once
+            stamp = s.read_claim_stamp()
+            key = (stamp["version"], tuple(stamp.get("views", []))) if stamp else None
+            prev = self._fairness_stamp.get(k)
+            self._fairness_stamp[k] = key
+            if key != prev and stamp and view in stamp.get("views", ()):
+                return []  # live consumer progressing OUR view here: defer
+            s.refresh()  # orphaned for this view: sync once (claim re-verifies)
         self._fairness_seen[k] = s._version
         if not s.has_eligible(view, hwm, now):
             return []
         with s.try_guard() as held:
             if not held:
                 return []  # busy right now — certainly not starved
-            return s.claim(view, hwm, 1, now, lease_until)
+            got = s.claim(view, hwm, 1, now, lease_until)
+        if got:
+            # our own claim just bumped the stamp (flush on guard exit);
+            # record the post-flush value so the next probe of this shard
+            # doesn't mistake our own write for a live sibling
+            self._fairness_stamp[k] = (s._version, (view,))
+        return got
 
     def ack_and_claim(
         self,
@@ -887,19 +982,24 @@ class ShardedLocksLedger:
             pending.setdefault(shard_of(d, self.n_shards), []).append((d, o))
         got: list[tuple[str, int]] = []
         n = self.n_shards
-        # Fairness rotation (starvation guard): a walk always starts at
+        # Fairness probe (starvation guard): the walk always starts at
         # the sticky shard — but when that shard can fill ``limit``
         # indefinitely (continuous appends), the walk would never reach
         # the others and their partitions would never deliver.  Every
-        # FAIRNESS_EVERY-th claim therefore starts at the rotor, which
-        # advances per fairness tick, so every shard leads the walk at
-        # least once per FAIRNESS_EVERY x n_shards claims — bounded
-        # delivery delay for every partition, while (FAIRNESS_EVERY-1)/
-        # FAIRNESS_EVERY of ticks keep the affinity that makes
-        # concurrent consumers scale.
+        # FAIRNESS_EVERY-th claim therefore additionally probes ONE
+        # rotating foreign shard for at most one partition (full
+        # detector semantics and the bounded-deferral guarantee in
+        # _fairness_probe), while the other ticks keep the affinity
+        # that makes concurrent consumers scale.  Shards carrying this
+        # tick's acks are excluded — their acks must land before any
+        # re-claim there is sound.
         self._tick += 1
         if self._tick % self.FAIRNESS_EVERY == 0 and limit > 0:
-            got.extend(self._fairness_probe(view, hwm, now, lease_until))
+            got.extend(
+                self._fairness_probe(
+                    view, hwm, now, lease_until, skip_shards=pending.keys()
+                )
+            )
         order = [(self._sticky + i) % n for i in range(n)]
         busy_claimable: list[int] = []
         for k in order:

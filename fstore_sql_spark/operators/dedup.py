@@ -867,6 +867,10 @@ def dedup_incremental_batch(spark, sf_dir):
 
 _LEAK_TEST_RATE = 0.1
 
+# the ONE split-hash definition (Spark + SQL halves live in sampling.py):
+# re-inlining the formula here would let the two engines drift apart
+from fstore_sql_spark.operators.sampling import _hash_frac_sql  # noqa: E402
+
 
 @query(
     "split_leakage_audit",
@@ -874,8 +878,7 @@ _LEAK_TEST_RATE = 0.1
     WITH corpus AS ({_CORPUS_SQL}),
     tagged AS (
         SELECT md5(text) AS dg,
-               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                         AS BIGINT) / 4294967296.0 < {_LEAK_TEST_RATE}
+               CASE WHEN {_hash_frac_sql('doc_id')} < {_LEAK_TEST_RATE}
                     THEN 1 ELSE 0 END AS is_test
         FROM corpus
     ),

@@ -582,7 +582,7 @@ def int8_quantization_stats(spark, sf_dir):
     ),
     sigs AS (
         SELECT vec_id,
-               CAST(SUM(CASE WHEN d >= 0 THEN POWER(2, j) ELSE 0 END) AS BIGINT)
+               CAST(SUM(CASE WHEN ROUND(d, 9) >= 0 THEN POWER(2, j) ELSE 0 END) AS BIGINT)
                    AS bucket
         FROM dots GROUP BY vec_id
     ),
@@ -622,7 +622,11 @@ def lsh_hyperplane_buckets(spark, sf_dir):
     )
     sigs = dots.groupBy("vec_id").agg(
         F.sum(
-            F.when(F.col("d") >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(0.0)
+            # sign decided on the 9dp-rounded projection (both engines):
+            # raw float sums accumulate in engine-specific order, and an
+            # unrounded `d >= 0` on a near-zero projection could flip a
+            # signature bit between Spark and the oracle
+            F.when(F.round(F.col("d"), 9) >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(0.0)
         )
         .cast("long")
         .alias("bucket")

@@ -862,7 +862,11 @@ def dsir_importance_weights(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    model = corpus.join(tgt, "w", "left").fillna({"ct": 0})
+    # the model is vocabulary-bounded (tiny next to the corpus): persist
+    # it so the corpus explode + two unigram-fit shuffles run ONCE — the
+    # consts action below would otherwise re-materialize the whole
+    # lineage again when wt is evaluated for scoring
+    model = corpus.join(tgt, "w", "left").fillna({"ct": 0}).persist()
     consts = model.agg(
         F.count(F.lit(1)).alias("v"),
         F.sum("cc").alias("nc"),

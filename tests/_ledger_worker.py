@@ -78,9 +78,8 @@ def bench_claim_ack_worker(
         else:
             empties += 1
             _time.sleep(0.01)
-    if pend:  # tail batch: nothing left to claim, ack it standalone
-        ledger.ack("v", [(d, lo + 1) for d, lo in pend], _now())
-        acked.extend([d, lo + 1] for d, lo in pend)
+    # no tail ack needed: the loop can only exit after an empty round,
+    # and every empty round first acked (and cleared) the prior batch
     with open(out_path, "w", encoding="utf-8") as f:
         _json.dump({"acked": acked, "elapsed": _time.time() - t0}, f)
 
@@ -122,3 +121,72 @@ def claim_and_hang_worker(root: str, out_path: str, limit: int, lease_s: float) 
         _json.dump([d for d, _ in got], f)
     ledger.shards[0]._plock.acquire()
     _time.sleep(120)  # parent kills us long before this
+
+
+def run_claim_ack_harness(
+    n_workers: int, n_parts: int, per_part: int, claim_limit: int = 50
+) -> tuple[float, float]:
+    """The shared b3c harness (bench.py B3c + tools/bench_b3c.py): seed a
+    fresh ledger-only store with ``n_parts`` partitions x ``per_part``
+    events of watermark headroom, drain it with ``n_workers`` concurrent
+    claim/ack processes, assert global (partition, offset) ack
+    disjointness, and return (events/s by the slowest worker clock,
+    slowest-worker elapsed seconds).  One definition so the standalone
+    tool and the bench can never measure different regimes by drift."""
+    import json as _json2
+    import multiprocessing as _mp
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pandas as _pd
+
+    from fstore_sql_spark.ledger import ShardedLocksLedger
+    from fstore_sql_spark.storage import ParquetStore
+
+    mp_root = _tempfile.mkdtemp(prefix="bench_mp_")
+    try:
+        past = _now() - timedelta(hours=1)
+        ledger = ShardedLocksLedger(ParquetStore(None, mp_root))
+        seed = _pd.DataFrame(
+            {
+                "view": "v",
+                "decider_id": [f"p{i:05d}" for i in range(n_parts)],
+                "last_offset": 0,
+                "locked_until": _pd.Timestamp(past),
+                "created_at": _pd.Timestamp(past),
+                "updated_at": _pd.Timestamp(past),
+            }
+        )
+        ledger.insert_missing(seed)
+        _pd.DataFrame(
+            {
+                "decider_id": seed["decider_id"],
+                "offset": per_part,
+                "offset_final": False,
+            }
+        ).to_parquet(os.path.join(mp_root, "hwm.parquet"))
+        ctx = _mp.get_context("spawn")
+        outs = [os.path.join(mp_root, f"out_{i}.json") for i in range(n_workers)]
+        procs = [
+            ctx.Process(target=bench_claim_ack_worker, args=(mp_root, o, claim_limit))
+            for o in outs
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(300)
+        all_acks: list[tuple] = []
+        worker_elapsed = 0.0
+        for o in outs:
+            with open(o, encoding="utf-8") as f:
+                d = _json2.load(f)
+            all_acks.extend(tuple(a) for a in d["acked"])
+            worker_elapsed = max(worker_elapsed, d["elapsed"])
+        expected = n_parts * per_part
+        assert len(all_acks) == len(set(all_acks)) == expected, (
+            f"concurrent claim disjointness violated: "
+            f"{len(all_acks)} acks, {len(set(all_acks))} unique, want {expected}"
+        )
+        return round(expected / worker_elapsed, 1), worker_elapsed
+    finally:
+        _shutil.rmtree(mp_root, ignore_errors=True)

@@ -516,6 +516,75 @@ class TestFairness:
         )
 
 
+    def test_no_starvation_under_producer_version_churn(self, root):
+        """Review r4 follow-up: a PRODUCER continuously birthing new
+        partitions bumps every shard's state version, which the probe's
+        live-sibling detector used to read as consumer activity — and
+        skip the shard forever.  The consumer claim stamp separates the
+        two (producer writes never touch it), so the probe must claim
+        straight through the churn: every originally seeded partition
+        still delivers."""
+        ledger = ShardedLocksLedger(ParquetStore(None, root), n_shards=4)
+        producer = ShardedLocksLedger(ParquetStore(None, root))
+        n_parts = 8
+        ledger.insert_missing(seed_rows("v", n_parts))
+        hwm = hwm_frame(n_parts, offset=10**6)
+        target = {f"p{i:04d}" for i in range(n_parts)}
+        seen: set[str] = set()
+        budget = ledger.FAIRNESS_EVERY * ledger.n_shards * 2 * n_parts
+        for i in range(budget):
+            # churn: one brand-new decider per round, spread over shards
+            churn = seed_rows("v", 1)
+            churn["decider_id"] = [f"new{i:05d}"]
+            producer.insert_missing(churn)
+            now = now_utc()
+            got = ledger.claim("v", hwm, 1, now, now + timedelta(seconds=300))
+            if got:
+                ledger.ack("v", [(d, lo + 1) for d, lo in got], now)
+                seen.update(d for d, _ in got)
+            if target <= seen:
+                break
+        assert target <= seen, "starved partitions: " + str(target - seen)
+
+    def test_fairness_probe_never_reclaims_pending_ack_partition(self, root):
+        """Review r4 finding #2: on a fairness tick the probe must not
+        claim a partition whose ack is pending in the SAME call — the
+        stale last_offset would redeliver consumed events and the
+        later ack would release the just-taken lease.  Force the
+        pathological alignment (rotor on the acked partition's shard,
+        expired lease, fairness tick) and assert any claim of that
+        partition reflects the post-ack offset."""
+        from fstore_sql_spark.ledger import shard_of
+
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        n_parts = 16
+        ledger.insert_missing(seed_rows("v", n_parts))
+        hwm = hwm_frame(n_parts, offset=10**6)
+        now = now_utc()
+        # deliver one batch, let its lease EXPIRE un-acked
+        first = ledger.claim("v", hwm, 1, now, now - timedelta(seconds=1))
+        assert first
+        p, stale_lo = first[0]
+        ack_offset = stale_lo + 500
+        # align the pathological tick: next claim is a fairness tick
+        # whose rotor lands on p's shard
+        ledger._tick = ledger.FAIRNESS_EVERY - 1
+        ledger._rotor = shard_of(p, ledger.n_shards)
+        ledger._sticky = (ledger._rotor + 1) % ledger.n_shards
+        got = ledger.ack_and_claim(
+            "v", [(p, ack_offset)], hwm, n_parts, now, now + timedelta(seconds=300)
+        )
+        for d, lo in got:
+            if d == p:
+                assert lo == ack_offset, (
+                    f"probe re-claimed {p} at stale offset {lo} before its ack"
+                )
+        # and the ack must have landed regardless
+        shard = ledger.shards[shard_of(p, ledger.n_shards)]
+        shard.refresh()
+        assert int(shard._df.loc[("v", p), "last_offset"]) == ack_offset
+
+
 class TestCrashRecovery:
     def test_killed_consumer_releases_lock_and_leases_redeliver(self, root):
         """The no-TTL-steal crash story (ledger module doc): a consumer
