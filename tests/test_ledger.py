@@ -585,6 +585,46 @@ class TestFairness:
         assert int(shard._df.loc[("v", p), "last_offset"]) == ack_offset
 
 
+    def test_probe_claims_for_view_b_despite_live_view_a_consumer(self, root):
+        """View-qualified stamp semantics: a consumer busily claiming
+        view A on shard k must NOT defer another consumer's fairness
+        probe for view B there — view B's partitions on k would starve
+        behind A's activity otherwise."""
+        from fstore_sql_spark.ledger import shard_of
+
+        ledger_a = ShardedLocksLedger(ParquetStore(None, root))
+        ledger_b = ShardedLocksLedger(ParquetStore(None, root))
+        n_parts = 16
+        ledger_a.insert_missing(seed_rows("va", n_parts))
+        rows_b = seed_rows("vb", n_parts)
+        ledger_a.insert_missing(rows_b)
+        hwm = hwm_frame(n_parts, offset=10**6)
+        # pick a partition of view vb and aim B's probe at its shard
+        p_target = "p0000"
+        k = shard_of(p_target, ledger_b.n_shards)
+        ledger_a._sticky = k  # A works shard k, churning its stamp
+        ledger_b._sticky = (k + 1) % ledger_b.n_shards
+        got_b: list = []
+        for i in range(ledger_b.FAIRNESS_EVERY * 4):
+            now = now_utc()
+            # A churns shard k's stamp every round (claim + ack on va)
+            got_a = ledger_a.claim("va", hwm, 4, now, now + timedelta(seconds=300))
+            if got_a:
+                ledger_a.ack("va", [(d, lo + 1) for d, lo in got_a], now)
+            ledger_b._rotor = k  # force every fairness tick onto shard k
+            got = ledger_b.claim("vb", hwm, 1, now, now + timedelta(seconds=300))
+            got_b.extend(d for d, _ in got)
+            targets_on_k = [
+                d for d in got_b if shard_of(d, ledger_b.n_shards) == k
+            ]
+            if targets_on_k:
+                break
+        assert targets_on_k, (
+            "probe for view vb never claimed from shard k while a view-va "
+            "consumer was live there — view-qualified stamp not honored"
+        )
+
+
 class TestCrashRecovery:
     def test_killed_consumer_releases_lock_and_leases_redeliver(self, root):
         """The no-TTL-steal crash story (ledger module doc): a consumer
