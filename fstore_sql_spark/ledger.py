@@ -200,6 +200,9 @@ class LocksLedger:
     COMPACT_EVERY = 64
     # consumer flushes between _CLAIMSTAMP publishes (see flush)
     STAMP_EVERY = 16
+    # publish at least this often while consumer mutations occur, so a
+    # slow consumer still looks live to sibling fairness probes
+    STAMP_MAX_AGE_S = 1.0
 
     def __init__(self, storage, table: str = "locks"):
         self.storage = storage  # ParquetStore (state-snapshot layout owner)
@@ -227,6 +230,9 @@ class LocksLedger:
         self._consumer_views: set[str] = set()
         self._stamp_written_version = -(10**9)  # force first publish
         self._stamp_written_views: list[str] = []
+        self._stamp_written_at = 0.0  # monotonic clock of last publish
+        # (index object, materialized decider_id level) — see _view_slice
+        self._ids_cache: tuple | None = None
         self._reload_if_stale()
 
     # ------------------------------------------------------------------ #
@@ -236,10 +242,22 @@ class LocksLedger:
     @contextmanager
     def guard(self, flush: bool = True):
         """The cross-process critical section: lock file → reload if a
-        sibling process advanced the snapshot → mutate → flush → unlock."""
+        sibling process advanced the snapshot → mutate → flush → unlock.
+
+        A mutator that RAISES mid-update (KeyboardInterrupt between two
+        iloc writes, a coercion error) leaves the frame diverged from its
+        disk version with nothing pending — replaying sibling deltas onto
+        that frame would bake the phantom rows into the next compaction
+        (review r4).  The except arm therefore invalidates the cached
+        frame; the next access reloads wholesale from disk, discarding
+        the partial mutation (safe: the call never returned)."""
         with self._plock.held():
             self._reload_if_stale()
-            yield
+            try:
+                yield
+            except BaseException:
+                self._invalidate()
+                raise
             if flush and self._dirty:
                 self.flush()
 
@@ -247,13 +265,18 @@ class LocksLedger:
     def try_guard(self, flush: bool = True):
         """Non-blocking :meth:`guard` — yields True with the critical
         section held, or False immediately when another process holds the
-        shard (the caller SKIPs it, exactly ``FOR UPDATE SKIP LOCKED``)."""
+        shard (the caller SKIPs it, exactly ``FOR UPDATE SKIP LOCKED``).
+        Same exception-rollback contract as :meth:`guard`."""
         if not self._plock.try_acquire():
             yield False
             return
         try:
             self._reload_if_stale()
-            yield True
+            try:
+                yield True
+            except BaseException:
+                self._invalidate()
+                raise
             if self._dirty and flush:
                 self.flush()
         finally:
@@ -439,13 +462,18 @@ class LocksLedger:
         if self._consumer_views:
             # Throttled publish: probes sample the stamp only every
             # FAIRNESS_EVERY x n_shards ticks, so per-flush freshness
-            # buys nothing — write every STAMP_EVERY consumer flushes
-            # (or when the view set changes) to keep the hot-path
-            # critical section free of an extra file replace per tick.
+            # buys nothing — publish every STAMP_EVERY consumer flushes,
+            # when the accumulated view set changes, or after
+            # STAMP_MAX_AGE_S regardless (a SLOW consumer flushing less
+            # than STAMP_EVERY times between two probes would otherwise
+            # look orphaned and be stolen from on every probe, review
+            # r4).  Views ACCUMULATE across unpublished flushes — they
+            # are cleared only when a publish lands.
             views = sorted(self._consumer_views)
             due = (
                 self._version - self._stamp_written_version >= self.STAMP_EVERY
                 or views != self._stamp_written_views
+                or time.monotonic() - self._stamp_written_at >= self.STAMP_MAX_AGE_S
             )
             if due:
                 tmp = f"{self._claim_stamp_path}.tmp.{os.getpid()}"
@@ -454,7 +482,8 @@ class LocksLedger:
                 os.replace(tmp, self._claim_stamp_path)
                 self._stamp_written_version = self._version
                 self._stamp_written_views = views
-            self._consumer_views.clear()
+                self._stamp_written_at = time.monotonic()
+                self._consumer_views.clear()
 
     def read_claim_stamp(self) -> dict | None:
         """Last consumer-mutation flush on this shard: {"version", "views"}
@@ -469,6 +498,18 @@ class LocksLedger:
     # ------------------------------------------------------------------ #
     # reads
     # ------------------------------------------------------------------ #
+
+    def _invalidate(self) -> None:
+        """Discard the cached frame and all pending bookkeeping; the next
+        access reloads from the (untouched) disk state."""
+        self._df = _empty_frame()
+        self._version = -2
+        self._dirty = False
+        self._pending_upserts.clear()
+        self._pending_deletes.clear()
+        self._consumer_views.clear()
+        self._chain_len = 0
+        self._ids_cache = None
 
     def refresh(self) -> None:
         """Lock-free read freshness: reload the frame if a sibling process
@@ -507,7 +548,15 @@ class LocksLedger:
             self._df = self._df.sort_index()
             idx = self._df.index
             loc = idx.get_loc(view)
-        return loc.start, idx.get_level_values(1)._values[loc]
+        # get_level_values materializes the full decider_id level (a
+        # take over every row — ~13ms at 1M rows) on EVERY call; cache it
+        # keyed on index-object identity.  Value mutators (iloc writes)
+        # keep the index object, so the ids stay valid; row inserts/
+        # deletes/sorts build a new index and miss the cache naturally.
+        cache = self._ids_cache
+        if cache is None or cache[0] is not idx:
+            self._ids_cache = cache = (idx, idx.get_level_values(1)._values)
+        return loc.start, cache[1][loc]
 
     def _positions_of(self, keys) -> "list[int]":
         """Sorted-index positions of the EXISTING keys among ``keys``
@@ -624,7 +673,14 @@ class LocksLedger:
         now64 = np.datetime64(pd.Timestamp(now), "us")
         cols = self._df.columns
         self._df.iloc[gpos, cols.get_loc("last_offset")] = vals
-        self._df.iloc[gpos, cols.get_loc("locked_until")] = now64
+        # Release to now - 1us, not now: eligibility is STRICTLY
+        # locked_until < now, and the fused ack_and_claim tick evaluates
+        # both halves at the same ``now`` — an exact-now release would
+        # exclude a just-acked hot partition from the same tick's claim,
+        # forcing an empty round whenever claimable partitions <= limit
+        # (review r4).  The reference relies on NOW() advancing between
+        # statements for the same effect (schema.sql:436-446).
+        self._df.iloc[gpos, cols.get_loc("locked_until")] = now64 - np.timedelta64(1, "us")
         self._df.iloc[gpos, cols.get_loc("updated_at")] = now64
         self._dirty = True
         self._touch((view, d) for d in t[ok])
@@ -776,10 +832,8 @@ class ShardedLocksLedger:
         # sticky shard — see ack_and_claim
         self._tick = 0
         self._rotor = (self._sticky + 1) % self.n_shards
-        # shard -> disk version at our last fairness inspection: the
-        # live-sibling detector (see ack_and_claim fairness pass)
-        self._fairness_seen: dict[int, int] = {}
-        # shard -> last observed claim stamp (see _fairness_probe)
+        # shard -> last observed claim stamp: the live-sibling detector
+        # (see _fairness_probe)
         self._fairness_stamp: dict[int, tuple | None] = {}
         self._maybe_migrate_legacy(storage)
 
@@ -945,7 +999,6 @@ class ShardedLocksLedger:
             if key != prev and stamp and view in stamp.get("views", ()):
                 return []  # live consumer progressing OUR view here: defer
             s.refresh()  # orphaned for this view: sync once (claim re-verifies)
-        self._fairness_seen[k] = s._version
         if not s.has_eligible(view, hwm, now):
             return []
         with s.try_guard() as held:

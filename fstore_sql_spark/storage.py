@@ -43,23 +43,34 @@ _LATEST = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
 
 
+def read_log_gen(root: str, table: str) -> int:
+    """The log table's current generation from the ``_LATEST`` pointer
+    (0 if absent).  The ONE pointer-parse definition — batch reads,
+    compaction, and the streaming source must agree on the layout."""
+    pointer = os.path.join(root, table, _LATEST)
+    if not os.path.exists(pointer):
+        return 0
+    with open(pointer, encoding="utf-8") as f:
+        return int(f.read().strip())
+
+
 def current_log_dir(root: str, table: str) -> str:
-    """Resolve a log table's current generation directory from the
-    ``_LATEST`` pointer (0 if the pointer doesn't exist yet).  Shared by
+    """Resolve a log table's current generation directory.  Shared by
     batch reads (``ParquetStore``) and the streaming source so both always
     see the same snapshot of the log layout."""
-    pointer = os.path.join(root, table, _LATEST)
-    gen = 0
-    if os.path.exists(pointer):
-        with open(pointer, encoding="utf-8") as f:
-            gen = int(f.read().strip())
-    return os.path.join(root, table, f"g{gen:06d}")
+    return os.path.join(root, table, f"g{read_log_gen(root, table):06d}")
 
 
 def _atomic_write(path: str, content: str) -> None:
+    """Write-fsync-rename: after a crash or power loss the path holds
+    either the old content or the complete new content, never a torn or
+    zero-length file (rename without fsync can surface an empty pointer
+    on delayed-allocation filesystems)."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -116,11 +127,7 @@ class ParquetStore:
         return os.path.join(self.root, table)
 
     def _log_gen(self, table: str) -> int:
-        path = os.path.join(self._log_base(table), _LATEST)
-        if not os.path.exists(path):
-            return 0
-        with open(path, encoding="utf-8") as f:
-            return int(f.read().strip())
+        return read_log_gen(self.root, table)
 
     def _log_dir(self, table: str, gen: int | None = None) -> str:
         """Logs live in generation subdirectories; compaction writes a new
@@ -247,6 +254,27 @@ class ParquetStore:
         with open(path, encoding="utf-8") as f:
             return int(f.read().strip())
 
+    def _clear_unpublished(self, table: str, version: int) -> None:
+        """Remove any artifact already sitting at a version about to be
+        allocated.  Such an artifact can only be the leavings of a flush
+        that CRASHED between publishing its file/dir and flipping
+        ``_LATEST`` (the flip is the commit point; writers hold the
+        table's lock/flock through both steps, so a live writer can never
+        race this).  Deleting it is safe — its API call never returned —
+        and required: ``_state_entry`` prefers a ``v{N}`` DIRECTORY over
+        a later ``v{N}.delta.arrow``, so a shadowing orphan would make
+        every reader resolve version N to stale pre-crash state and
+        re-claim partitions another process holds (review r4)."""
+        base = self._state_dir(table)
+        full = os.path.join(base, f"v{version:08d}")
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        for ext in (".delta.arrow", ".delta.parquet"):
+            try:
+                os.unlink(os.path.join(base, f"v{version:08d}{ext}"))
+            except FileNotFoundError:
+                pass
+
     def write_state(self, table: str, df: DataFrame) -> int:
         """Write a complete new snapshot, then flip the pointer.
 
@@ -261,6 +289,7 @@ class ParquetStore:
         right layout."""
         with self._lock:
             version = self.state_version(table) + 1
+            self._clear_unpublished(table, version)
             target = os.path.join(self._state_dir(table), f"v{version:08d}")
             df.repartition(1).write.mode("overwrite").parquet(target)
             _atomic_write(self._latest_path(table), str(version))
@@ -358,13 +387,19 @@ class ParquetStore:
 
         with self._lock:
             version = self.state_version(table) + 1
+            self._clear_unpublished(table, version)
             target = os.path.join(
                 self._state_dir(table), f"v{version:08d}.delta.arrow"
             )
             tmp = f"{target}.tmp.{uuid.uuid4().hex}"
             t = pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False)
-            with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
-                w.write_table(t)
+            # plain file object (not pa.OSFile): it exposes fileno() for
+            # the fsync that keeps a torn delta from surviving power loss
+            with open(tmp, "wb") as f:
+                with pa.ipc.new_file(f, t.schema) as w:
+                    w.write_table(t)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, target)
             _atomic_write(self._latest_path(table), str(version))
             return version
@@ -410,7 +445,12 @@ class ParquetStore:
                     raise ValueError(
                         f"{table} has a delta chain; key_cols required"
                     )
-                pdf = pq.read_table(self._state_entry(table, base_v)[1]).to_pandas()
+                base_entry = self._state_entry(table, base_v)
+                if base_entry is None:
+                    # sibling GC unlinked the anchor between the version
+                    # scan and this read — retry re-resolves _LATEST
+                    raise FileNotFoundError(f"{table} anchor v{base_v} GC'd")
+                pdf = pq.read_table(base_entry[1]).to_pandas()
                 deltas = self.read_state_deltas(table, base_v, version)
                 if deltas is None:
                     raise FileNotFoundError(
@@ -432,12 +472,18 @@ class ParquetStore:
 
         with self._lock:
             version = self.state_version(table) + 1
+            self._clear_unpublished(table, version)
             target = os.path.join(self._state_dir(table), f"v{version:08d}")
-            os.makedirs(target, exist_ok=True)
+            # stage + rename: a crash mid-write leaves only a .tmp. dir
+            # (reclaimed by _gc_state), never a torn v{N} a reader or the
+            # GC could mistake for a complete snapshot
+            tmp = f"{target}.tmp.{uuid.uuid4().hex}"
+            os.makedirs(tmp, exist_ok=True)
             pq.write_table(
                 pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False),
-                os.path.join(target, "part-00000.parquet"),
+                os.path.join(tmp, "part-00000.parquet"),
             )
+            os.replace(tmp, target)
             _atomic_write(self._latest_path(table), str(version))
             self._gc_state(table, keep=4)
             return version
@@ -460,7 +506,10 @@ class ParquetStore:
                 p = os.path.join(base, d)
                 try:
                     if time.time() - os.path.getmtime(p) > 300:
-                        os.unlink(p)
+                        if os.path.isdir(p):  # staged full-snapshot dir
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.unlink(p)
                 except OSError:
                     pass
                 continue

@@ -625,6 +625,66 @@ class TestFairness:
         )
 
 
+    def test_fused_tick_reclaims_hot_partition_same_now(self, root):
+        """Review r4: ack releases at now - 1us, so a hot partition with
+        remaining headroom is claimable by the SAME fused tick's claim
+        half (strict lu < now).  With an exact-now release every other
+        tick came back empty, halving hot-partition throughput."""
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 1))
+        hwm = hwm_frame(1, offset=10**6)
+        now = now_utc()
+        got = ledger.claim("v", hwm, 1, now, now + timedelta(seconds=300))
+        assert len(got) == 1
+        for _ in range(5):
+            now = now_utc()
+            acks = [(d, lo + 1) for d, lo in got]
+            got = ledger.ack_and_claim(
+                "v", acks, hwm, 1, now, now + timedelta(seconds=300)
+            )
+            assert len(got) == 1, "fused tick failed to re-claim hot partition"
+
+
+class TestUnpublishedOrphans:
+    def test_orphan_full_snapshot_does_not_shadow_reallocated_delta(self, root):
+        """Review r4 (storage): a flush that crashed AFTER writing its
+        v{N} snapshot dir but BEFORE flipping _LATEST leaves an orphan
+        that _state_entry would prefer over the delta a later flush
+        publishes at the same version — readers would resolve version N
+        to stale pre-crash state and re-claim live leases.  Allocation
+        now clears the orphan first."""
+        store = ParquetStore(None, root)
+        ledger = LocksLedger(store)
+        with ledger.guard():
+            ledger.insert_missing(seed_rows("v", 4))
+        v = store.state_version("locks")
+        # simulate the crashed flush: a COMPLETE stale snapshot dir at
+        # v+1 (claims p0000) while _LATEST still says v
+        stale = ledger.to_pandas()
+        stale.loc[stale["decider_id"] == "p0000", "last_offset"] = 999
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        orphan = os.path.join(root, "locks_state", f"v{v + 1:08d}")
+        os.makedirs(orphan)
+        pq.write_table(
+            pa.Table.from_pandas(stale, preserve_index=False),
+            os.path.join(orphan, "part-00000.parquet"),
+        )
+        # next real mutation allocates v+1: must clear the orphan, not
+        # publish a delta it shadows
+        now = now_utc()
+        with ledger.guard():
+            ledger.ack("v", [("p0001", 7)], now)
+        # a COLD reader must see the ack and NOT the orphan's 999
+        cold = LocksLedger(ParquetStore(None, root))
+        pdf = cold.to_pandas().set_index("decider_id")
+        assert int(pdf.loc["p0001", "last_offset"]) == 7
+        assert int(pdf.loc["p0000", "last_offset"]) == 0, (
+            "orphan unpublished snapshot shadowed the reallocated version"
+        )
+
+
 class TestCrashRecovery:
     def test_killed_consumer_releases_lock_and_leases_redeliver(self, root):
         """The no-TTL-steal crash story (ledger module doc): a consumer
@@ -765,7 +825,9 @@ def test_ledger_state_machine_matches_model_and_cold_reader(tmp_path_factory, op
                 ledger.ack(view, acks, clock)
                 for d, o in acks:
                     model[d]["lo"] = o
-                    model[d]["lu"] = clock
+                    # ack releases to now - 1us so the same-`now` fused
+                    # claim half can immediately re-claim (strict lu < now)
+                    model[d]["lu"] = clock - timedelta(microseconds=1)
                 leased = leased[a:]
             elif op == "nack":
                 d = f"p{a % 40:03d}"
