@@ -119,6 +119,7 @@ class EventStore:
         self.ledger = ShardedLocksLedger(self.storage, _LOCKS)
         self._hwm_pdf: pd.DataFrame | None = None
         self._seen_commit_id = self.storage.read_published(_EVENTS)
+        self._seen_log_gen = self.storage._log_gen(_EVENTS)
 
     # ------------------------------------------------------------------ #
     # table accessors
@@ -141,11 +142,20 @@ class EventStore:
         entirely."""
         if not self._cache_log:
             return self.storage.read_log(_EVENTS, EVENTS_SCHEMA)
-        if self._events_cached is None:
-            self._events_cached = self.storage.read_log(
-                _EVENTS, EVENTS_SCHEMA
-            ).persist()
-        return self._events_cached
+        # Sibling-commit check on EVERY cached read, not just the claim
+        # path: without it a reader process served an indefinitely stale
+        # log from get_events/get_last_event/stats — and could crash
+        # outright once the committer's compactions GC'd the generation
+        # its cached plan still referenced (review r4).  Cost: one tiny
+        # marker-file read; under the commit lock so a concurrent
+        # mutator can't race the cache swap.
+        with self._commit_lock:
+            self._refresh_external()
+            if self._events_cached is None:
+                self._events_cached = self.storage.read_log(
+                    _EVENTS, EVENTS_SCHEMA
+                ).persist()
+            return self._events_cached
 
     def _hwm(self) -> DataFrame:
         """Per-partition high-watermark (max offset + final flag of the last
@@ -201,9 +211,15 @@ class EventStore:
         (worse) skipping events (ADVICE r2, high).  One tiny file read
         per call."""
         commit = self.storage.read_published(_EVENTS)
-        if commit != self._seen_commit_id:
+        # the generation pointer catches a sibling's COMPACTION, which
+        # rewrites the log layout without minting a commit id — a reader
+        # keyed on the commit alone kept a plan over the old generation
+        # until its GC turned reads into FileNotFoundError (review r4)
+        gen = self.storage._log_gen(_EVENTS)
+        if commit != self._seen_commit_id or gen != self._seen_log_gen:
             self._invalidate_log_cache()
             self._seen_commit_id = commit
+            self._seen_log_gen = gen
 
     def deciders(self) -> DataFrame:
         """Registry state, persisted between registrations: C3 validation
@@ -738,7 +754,13 @@ class EventStore:
         prof = self.last_append_profile
         try:
             _t = time.monotonic()
-            assert finished.count() == n
+            committed = finished.count()
+            if committed != n:  # not assert: must survive python -O
+                raise RuntimeError(
+                    f"offset assignment produced {committed} rows for a "
+                    f"{n}-row batch — aborting before the manifest commits "
+                    "a gap/collision"
+                )
             prof["offset_number_s"] = round(time.monotonic() - _t, 3)
             # Incremental high-watermark maintenance: aggregate THIS batch
             # (already persisted) and merge into the driver hwm frame, so
@@ -977,6 +999,13 @@ class EventStore:
         event of each (≤ 1 event per partition, distinct partitions,
         /root/reference/schema.sql:399-400).
 
+        Reference-parity quirk, kept deliberately: the lease duration is
+        THIS CALL's ``seconds`` argument (default 300), NOT the view's
+        stored ``lock_timeout_s`` — the reference stores that column
+        (schema.sql:165) but its ``stream_events`` and push cron never
+        read it either (schema.sql:402-417, extensions.sql:40-42).
+        Callers wanting per-view timeouts pass them here explicitly.
+
         Claim concurrency — the ``FOR UPDATE SKIP LOCKED`` analogue
         (/root/reference/schema.sql:411): threads serialize on the commit
         lock, PROCESSES on the ledger's filesystem lease lock, under which
@@ -1196,9 +1225,14 @@ class EventStore:
         """Commit + release: last_offset = offset, locked_until = NOW()
         (/root/reference/schema.sql:436-446)."""
         now = _utcnow()
+        # RETURNING built inside the same critical section as the ack —
+        # releasing the lock first let a delivery tick re-lease the
+        # partition before the read, so the returned row showed a fresh
+        # lease instead of the released state the ack just wrote
+        # (review r4; _commit_lock is reentrant).
         with self._commit_lock:
             self.ledger.ack(view, [(decider_id, int(offset))], now)
-        return self._locks_rows(view, [decider_id])
+            return self._locks_rows(view, [decider_id])
 
     def ack_events(
         self, view: str, acks: list[tuple[str, int]], returning: bool = True
@@ -1218,9 +1252,9 @@ class EventStore:
         now = _utcnow()
         with self._commit_lock:
             self.ledger.ack(view, [(d, int(o)) for d, o in acks], now)
-        if not returning:
-            return None
-        return self._locks_rows(view, [d for d, _ in acks])
+            if not returning:
+                return None
+            return self._locks_rows(view, [d for d, _ in acks])
 
     def nack_event(self, view: str, decider_id: str) -> DataFrame:
         """Release without committing ⇒ immediate redelivery
@@ -1238,7 +1272,7 @@ class EventStore:
                 now + timedelta(milliseconds=int(milliseconds)),
                 now,
             )
-        return self._locks_rows(view, [decider_id])
+            return self._locks_rows(view, [decider_id])
 
     # ------------------------------------------------------------------ #
     # unregister_view — DELETE FROM views + FK ON DELETE CASCADE on locks

@@ -44,6 +44,29 @@ def http_post(url: str, payload: dict) -> int:
         return resp.status
 
 
+class _Backlog:
+    """Bounded outstanding-POST tracker: the executor's work queue is
+    unbounded, so the delivery tick checks this BEFORE claiming and skips
+    the round when too many sends are still in flight (hung endpoint)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self._futures: list = []
+        self._lock = threading.Lock()
+
+    def _prune(self) -> None:
+        self._futures = [f for f in self._futures if not f.done()]
+
+    def full(self) -> bool:
+        with self._lock:
+            self._prune()
+            return len(self._futures) >= self.cap
+
+    def track(self, future) -> None:
+        with self._lock:
+            self._futures.append(future)
+
+
 class PushDelivery:
     """Manages one push StreamingQuery per registered view.
 
@@ -75,6 +98,13 @@ class PushDelivery:
         )
         self._pool_closed = False
         self._queries: dict[str, StreamingQuery] = {}
+        # (pooling_delay_s, edge_function_url) each query was STARTED
+        # with — sync() compares against the views table to implement
+        # T9's restart-on-update (review r4: membership alone kept
+        # posting to a decommissioned URL forever)
+        self._configs: dict[str, tuple] = {}
+        # outstanding POSTs: bound the backlog, not just the workers
+        self._backlog = _Backlog(cap=max_parallel_posts * 4)
         # cron.job_run_details analogue: one record per delivery tick,
         # pruned by housekeeping() (the reference schedules a daily
         # ``delete_<view>`` cron for exactly this,
@@ -88,6 +118,11 @@ class PushDelivery:
     def start(self, view: str) -> StreamingQuery:
         """T8: start the named push query for a view with a non-null
         pooling_delay_s (/root/reference/extensions.sql:61-81)."""
+        if view == self._HOUSEKEEPING:
+            # the maintenance query shares the _queries map; a view with
+            # the reserved name would silently kill housekeeping and then
+            # be skipped by sync() forever (review r4)
+            raise ValueError(f"view name {view!r} is reserved")
         cfg = self.store.views().filter(F.col("view") == view).collect()
         if not cfg:
             raise ValueError(f"view {view!r} is not registered")
@@ -96,6 +131,11 @@ class PushDelivery:
         url = row["edge_function_url"]
         if delay is None:
             raise ValueError(f"view {view!r} has no pooling_delay_s (client-pull view)")
+        if url is None:
+            # a None URL would claim + lease every tick and post into
+            # urllib's ValueError (swallowed) — an undiagnosable
+            # claim/expire blackhole; fail at start instead (review r4)
+            raise ValueError(f"view {view!r} has no edge_function_url")
         if view in self._queries:
             self.stop(view)
         if self._pool_closed:  # restarted after stop_all → fresh pool
@@ -115,23 +155,41 @@ class PushDelivery:
                 pass
 
         record = self._record_run
+        backlog = self._backlog
 
         def deliver(_batch_df, _batch_id) -> None:
-            # The tick payload is ignored; the claim runs on the store's
-            # current snapshot (extensions.sql:40-42: stream_events LIMIT 1).
-            events = store.stream_events(view, limit=limit).collect()
-            record(view, len(events))
-            for ev in events:
-                pool.submit(
-                    send,
-                    {
-                        # jsonb_build_object shape, extensions.sql:46
-                        "view": view,
-                        "decider_id": ev["decider_id"],
-                        "offset": ev["offset"],
-                        "data": ev["data"],
-                    },
-                )
+            try:
+                # Backpressure BEFORE claiming: with a hung endpoint the
+                # executor's queue is unbounded — claiming anyway would
+                # enqueue event payloads without limit until the driver
+                # OOMs.  Skipping the tick leaves events unleased; they
+                # deliver when the endpoint drains (review r4).
+                if backlog.full():
+                    return
+                # The tick payload is ignored; the claim runs on the
+                # store's current snapshot (extensions.sql:40-42:
+                # stream_events LIMIT 1).
+                events = store.stream_events(view, limit=limit).collect()
+                record(view, len(events))
+                for ev in events:
+                    backlog.track(
+                        pool.submit(
+                            send,
+                            {
+                                # jsonb_build_object shape, extensions.sql:46
+                                "view": view,
+                                "decider_id": ev["decider_id"],
+                                "offset": ev["offset"],
+                                "data": ev["data"],
+                            },
+                        )
+                    )
+            except Exception:  # noqa: BLE001
+                # a transient claim error (sibling holding a shard lock
+                # past timeout, a storage hiccup) must not TERMINATE the
+                # StreamingQuery — the reference's cron job just fires
+                # again next tick; un-acked leases expire and redeliver
+                pass
 
         q = (
             self.store.spark.readStream.format("rate")
@@ -143,12 +201,14 @@ class PushDelivery:
             .start()
         )
         self._queries[view] = q
+        self._configs[view] = (delay, url)
         return q
 
     def stop(self, view: str) -> None:
         """T10 / cron.unschedule analogue
         (/root/reference/extensions.sql:113-126)."""
         q = self._queries.pop(view, None)
+        self._configs.pop(view, None)
         if q is not None:
             q.stop()
 
@@ -156,23 +216,29 @@ class PushDelivery:
         """T8+T9+T10 in one reconciliation pass: start queries for push
         views, stop queries whose view was deleted or switched to pull."""
         actions: dict[str, str] = {}
-        push_views = {
-            r["view"]
+        push_cfg = {
+            r["view"]: (r["pooling_delay_s"], r["edge_function_url"])
             for r in self.store.views()
             .filter("pooling_delay_s IS NOT NULL")
-            .select("view")
+            .select("view", "pooling_delay_s", "edge_function_url")
             .collect()
         }
         for view in list(self._queries):
             if view == self._HOUSEKEEPING:  # maintenance job, not a view
                 continue
-            if view not in push_views:
+            if view not in push_cfg:
                 self.stop(view)
                 actions[view] = "stopped"
-        for view in push_views:
+        for view, cfg in push_cfg.items():
             if view not in self._queries or not self._queries[view].isActive:
                 self.start(view)
                 actions[view] = "started"
+            elif self._configs.get(view) != cfg:
+                # T9 restart-on-UPDATE (extensions.sql:84-110): the view
+                # row changed its schedule or URL — re-create the query,
+                # exactly like the reference re-schedules the cron job
+                self.start(view)  # start() stops the old query first
+                actions[view] = "restarted"
         return actions
 
     def stop_all(self) -> None:

@@ -410,3 +410,78 @@ def test_housekeeping_streaming_query_ticks(store):
         assert svc._queries[svc._HOUSEKEEPING].isActive
     finally:
         svc.stop_all()
+
+
+def test_push_start_rejects_null_url_and_reserved_name(store):
+    store.register_decider_event("d", "e", "x")
+    store.register_view("pull_only", start_at=past(), pooling_delay_s=1)
+    svc = PushDelivery(store)
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="edge_function_url"):
+            svc.start("pull_only")
+        with pytest.raises(ValueError, match="reserved"):
+            svc.start(svc._HOUSEKEEPING)
+    finally:
+        svc.stop_all()
+
+
+def test_push_sync_restarts_on_config_update(store):
+    """T9 (extensions.sql:84-110): updating a push view's URL must
+    re-create its query — membership alone kept posting to the
+    decommissioned endpoint."""
+    store.register_decider_event("d", "e", "x")
+    store.register_view(
+        "v9", start_at=past(), pooling_delay_s=60,
+        edge_function_url="http://a.invalid/hook",
+    )
+    posts = []
+    svc = PushDelivery(store, post=lambda url, p: posts.append(url) or 200)
+    try:
+        assert svc.sync() == {"v9": "started"}
+        assert svc.sync() == {}  # steady state: no churn
+        store.register_view(  # UPDATE: new URL (upsert semantics)
+            "v9", start_at=past(), pooling_delay_s=60,
+            edge_function_url="http://b.invalid/hook",
+        )
+        assert svc.sync() == {"v9": "restarted"}
+        assert svc._configs["v9"][1] == "http://b.invalid/hook"
+    finally:
+        svc.stop_all()
+
+
+def test_push_deliver_survives_store_error(store):
+    """A transient claim failure must not terminate the StreamingQuery —
+    the next tick retries (the reference's cron fires regardless)."""
+    store.register_decider_event("d", "e", "x")
+    store.register_view(
+        "vboom", start_at=past(), pooling_delay_s=1,
+        edge_function_url="http://x.invalid/hook",
+    )
+    store.append_event("e", uid(), "d", "p1", data='{"n":1}')
+    posts = []
+
+    def flaky_post(url, payload):
+        posts.append(payload)
+        store.ack_event(payload["view"], payload["decider_id"], payload["offset"])
+        return 200
+
+    svc = PushDelivery(store, post=flaky_post)
+    orig = store.stream_events
+    calls = {"n": 0}
+
+    def boom_then_ok(view, limit=1, seconds=300):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise TimeoutError("sibling held the shard lock")
+        return orig(view, limit=limit, seconds=seconds)
+
+    store.stream_events = boom_then_ok
+    try:
+        q = svc.start("vboom")
+        assert wait_until(lambda: len(posts) >= 1), "query died on first-tick error"
+        assert q.isActive
+    finally:
+        store.stream_events = orig
+        svc.stop_all()
