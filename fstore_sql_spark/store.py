@@ -120,6 +120,7 @@ class EventStore:
         self._hwm_pdf: pd.DataFrame | None = None
         self._seen_commit_id = self.storage.read_published(_EVENTS)
         self._seen_log_gen = self.storage._log_gen(_EVENTS)
+        self._sql_view_prefixes: set[str] = set()
 
     # ------------------------------------------------------------------ #
     # table accessors
@@ -220,6 +221,7 @@ class EventStore:
             self._invalidate_log_cache()
             self._seen_commit_id = commit
             self._seen_log_gen = gen
+            self._rebind_sql_views()
 
     def deciders(self) -> DataFrame:
         """Registry state, persisted between registrations: C3 validation
@@ -245,6 +247,7 @@ class EventStore:
         df = self._state_cached.pop(table, None)
         if df is not None:
             df.unpersist()
+        self._rebind_sql_views()
 
     def locks(self) -> DataFrame:
         """Reference-shaped ``locks`` rows (/root/reference/schema.sql:180-200).
@@ -327,11 +330,22 @@ class EventStore:
 
     def register_sql_views(self, prefix: str = "") -> None:
         """Expose all four tables as temp views so ``spark.sql`` works over
-        the store (SURVEY.md §7.1 step 7)."""
-        self.events().createOrReplaceTempView(f"{prefix}events")
-        self.deciders().createOrReplaceTempView(f"{prefix}deciders")
-        self.views().createOrReplaceTempView(f"{prefix}views")
-        self.locks().createOrReplaceTempView(f"{prefix}locks")
+        the store (SURVEY.md §7.1 step 7).
+
+        Temp views freeze the DataFrame they were created from; a view
+        bound once would keep serving the pre-append log (and break after
+        a compaction GC'd its generation).  The prefix is therefore
+        remembered and the views re-bound whenever a cache invalidation
+        gives any table a new DataFrame (review r4)."""
+        self._sql_view_prefixes.add(prefix)
+        self._rebind_sql_views()
+
+    def _rebind_sql_views(self) -> None:
+        for prefix in self._sql_view_prefixes:
+            self.events().createOrReplaceTempView(f"{prefix}events")
+            self.deciders().createOrReplaceTempView(f"{prefix}deciders")
+            self.views().createOrReplaceTempView(f"{prefix}views")
+            self.locks().createOrReplaceTempView(f"{prefix}locks")
 
     # ------------------------------------------------------------------ #
     # A1 register_decider_event  (/root/reference/schema.sql:325-332)
@@ -804,6 +818,8 @@ class EventStore:
             prior_hwm = self._hwm_pdf
             self._invalidate_log_cache()
             self._seen_commit_id = txn
+            self._seen_log_gen = self.storage._log_gen(_EVENTS)
+            self._rebind_sql_views()
             if batch_hwm is not None and prior_hwm is not None:
                 kept = prior_hwm.drop(index=batch_hwm.index, errors="ignore")
                 self._hwm_pdf = pd.concat([kept, batch_hwm]).sort_index()

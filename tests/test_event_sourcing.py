@@ -354,3 +354,25 @@ def test_maybe_compact_thresholds(store):
     assert out is not None and out <= n_files
     assert store.events().count() == 3
     assert [r["offset"] for r in store.get_events("p1", "d").collect()] == [2]
+
+
+def test_sql_views_stay_live_across_appends(store):
+    """register_sql_views must re-bind after commits: a temp view frozen
+    at registration time served the pre-append log forever (review r4)."""
+    import uuid
+
+    store.register_decider_event("counter", "sqlv_evt", "fin")
+    store.append_event("sqlv_evt", str(uuid.uuid4()), "counter", "sqlv_p1", data="{}")
+    store.register_sql_views(prefix="live_")
+    n0 = store.spark.sql("select count(*) c from live_events").first()["c"]
+    store.append_event("sqlv_evt", str(uuid.uuid4()), "counter", "sqlv_p2", data="{}")
+    n1 = store.spark.sql("select count(*) c from live_events").first()["c"]
+    assert n1 == n0 + 1, "temp view froze at registration-time snapshot"
+    # registry views re-bind too
+    store.register_decider_event("other", "sqlv_evt2", "fin")
+    assert (
+        store.spark.sql(
+            "select count(*) c from live_deciders where decider = 'other'"
+        ).first()["c"]
+        == 1
+    )
