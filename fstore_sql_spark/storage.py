@@ -61,16 +61,22 @@ def current_log_dir(root: str, table: str) -> str:
     return os.path.join(root, table, f"g{read_log_gen(root, table):06d}")
 
 
-def _atomic_write(path: str, content: str) -> None:
-    """Write-fsync-rename: after a crash or power loss the path holds
-    either the old content or the complete new content, never a torn or
-    zero-length file (rename without fsync can surface an empty pointer
-    on delayed-allocation filesystems)."""
+def _atomic_write(path: str, content: str, durable: bool = True) -> None:
+    """Write-(fsync)-rename.  With ``durable`` (the default), after a
+    crash OR POWER LOSS the path holds either the old content or the
+    complete new content, never a torn or zero-length file (rename
+    without fsync can surface an empty pointer on delayed-allocation
+    filesystems).  ``durable=False`` skips the fsync: rename atomicity
+    still guarantees process-crash safety (page cache survives), and the
+    caller accepts bounded loss on power failure — used ONLY for
+    consumer-progress pointers, where a lost tail means redelivery
+    (at-least-once preserved by design), never for event data."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
+        if durable:
+            f.flush()
+            os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -393,15 +399,20 @@ class ParquetStore:
             )
             tmp = f"{target}.tmp.{uuid.uuid4().hex}"
             t = pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False)
-            # plain file object (not pa.OSFile): it exposes fileno() for
-            # the fsync that keeps a torn delta from surviving power loss
-            with open(tmp, "wb") as f:
-                with pa.ipc.new_file(f, t.schema) as w:
-                    w.write_table(t)
-                f.flush()
-                os.fsync(f.fileno())
+            # ASYNC COMMIT for the consumer-progress hot path (the
+            # Postgres synchronous_commit=off queue pattern): no fsync on
+            # the delta or its pointer flip.  Rename atomicity still
+            # makes every flush PROCESS-crash durable; on POWER loss the
+            # un-synced tail of claim/ack progress is lost, which the
+            # at-least-once contract absorbs as redelivery — unlike the
+            # EVENT log, whose manifests/markers stay fsync'd (losing
+            # events is not recoverable by redelivery).  Measured cost of
+            # per-tick fsync on the b3 path: ~1.3 ms of a ~6 ms tick,
+            # -20% delivery throughput.
+            with open(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
             os.replace(tmp, target)
-            _atomic_write(self._latest_path(table), str(version))
+            _atomic_write(self._latest_path(table), str(version), durable=False)
             return version
 
     def read_state_deltas(self, table: str, after_version: int, to_version: int):
