@@ -916,3 +916,57 @@ def split_leakage_audit(spark, sf_dir):
         .cast("long")
         .alias("leaked_test_docs"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Leakage-safe split (r4).  The REPAIR for what split_leakage_audit
+# measures: splitting on a hash of the duplicate-group key (the content
+# digest) instead of the document id sends every exact-duplicate cluster
+# to ONE side by construction — leakage cannot exist.  Same deterministic
+# hash-fraction machinery as sampling.train_test_split, same single
+# digest-keyed aggregate as the audit.
+# --------------------------------------------------------------------------- #
+
+@query(
+    "cluster_safe_split",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tagged AS (
+        SELECT md5(text) AS dg,
+               CASE WHEN {_hash_frac_sql("md5(text)")} < {_LEAK_TEST_RATE}
+                    THEN 1 ELSE 0 END AS is_test
+        FROM corpus
+    ),
+    groups AS (
+        SELECT dg, COUNT(*) AS n, SUM(is_test) AS n_test
+        FROM tagged GROUP BY dg
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_test) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+           CAST(SUM(CASE WHEN n > 1 AND n_test > 0 AND n_test < n
+                    THEN 1 ELSE 0 END) AS BIGINT) AS leaky_groups
+    FROM groups
+    """,
+)
+def cluster_safe_split(spark, sf_dir):
+    """Group-keyed split: hash the CONTENT DIGEST, not the doc id.  The
+    audit columns must report zero leaky groups by construction."""
+    from fstore_sql_spark.operators.sampling import _hash_frac
+
+    tagged = _corpus(spark, sf_dir).select(
+        F.md5("text").alias("dg"),
+        F.when(_hash_frac(F.md5("text")) < _LEAK_TEST_RATE, 1)
+        .otherwise(0)
+        .alias("is_test"),
+    )
+    groups = tagged.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_test").alias("n_test")
+    )
+    leaky = (F.col("n") > 1) & (F.col("n_test") > 0) & (F.col("n_test") < F.col("n"))
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("n_test").cast("long").alias("n_test_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("dup_groups"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("long").alias("leaky_groups"),
+    )

@@ -1211,3 +1211,124 @@ def bm25_topk(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Hybrid retrieval fusion (r4).  Reciprocal-rank fusion of the BM25
+# lexical ranking with a deterministic second ranking — the standard way
+# a RAG stack combines lexical and semantic retrievers without score
+# calibration.  Here the second ranker is recency (doc_id desc) so the
+# whole fusion is exactly reproducible in the oracle; swapping in the
+# ANN cosine ranking is the same shape (rank column + join).  Both
+# rankings are top-k bounded BEFORE the fusion join, so the fusion cost
+# is O(k), independent of corpus size.
+# --------------------------------------------------------------------------- #
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPK = 10
+_RRF_POOL = 50  # per-ranker candidate pool
+
+
+@query(
+    "hybrid_rrf_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents),
+    corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks
+        WHERE word IN ('spark', 'join', 'window') GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    bm25 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * ({_BM25_K1} + 1.0)
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * dl.dlen / corpus.avgdl))
+                   ), 6) AS score
+            FROM tf JOIN df USING (word)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus GROUP BY tf.doc_id
+        ) ORDER BY r LIMIT {_RRF_POOL}
+    ),
+    recency AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id DESC) AS r
+        FROM (SELECT DISTINCT doc_id FROM tf)
+        ORDER BY r LIMIT {_RRF_POOL}
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + b.r), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + c.r), 0), 9) AS rrf_score
+    FROM bm25 b FULL OUTER JOIN recency c USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    """RRF fusion of the BM25 ranking with a recency ranking over the
+    same candidate set."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = tokens_col()
+    dl = d.select("doc_id", F.size(words).alias("dlen"))
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size(words)).alias("avgdl")
+    )
+    toks = d.select("doc_id", F.explode(words).alias("word")).filter(
+        F.col("word").isin(_BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6).alias("score"))
+    )
+    bm25 = (
+        scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= _RRF_POOL)
+        .select("doc_id", "r")
+    )
+    recency = (
+        tf.select("doc_id")
+        .distinct()
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("doc_id").desc()))
+        )
+        .filter(F.col("r") <= _RRF_POOL)
+    )
+    fused = (
+        bm25.withColumnRenamed("r", "rb")
+        .join(recency.withColumnRenamed("r", "rc"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rc")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(_RRF_TOPK)

@@ -397,3 +397,23 @@ class TestIncrementalDedupAndLeakage:
         assert row["dup_groups"] >= 25  # at least the planted copies
         assert 0 <= row["leaky_groups"] <= row["dup_groups"]
         assert row["leaked_test_docs"] >= row["leaky_groups"] * 0  # non-negative
+
+
+class TestRetrievalFusionAndSafeSplit:
+    def test_hybrid_rrf_contains_bm25_head(self, spark, sf_dir):
+        from fstore_sql_spark.operators.text import bm25_topk, hybrid_rrf_topk
+
+        rrf = [r["doc_id"] for r in hybrid_rrf_topk(spark, sf_dir).collect()]
+        assert len(rrf) == 10
+        bm = [r["doc_id"] for r in bm25_topk(spark, sf_dir).collect()]
+        # fusion with a second ranker reorders, but the BM25 #1 doc must
+        # survive into the fused top-10 (rank 1 dominates 1/(60+r))
+        assert bm[0] in rrf
+
+    def test_cluster_safe_split_has_zero_leaks(self, spark, sf_dir):
+        from fstore_sql_spark.operators.dedup import cluster_safe_split
+
+        row = cluster_safe_split(spark, sf_dir).first()
+        assert row["dup_groups"] >= 25  # planted copies present
+        assert row["leaky_groups"] == 0  # by construction
+        assert 0 < row["n_test_docs"] < row["n_docs"]
