@@ -35,6 +35,7 @@ FLAGSHIP = [
     ("snapshot_diff_users", "two aligned aggregates + full outer join, no extra shuffle"),
     ("pii_redaction_stats", "regex scrub scan-side; single 20-group HashAggregate"),
     ("bm25_topk", "broadcast df/corpus stats; top-k as TakeOrderedAndProject"),
+    ("hybrid_rrf_topk", "RRF fusion over two top-k-bounded rankers"),
 ]
 
 
