@@ -40,9 +40,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The driver's ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's
     parquet reader rejects; we read nanos as long and rebuild a microsecond
-    TimestampType column (floor division — identical to how DuckDB's client
-    truncates ns→µs, so oracle comparisons agree; floor is monotone, so
-    min/max/range predicates commute with the conversion).
+    TimestampType column.  ``div`` truncates toward ZERO — verified
+    empirically identical to DuckDB's own ns→µs conversion (-1500 ns →
+    -1 µs on both engines; NOT floor, which would give -2), so oracle
+    comparisons agree even for pre-epoch values; truncation is monotone
+    non-decreasing, so min/max/range predicates commute with it.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -203,7 +205,11 @@ def es_stream_next_offset(spark, sf_dir):
         ).alias("last_offset")
     )
     return (
-        e.join(F.broadcast(last_off), "user_id")
+        # no broadcast hint (review r4): last_off has one row per user,
+        # which GROWS with the data — at sf0.1 AQE broadcasts it anyway,
+        # at cluster scale a user_id shuffle join is the safe plan (and
+        # the downstream groupBy reuses that partitioning)
+        e.join(last_off, "user_id")
         .filter(F.col("event_id") > F.col("last_offset"))
         .groupBy("user_id")
         .agg(F.min("event_id").alias("next_offset"))
@@ -287,20 +293,23 @@ _UUID_SQL = (
 @query(
     "es_ingest_mapping",
     f"""
+    WITH u AS (
+        SELECT *,
+               concat(substr({_UUID_SQL},1,8),'-',substr({_UUID_SQL},9,4),'-',
+                      substr({_UUID_SQL},13,4),'-',substr({_UUID_SQL},17,4),'-',
+                      substr({_UUID_SQL},21,12)) AS uuid_str
+        FROM events
+    )
     SELECT CAST(user_id AS VARCHAR) AS decider_id,
            'user' AS decider,
            event_type AS event,
            CAST(1 AS BIGINT) AS event_version,
            ts AS created_at,
            CAST(event_id AS BIGINT) AS "offset",
-           concat(substr({_UUID_SQL},1,8),'-',substr({_UUID_SQL},9,4),'-',
-                  substr({_UUID_SQL},13,4),'-',substr({_UUID_SQL},17,4),'-',
-                  substr({_UUID_SQL},21,12)) AS event_uuid,
-           LAG(concat(substr({_UUID_SQL},1,8),'-',substr({_UUID_SQL},9,4),'-',
-                  substr({_UUID_SQL},13,4),'-',substr({_UUID_SQL},17,4),'-',
-                  substr({_UUID_SQL},21,12)))
-               OVER (PARTITION BY user_id ORDER BY event_id) AS previous_id
-    FROM events
+           uuid_str AS event_uuid,
+           LAG(uuid_str) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS previous_id
+    FROM u
     """,
 )
 def es_ingest_mapping(spark, sf_dir):
@@ -477,8 +486,11 @@ def top_customers_per_nation(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
     spent = (
-        o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-                           .select("c_custkey", "n_name")),
+        # customer grows with SF — no forced broadcast (review r4); the
+        # bounded nation dim stays hinted, AQE picks the customer side's
+        # strategy by size
+        o.join(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .select("c_custkey", "n_name"),
                o.o_custkey == F.col("c_custkey"))
         .groupBy("n_name", "c_custkey")
         .agg(F.sum(_dec("o_totalprice")).alias("spent_dec"))
@@ -543,7 +555,7 @@ def daily_moving_average(spark, sf_dir):
     "user_sessions",
     """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                          OR date_diff('second',
                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
@@ -552,7 +564,7 @@ def daily_moving_average(spark, sf_dir):
         FROM events
     ), numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -571,6 +583,7 @@ def user_sessions(spark, sf_dir):
     flagged = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -582,7 +595,11 @@ def user_sessions(spark, sf_dir):
         .otherwise(0)
         .alias("new_session"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    # event_id tiebreaker (review r4): under a (user_id, ts) tie the
+    # running sum could fold the tied rows in either order, flipping
+    # which session the boundary row lands in — nondeterministic across
+    # engines AND across Spark runs
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     numbered = flagged.select(
         "user_id", "ts", F.sum("new_session").over(w2).alias("session_id")
     )
@@ -605,11 +622,16 @@ def user_sessions(spark, sf_dir):
 def json_value_by_type(spark, sf_dir):
     """Schema-on-read JSON payload access (JSONB analogue, SURVEY.md §1.2):
     get_json_object stays JVM-side (no Python UDF in the hot path)."""
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    raw = F.get_json_object(F.col("props"), "$.k")
+    k = raw.cast("long")
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_k"))
+        # n_k counts the UN-CAST extraction (review r4): counting the
+        # long-cast value would silently change n_k's meaning from "key
+        # present" to "key numeric" the moment a non-numeric k appears —
+        # the oracle counts json_extract_string, i.e. presence
+        .agg(F.sum(k).alias("sum_k"), F.count(raw).alias("n_k"))
     )
 
 
@@ -776,7 +798,8 @@ def q18_large_orders(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with SF — strategy left to AQE (review r4)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
@@ -1004,25 +1027,38 @@ def event_types_set_ops(spark, sf_dir):
 @query(
     "asof_last_event_before",
     f"""
-    SELECT user_id,
-           CAST(ARG_MAX(event_id, ts) AS BIGINT) AS event_id,
-           ARG_MAX(event_type, ts) AS event_type,
-           MAX(ts) AS ts
-    FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
-    GROUP BY user_id
+    WITH m AS (
+        SELECT user_id, MAX(ts) AS ts FROM events
+        WHERE ts < TIMESTAMP '{CUTOFF}' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(MAX(e.event_id) AS BIGINT) AS event_id,
+           ARG_MAX(e.event_type, e.event_id) AS event_type,
+           MAX(e.ts) AS ts
+    FROM events e JOIN m ON e.user_id = m.user_id AND e.ts = m.ts
+    GROUP BY e.user_id
     """,
 )
 def asof_last_event_before(spark, sf_dir):
     """Point-in-time (as-of) lookup: per partition, the last event strictly
     before a timestamp — an as-of join against a constant time, the
     max_by/DISTINCT ON pattern under a pushdown filter."""
+    # Greatest-n-per-group with a deterministic tiebreak (review r4): a
+    # bare max_by(x, ts) picks an ARBITRARY row on a per-user ts tie,
+    # independently per engine.  Restricting to the max-ts rows first and
+    # then taking the max event_id makes both engines agree; the join is
+    # the standard per-group-max decomposition (both sides shuffle on
+    # user_id once — the aggregate side is per-user and AQE-broadcastable).
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(CUTOFF).cast("timestamp")
+    )
+    m = e.groupBy("user_id").agg(F.max("ts").alias("ts"))
     return (
-        load(spark, sf_dir, "events")
-        .filter(F.col("ts") < F.lit(CUTOFF).cast("timestamp"))
+        e.join(m, ["user_id", "ts"])
         .groupBy("user_id")
         .agg(
-            F.max_by("event_id", "ts").alias("event_id"),
-            F.max_by("event_type", "ts").alias("event_type"),
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
             F.max("ts").alias("ts"),
         )
     )
@@ -2163,7 +2199,6 @@ def user_mode_event_type(spark, sf_dir):
     """Per-group mode (most frequent value): count aggregate + rank-1
     window with a deterministic tie-break — the groupwise-argmax family's
     categorical member (max_by covers the continuous one)."""
-    from pyspark.sql import Window
 
     counts = (
         load(spark, sf_dir, "events")
@@ -2642,7 +2677,9 @@ def revenue_share_by_nation(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with SF — strategy left to AQE (review r4);
+        # nation (25 rows) stays hinted
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("nation_rev"))
