@@ -24,9 +24,7 @@ from pyspark.sql import functions as F
 from fstore_sql_spark.queries import CUTOFF, QUERIES, load, query  # noqa: F401
 
 
-def _dec(col, scale: int = 2):
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal(18,{scale})")
+from fstore_sql_spark.queries import _dec  # noqa: E402 — one definition
 
 
 # --------------------------------------------------------------------- #
@@ -128,7 +126,8 @@ def equi_depth_histogram(spark, sf_dir):
     m AS (
         SELECT event_type, n_events,
                sx / n_events AS mean_value,
-               sqrt(sxx / n_events - (sx / n_events) * (sx / n_events))
+               sqrt(GREATEST(sxx / n_events
+                             - (sx / n_events) * (sx / n_events), 0))
                    AS stddev_value
         FROM s
     )
@@ -158,9 +157,17 @@ def zscore_outlier_counts(spark, sf_dir):
         "event_type",
         "n_events",
         (F.col("sx") / F.col("n_events")).alias("mean_value"),
+        # GREATEST(...,0) on both engines (review r4): cancellation in
+        # E[x2]-E[x]2 can go to -1e-21 for constant-value groups —
+        # Spark sqrt(neg) silently NaNs every z-comparison while DuckDB
+        # sqrt(neg) hard-errors the oracle
         F.sqrt(
-            F.col("sxx") / F.col("n_events")
-            - (F.col("sx") / F.col("n_events")) * (F.col("sx") / F.col("n_events"))
+            F.greatest(
+                F.col("sxx") / F.col("n_events")
+                - (F.col("sx") / F.col("n_events"))
+                * (F.col("sx") / F.col("n_events")),
+                F.lit(0.0),
+            )
         ).alias("stddev_value"),
     )
     return (
@@ -205,7 +212,8 @@ def zscore_outlier_counts(spark, sf_dir):
     )
     SELECT l_returnflag, n_items,
            (n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             / NULLIF(sqrt(GREATEST((n * sxx - sx * sx)
+                                    * (n * syy - sy * sy), 0)), 0)
                AS corr_qty_price
     FROM s
     """,
@@ -227,11 +235,20 @@ def corr_quantity_price(spark, sf_dir):
         F.sum(qd * pd_).cast("double").alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # GREATEST + try_divide (review r4): a constant-x group makes the
+    # variance product 0 (ANSI divide-by-zero aborts the job) or, via
+    # cancellation, slightly negative (sqrt NaN vs DuckDB hard error)
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.greatest(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+            F.lit(0.0),
+        )
     )
-    return s.select("l_returnflag", "n_items", (num / den).alias("corr_qty_price"))
+    return s.select(
+        "l_returnflag", "n_items",
+        F.try_divide(num, F.nullif(den, F.lit(0.0))).alias("corr_qty_price"),
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -552,8 +569,8 @@ def embedding_norm_stats(spark, sf_dir):
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n_items,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+           (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n
                AS intercept
     FROM s
     """,
@@ -573,8 +590,13 @@ def regr_price_on_quantity(spark, sf_dir):
         F.sum(qd * qd).cast("double").alias("sxx"),
         F.sum(qd * pd_).cast("double").alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # NULLIF denominator (review r4): a constant-quantity group has
+    # n*sxx - sx*sx exactly 0 — ANSI division would abort the job
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.nullif(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+        ),
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return s.select(
@@ -605,7 +627,8 @@ def regr_price_on_quantity(spark, sf_dir):
     )
     SELECT user_id,
            CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,
-           CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE)
+           CAST(SUM(v * dt_us) AS DOUBLE)
+             / NULLIF(CAST(SUM(dt_us) AS DOUBLE), 0)
                AS twa_value
     FROM d WHERE dt_us IS NOT NULL
     GROUP BY 1
@@ -631,9 +654,13 @@ def time_weighted_value(spark, sf_dir):
     ).filter(F.col("dt_us").isNotNull())
     return d.groupBy("user_id").agg(
         F.count("dt_us").alias("n_intervals"),
-        (
-            F.sum(F.col("v") * F.col("dt_us")).cast("double")
-            / F.sum("dt_us").cast("double")
+        # try_divide (review r4): a user whose events all share one
+        # microsecond makes SUM(dt_us)=0 — under ANSI a plain division
+        # aborts the whole job for one degenerate user; NULL matches the
+        # DuckDB oracle's NULLIF
+        F.try_divide(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double"),
+            F.nullif(F.sum("dt_us").cast("double"), F.lit(0.0)),
         ).alias("twa_value"),
     )
 
@@ -797,9 +824,9 @@ def order_lineitem_reconciliation(spark, sf_dir):
     f"""
     WITH h AS (
         SELECT event_type,
-               CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-15 00:00:00')
+               CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{CUTOFF}')
                     AS DOUBLE) AS c1,
-               CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+               CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{CUTOFF}')
                     AS DOUBLE) AS c2
         FROM events GROUP BY 1
     ),
@@ -1237,16 +1264,16 @@ def running_distinct_types(spark, sf_dir):
     SELECT n_rows,
            ((s11 * s22 - s12 * s12) * sy + (s2 * s12 - s1 * s22) * s1y
             + (s1 * s12 - s2 * s11) * s2y)
-           / ((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
-              + (s1 * s12 - s2 * s11) * s2) AS beta0,
+           / NULLIF((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
+              + (s1 * s12 - s2 * s11) * s2, 0) AS beta0,
            ((s2 * s12 - s1 * s22) * sy + (n * s22 - s2 * s2) * s1y
             + (s1 * s2 - n * s12) * s2y)
-           / ((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
-              + (s1 * s12 - s2 * s11) * s2) AS beta1,
+           / NULLIF((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
+              + (s1 * s12 - s2 * s11) * s2, 0) AS beta1,
            ((s1 * s12 - s2 * s11) * sy + (s1 * s2 - n * s12) * s1y
             + (n * s11 - s1 * s1) * s2y)
-           / ((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
-              + (s1 * s12 - s2 * s11) * s2) AS beta2
+           / NULLIF((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
+              + (s1 * s12 - s2 * s11) * s2, 0) AS beta2
     FROM s
     """,
 )
@@ -1284,12 +1311,14 @@ def ols_price_model(spark, sf_dir):
     c11 = n * s22 - s2 * s2
     c12 = s1 * s2 - n * s12
     c22 = n * s11 - s1 * s1
-    det = c00 * n + c01 * s1 + c02 * s2
+    # NULLIF det (review r4): collinear features make det exactly 0 —
+    # ANSI division aborts; NULL betas match the oracle's NULLIF
+    det = F.nullif(c00 * n + c01 * s1 + c02 * s2, F.lit(0.0))
     return s.select(
         "n_rows",
-        ((c00 * sy + c01 * s1y + c02 * s2y) / det).alias("beta0"),
-        ((c01 * sy + c11 * s1y + c12 * s2y) / det).alias("beta1"),
-        ((c02 * sy + c12 * s1y + c22 * s2y) / det).alias("beta2"),
+        F.try_divide(c00 * sy + c01 * s1y + c02 * s2y, det).alias("beta0"),
+        F.try_divide(c01 * sy + c11 * s1y + c12 * s2y, det).alias("beta1"),
+        F.try_divide(c02 * sy + c12 * s1y + c22 * s2y, det).alias("beta2"),
     )
 
 
@@ -1397,12 +1426,17 @@ def weekly_revenue_growth(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
+# first-snapshot cutoff shared by the Spark plan and the oracle (ONE
+# definition — review r4: the hardcoded pair could silently drift)
+_DIFF_CUTOFF = "2024-01-03 00:00:00"
+
+
 @query(
     "snapshot_diff_users",
     f"""
     WITH t1 AS (
         SELECT user_id, event_type, COUNT(*) AS n_events
-        FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'
+        FROM events WHERE ts <= TIMESTAMP '{_DIFF_CUTOFF}'
         GROUP BY user_id, event_type
     ),
     t2 AS (
@@ -1433,7 +1467,7 @@ def snapshot_diff_users(spark, sf_dir):
     changed — the operator itself classifies all four; the early Jan-03
     cutoff is what leaves some keys unseen in the first snapshot.)"""
     e = load(spark, sf_dir, "events")
-    cut = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    cut = F.lit(_DIFF_CUTOFF).cast("timestamp")
 
     def state(df):
         return df.groupBy("user_id", "event_type").agg(
@@ -1744,10 +1778,13 @@ def event_type_lift(spark, sf_dir):
     tot AS (SELECT SUM(n) AS big_n FROM cells),
     terms AS (
         SELECT cells.lang, cells.source,
-               CAST(CAST(cells.n * t.big_n - r.r * c.c AS DECIMAL(19,0))
-                    * CAST(cells.n * t.big_n - r.r * c.c AS DECIMAL(19,0))
+               CAST(CAST(CAST(cells.n AS DECIMAL(38,0)) * t.big_n
+                         - CAST(r.r AS DECIMAL(38,0)) * c.c AS DOUBLE)
+                    * CAST(CAST(cells.n AS DECIMAL(38,0)) * t.big_n
+                           - CAST(r.r AS DECIMAL(38,0)) * c.c AS DOUBLE)
                     AS DOUBLE)
-                   / CAST(r.r * c.c * t.big_n AS DOUBLE) AS term
+                   / CAST(CAST(r.r AS DECIMAL(38,0)) * c.c * t.big_n
+                          AS DOUBLE) AS term
         FROM cells
         JOIN rows_ r ON r.lang = cells.lang
         JOIN cols_ c ON c.source = cells.source
@@ -1777,11 +1814,16 @@ def chi2_lang_source(spark, sf_dir):
         .withColumn("c", F.sum("n").over(Window.partitionBy("source")))
         .withColumn("big_n", F.sum("n").over(Window.partitionBy()))
     )
-    diff = (F.col("n") * F.col("big_n") - F.col("r") * F.col("c")).cast(
-        "decimal(19,0)"
-    )
+    # factors cast to DECIMAL(38,0) BEFORE multiplying (review r4): at
+    # ~2e10 documents the int64 products r*c and n*big_n overflow and
+    # ANSI aborts — exactly the scale the docstring targets.  The diff
+    # collapses to double immediately after (it is divided by a double
+    # anyway), matching the oracle's operand order.
+    n38 = F.col("n").cast("decimal(38,0)")
+    r38 = F.col("r").cast("decimal(38,0)")
+    diff = (n38 * F.col("big_n") - r38 * F.col("c")).cast("double")
     term = (diff * diff).cast("double") / (
-        F.col("r") * F.col("c") * F.col("big_n")
+        r38 * F.col("c") * F.col("big_n")
     ).cast("double")
     n_langs = F.size(F.collect_set("lang").over(Window.partitionBy()))
     n_sources = F.size(F.collect_set("source").over(Window.partitionBy()))
@@ -1815,8 +1857,12 @@ def chi2_lang_source(spark, sf_dir):
                            VARCHAR), 1, 1) AS first_digit
         FROM lineitem
     ),
+    valid AS (
+        SELECT first_digit FROM digits
+        WHERE first_digit BETWEEN '1' AND '9'
+    ),
     counted AS (
-        SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY 1
+        SELECT first_digit, COUNT(*) AS n FROM valid GROUP BY 1
     )
     SELECT first_digit,
            CAST(n AS BIGINT) AS n,
@@ -1838,6 +1884,11 @@ def benford_price_digits(spark, sf_dir):
             "first_digit"
         )
     )
+    # '1'..'9' only (review r4): a value in (0,1) renders '0.xx' and a
+    # negative renders '-...' — digit '0' makes 1/d an ANSI
+    # divide-by-zero (job abort) and '-' an ANSI cast error; Benford's
+    # law is undefined for both anyway, so both engines drop them
+    digits = digits.filter(F.col("first_digit").between("1", "9"))
     counted = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
     tot = F.sum("n").over(Window.partitionBy())
     return counted.select(
@@ -1894,7 +1945,7 @@ def gini_revenue_by_nation(spark, sf_dir):
     orders are out of frame (inner join)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    n = load(spark, sf_dir, "nation")
+    nation = load(spark, sf_dir, "nation")
     cust_rev = (
         o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
@@ -1908,7 +1959,7 @@ def gini_revenue_by_nation(spark, sf_dir):
         F.sum(F.col("i").cast("decimal(10,0)") * F.col("rev")).alias("s1"),
     )
     return g.join(
-        F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+        F.broadcast(nation.select("n_nationkey", "n_name")),
         g.c_nationkey == F.col("n_nationkey"),
     ).select(
         "n_name",
@@ -1999,7 +2050,7 @@ def dq_assertion_suite(spark, sf_dir):
             total.cast("long").alias("total"),
         )
 
-    o_agg = o.agg(
+    o_stats = o.agg(
         F.count(F.lit(1)).alias("total"),
         (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dup"),
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
@@ -2008,7 +2059,8 @@ def dq_assertion_suite(spark, sf_dir):
         F.sum(
             F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
         ).alias("bad_status"),
-    ).select(
+    )
+    o_agg = o_stats.select(
         F.explode(
             F.array(
                 row("orders_pk_unique", F.col("pk_dup"), F.col("total")),
@@ -2017,7 +2069,7 @@ def dq_assertion_suite(spark, sf_dir):
             )
         ).alias("chk")
     )
-    li_agg = li.agg(
+    li_stats = li.agg(
         F.count(F.lit(1)).alias("total"),
         (
             F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
@@ -2028,7 +2080,8 @@ def dq_assertion_suite(spark, sf_dir):
         F.sum(
             F.when(~F.col("l_discount").between(0, 1), 1).otherwise(0)
         ).alias("bad_disc"),
-    ).select(
+    )
+    li_agg = li_stats.select(
         F.explode(
             F.array(
                 row("lineitem_pk_unique", F.col("pk_dup"), F.col("total")),
@@ -2041,14 +2094,17 @@ def dq_assertion_suite(spark, sf_dir):
         o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey,
                "left_anti")
         .agg(F.count(F.lit(1)).alias("v"))
-        .crossJoin(o.agg(F.count(F.lit(1)).alias("total")))
+        # reuse the fused aggregate's total (review r4): a separate
+        # o.agg(count) was a THIRD full scan of orders — identical
+        # subtrees let AQE reuse o_stats's exchange instead
+        .crossJoin(o_stats.select("total"))
         .select(row("orders_custkey_fk", F.col("v"), F.col("total")).alias("chk"))
     )
     fk2 = (
         li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey,
                 "left_anti")
         .agg(F.count(F.lit(1)).alias("v"))
-        .crossJoin(li.agg(F.count(F.lit(1)).alias("total")))
+        .crossJoin(li_stats.select("total"))
         .select(row("lineitem_orderkey_fk", F.col("v"), F.col("total")).alias("chk"))
     )
     return (

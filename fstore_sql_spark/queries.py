@@ -83,7 +83,10 @@ def query(name: str, oracle: str | None = None):
 
 
 def _dec(col, scale: int = 2):
-    return F.col(col).cast(f"decimal(18,{scale})")
+    """The ONE decimal-cast helper (column name or Column) — operators
+    import it so a precision change can never drift between files."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
 
 
 # --------------------------------------------------------------------- #
