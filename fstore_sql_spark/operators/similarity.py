@@ -40,7 +40,11 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide + NULLIF (review r4): a zero vector makes the norm
+    # product exactly 0 and an ANSI division aborts the whole job; NULL
+    # (cosine undefined) matches DuckDB list_cosine_similarity's
+    # non-finite handling on degenerate inputs
+    return F.try_divide(dot(a, b), F.nullif(norm(a) * norm(b), F.lit(0.0)))
 
 
 def topk_bruteforce(
