@@ -55,6 +55,24 @@ class OptimisticLockError(FStoreError):
         )
 
 
+class ConcurrentCommitError(OptimisticLockError):
+    """The events manifest advanced underneath an in-flight append — a
+    second committer process raced this one past the cross-process
+    committer lock (only possible if the lock file was removed or the
+    filesystem lacks flock semantics).  The Delta-style commit conflict
+    (SURVEY.md §3.3); the reference surfaces the same race as a UNIQUE
+    violation on ``previous_id`` (/root/reference/schema.sql:43-44).
+    Retry the batch: validation will re-run against the winner's log."""
+
+    def __init__(self, expected: int, found: int):
+        FStoreError.__init__(
+            self,
+            f"concurrent committer detected: events manifest commit_id moved "
+            f"{expected} -> {found} during append; the batch was NOT committed "
+            f"— retry it (validation re-runs against the new log)",
+        )
+
+
 class DuplicateEventIdError(FStoreError):
     """C1 — duplicate event_id (/root/reference/schema.sql:31-32)."""
 

@@ -50,8 +50,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import os
+
 from fstore_sql_spark import errors
-from fstore_sql_spark.ledger import ShardedLocksLedger
+from fstore_sql_spark.ledger import ProcessLock, ShardedLocksLedger
 from fstore_sql_spark.schemas import (
     DECIDERS_SCHEMA,
     EVENTS_SCHEMA,
@@ -117,6 +119,21 @@ class EventStore:
         # different partitions don't serialize on one mutex; mutations
         # self-guard and never run Spark jobs.
         self.ledger = ShardedLocksLedger(self.storage, _LOCKS)
+        # Cross-process single-committer enforcement (VERDICT r4 #1): the
+        # reference gets multi-connection producer safety from
+        # ``previous_id UNIQUE`` + row locks (/root/reference/schema.sql:44,
+        # tests/integration/concurrency/test_concurrent_producers.sql); here
+        # every events-log mutation (append, compaction) holds this flock so
+        # two producer PROCESSES serialize instead of racing the manifest's
+        # last-writer-wins os.replace.  Held across validation too, so the
+        # second writer's §2.3 checks see the first writer's committed
+        # events (the row-lock-wait analogue).  Crash recovery is the
+        # kernel's: flock drops when the holder dies.
+        self._committer = ProcessLock(
+            os.path.join(self.storage.root, f"{_EVENTS}_COMMITTER.lock")
+        )
+        self._committer_depth = threading.local()
+        self._state_seen_ver: dict[str, int] = {}
         self._hwm_pdf: pd.DataFrame | None = None
         self._seen_commit_id = self.storage.read_published(_EVENTS)
         self._seen_log_gen = self.storage._log_gen(_EVENTS)
@@ -237,13 +254,23 @@ class EventStore:
     def _cached_state(self, table: str, schema) -> DataFrame:
         if not self._cache_log:
             return self.storage.read_state(table, schema)
+        # Sibling-process freshness (same discipline as _refresh_external
+        # for the log): a registration committed by ANOTHER process flips
+        # the table's _LATEST pointer; serving the cached frame past that
+        # would let C3 validation reject events the sibling registered.
+        # Cost: one tiny pointer-file read per call.
+        ver = self.storage.state_version(table)
+        if table in self._state_cached and self._state_seen_ver.get(table) != ver:
+            self._invalidate_state_cache(table)
         if table not in self._state_cached:
             self._state_cached[table] = self.storage.read_state(
                 table, schema
             ).persist()
+            self._state_seen_ver[table] = ver
         return self._state_cached[table]
 
     def _invalidate_state_cache(self, table: str) -> None:
+        self._state_seen_ver.pop(table, None)
         df = self._state_cached.pop(table, None)
         if df is not None:
             df.unpersist()
@@ -300,9 +327,10 @@ class EventStore:
         own files).  Returns the new file count.
 
         Readers are snapshot-safe (generation-pointer flip); concurrent
-        APPENDS must be quiesced — the commit lock enforces that in-process.
+        APPENDS must be quiesced — the commit lock enforces that in-process
+        and the cross-process committer flock across processes.
         """
-        with self._commit_lock:
+        with self._commit_lock, self._committer_guard():
             events = self.events()
             if target_partitions is None:
                 n = events.count()
@@ -358,8 +386,12 @@ class EventStore:
         description: str,
         event_version: int = 1,
     ) -> DataFrame:
-        """INSERT into deciders RETURNING; duplicate PK ⇒ error (C4)."""
-        with self._commit_lock:
+        """INSERT into deciders RETURNING; duplicate PK ⇒ error (C4).
+
+        Under the committer flock: write_state is a read-modify-write of
+        the whole snapshot, so two registering PROCESSES would otherwise
+        lose one row (last-writer-wins)."""
+        with self._commit_lock, self._committer_guard():
             existing = self.deciders()
             dup = (
                 existing.filter(
@@ -442,7 +474,7 @@ class EventStore:
         """
         if on_conflict not in ("error", "ignore"):
             raise ValueError(f"on_conflict must be 'error' or 'ignore': {on_conflict!r}")
-        with self._commit_lock:
+        with self._commit_lock, self._committer_guard():
             now = _utcnow()
             cand = self._as_candidates(rows_or_df)
             if on_conflict == "ignore":
@@ -480,6 +512,59 @@ class EventStore:
                 return appended
             finally:
                 cand.unpersist()
+
+    # How long a blocked producer waits for a sibling process's append or
+    # compaction to finish before raising TimeoutError.  Generous: an sf1
+    # bulk append holds the lock for ~10 s; genuine deadlock is impossible
+    # (single lock, no nesting across locks).
+    COMMITTER_LOCK_TIMEOUT_S = 300.0
+
+    @contextmanager
+    def _committer_guard(self):
+        """Hold the cross-process committer flock (reentrant per thread —
+        ProcessLock itself is deliberately non-reentrant, so depth is
+        tracked here).  Always taken INSIDE ``_commit_lock``, never the
+        reverse, so lock order is fixed."""
+        depth = getattr(self._committer_depth, "n", 0)
+        if depth:
+            self._committer_depth.n = depth + 1
+            try:
+                yield
+            finally:
+                self._committer_depth.n -= 1
+            return
+        self._committer.acquire(timeout_s=self.COMMITTER_LOCK_TIMEOUT_S)
+        self._committer_depth.n = 1
+        try:
+            self._recover_unpublished()
+            yield
+        finally:
+            self._committer_depth.n = 0
+            self._committer.release()
+
+    def _recover_unpublished(self) -> None:
+        """Crash recovery at the committer-lock safe point: a committer
+        that died between the manifest advance and the ``_PUBLISHED``
+        marker write leaves ``published < manifest.commit_id``.  Holding
+        the flock proves no LIVE committer is mid-append (the kernel
+        released the dead holder's lock), so rolling the marker forward is
+        safe and covers both crash windows:
+
+        - log append never ran → the allocation is burned; publishing it
+          records only an offset gap (BIGSERIAL rollback-gap semantics,
+          SURVEY.md §7.4);
+        - log append completed → the batch is whole on disk; publishing
+          makes it visible, and a producer replay with
+          ``on_conflict='ignore'`` then dedups against it instead of
+          double-appending (the at-least-once recovery contract).
+        """
+        manifest = self.storage.read_manifest(_EVENTS)
+        if self.storage.read_published(_EVENTS) < manifest.commit_id:
+            self.storage.write_published(_EVENTS, manifest.commit_id)
+            self._invalidate_log_cache()
+            self._seen_commit_id = manifest.commit_id
+            self._seen_log_gen = self.storage._log_gen(_EVENTS)
+            self._rebind_sql_views()
 
     # Target rows per shuffle task on the write path: micro-batches don't
     # need (and pay scheduling overhead for) the session-wide shuffle
@@ -794,6 +879,14 @@ class EventStore:
                     .set_index("decider_id")
                 )
             prof["hwm_merge_s"] = round(time.monotonic() - _t, 3)
+            # Compare-and-swap gate (VERDICT r4 #1, defense in depth under
+            # the committer flock): if the on-disk manifest moved since this
+            # append read it, a second committer raced us past the lock —
+            # abort LOUDLY before allocating colliding offsets.  Nothing has
+            # been written yet, so the batch can simply be retried.
+            disk = self.storage.read_manifest(_EVENTS)
+            if disk.commit_id != manifest.commit_id:
+                raise errors.ConcurrentCommitError(manifest.commit_id, disk.commit_id)
             # Crash-atomicity: advance the manifest BEFORE the log append.
             # A crash between the two then yields only an offset gap (which
             # BIGSERIAL permits — rollback gaps, SURVEY.md §7.4), never
@@ -942,7 +1035,7 @@ class EventStore:
         """UPSERT into views (ON CONFLICT DO UPDATE analogue), then run the
         T7 lock backfill for every existing partition. ``start_at`` accepts an
         ISO-8601 string (the TEXT→TIMESTAMP cast Postgres applies to literals)."""
-        with self._commit_lock:
+        with self._commit_lock, self._committer_guard():
             now = _utcnow()
             if isinstance(start_at, str):
                 start_at = datetime.fromisoformat(start_at)
@@ -1303,7 +1396,7 @@ class EventStore:
         deleted view rows (RETURNING analogue).  Any push-delivery query
         for the view should be stopped by the caller (T10's
         cron.unschedule ⇔ ``PushDelivery.stop`` / ``sync``)."""
-        with self._commit_lock:
+        with self._commit_lock, self._committer_guard():
             deleted = self.views().filter(F.col("view") == view).cache()
             deleted.count()  # materialize before the state flip
             self.storage.write_state(

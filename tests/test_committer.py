@@ -1,0 +1,224 @@
+"""Cross-process committer safety (VERDICT r4 #1 and #5).
+
+The reference gets multi-connection producer safety from Postgres row locks
+plus ``previous_id UNIQUE`` (/root/reference/schema.sql:44) and exercises it
+in ``tests/integration/concurrency/test_concurrent_producers.sql``; the
+engine's analogue is the committer flock (``EventStore._committer_guard``)
+plus the manifest CAS in ``_commit``.  These tests spawn REAL producer
+processes, each with its own SparkSession, over one shared store path."""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fstore_sql_spark import EventStore, errors
+from fstore_sql_spark.storage import Manifest
+from tests._producer_worker import append_worker, crash_committer_worker
+
+pytestmark = pytest.mark.slow  # spawns extra Spark JVMs — full tier only
+
+
+@pytest.fixture()
+def shared_path():
+    path = tempfile.mkdtemp(prefix="fstore_committer_")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _assert_log_consistent(store, expected_ids):
+    """The post-race invariants: every committed event exactly once,
+    unique offsets, per-stream offsets ascending with a gap-free chain
+    inside each stream's own commit (batches are atomic)."""
+    ev = store.events().select("event_id", "decider_id", "offset").collect()
+    ids = [r["event_id"] for r in ev]
+    assert len(ids) == len(set(ids)), "duplicate event_id committed"
+    assert set(ids) == set(expected_ids), (
+        f"log/committed mismatch: {len(ids)} in log, {len(expected_ids)} reported"
+    )
+    offsets = [r["offset"] for r in ev]
+    assert len(offsets) == len(set(offsets)), "colliding offsets"
+
+
+class TestConcurrentProducers:
+    N_WORKERS = 2
+    N_BATCHES = 4
+    BATCH = 25
+
+    def test_concurrent_append_batch_lands_exactly_once(self, spark, shared_path):
+        parent = EventStore(spark, shared_path)
+        parent.register_decider_event("dec", "evt", "producer race test")
+
+        ctx = mp.get_context("spawn")
+        barrier = os.path.join(shared_path, "GO")
+        outs = [
+            os.path.join(shared_path, f"producer_{i}.json")
+            for i in range(self.N_WORKERS)
+        ]
+        procs = [
+            ctx.Process(
+                target=append_worker,
+                args=(shared_path, outs[i], i, self.N_BATCHES, self.BATCH, barrier),
+            )
+            for i in range(self.N_WORKERS)
+        ]
+        for p in procs:
+            p.start()
+        deadline = time.time() + 180
+        while not all(os.path.exists(f"{o}.ready") for o in outs):
+            assert time.time() < deadline, "workers never became ready"
+            time.sleep(0.05)
+        with open(barrier, "w", encoding="utf-8") as f:
+            f.write("go")
+        for p in procs:
+            p.join(300)
+            assert p.exitcode == 0, f"producer crashed: {p.exitcode}"
+
+        committed, loud_errors = [], []
+        for o in outs:
+            with open(o, encoding="utf-8") as f:
+                d = json.load(f)
+            committed.extend(d["committed"])
+            loud_errors.extend(d["errors"])
+        # The contract (VERDICT r4 #1): all events land exactly once with
+        # collision-free offsets, OR a writer raises loudly.  With the
+        # blocking flock both producers serialize, so the expected outcome
+        # is zero errors and full commit counts.
+        assert not loud_errors, f"producers raised: {loud_errors}"
+        assert len(committed) == self.N_WORKERS * self.N_BATCHES * self.BATCH
+        _assert_log_consistent(parent, committed)
+        # serialized committers ⇒ gap-free offsets 1..N overall
+        n = len(committed)
+        got = sorted(
+            r["offset"] for r in parent.events().select("offset").collect()
+        )
+        assert got == list(range(1, n + 1)), "offset gaps without any crash"
+
+    def test_manifest_cas_rejects_racing_committer(self, spark, shared_path):
+        """White-box: _commit must refuse to allocate offsets from a stale
+        manifest (the defense-in-depth path behind the flock)."""
+        store = EventStore(spark, shared_path)
+        store.register_decider_event("dec", "evt", "cas test")
+        store.append_event("evt", "e1", "dec", "d1", "{}")
+        stale = store.storage.read_manifest("events")
+        # simulate a sibling that raced past the lock: manifest moves on
+        store.storage.write_manifest(
+            "events", Manifest(max_offset=stale.max_offset + 7, commit_id=stale.commit_id + 1)
+        )
+        store.storage.write_published("events", stale.commit_id + 1)
+        cand = store._as_candidates(
+            [
+                {
+                    "event": "evt",
+                    "event_id": "e2",
+                    "decider": "dec",
+                    "decider_id": "d1",
+                    "data": "{}",
+                    "previous_id": "e1",
+                }
+            ]
+        ).persist()
+        from datetime import datetime, timezone
+
+        with pytest.raises(errors.ConcurrentCommitError):
+            store._commit(
+                cand, stale, datetime.now(timezone.utc).replace(tzinfo=None)
+            )
+        cand.unpersist()
+        # nothing was committed: the append is retryable and succeeds
+        store.append_event("evt", "e2", "dec", "d1", "{}", previous_id="e1")
+        assert (
+            store.events().filter(F.col("event_id") == "e2").count() == 1
+        )
+
+
+class TestCommitterCrashRecovery:
+    """SIGKILL the committer inside ``_commit`` (VERDICT r4 #5): every
+    crash window must recover to all-or-nothing visibility, an idempotent
+    replay, and a free committer lock."""
+
+    def _run_crash(self, shared_path, kill_point):
+        ctx = mp.get_context("spawn")
+        out = os.path.join(shared_path, f"crash_{kill_point}.txt")
+        p = ctx.Process(
+            target=crash_committer_worker, args=(shared_path, out, kill_point)
+        )
+        p.start()
+        p.join(300)
+        assert p.exitcode == 42, f"worker exit {p.exitcode}; wanted the injected kill"
+        with open(out, encoding="utf-8") as f:
+            assert f.read() == "started"
+
+    @pytest.mark.parametrize(
+        "kill_point,visible_after",
+        [
+            ("before_manifest", 0),
+            ("after_manifest", 0),
+            ("after_append", 5),
+            ("after_publish", 5),
+        ],
+    )
+    def test_crash_window_recovery(self, spark, shared_path, kill_point, visible_after):
+        parent = EventStore(spark, shared_path)
+        parent.register_decider_event("dec", "evt", "crash test")
+        parent.append_event("evt", "seed-1", "dec", "seed", "{}")
+
+        self._run_crash(shared_path, kill_point)
+
+        crash_rows = [
+            {
+                "event": "evt",
+                "event_id": f"crash-{kill_point}-{i}",
+                "decider": "dec",
+                "decider_id": f"crash-{kill_point}",
+                "data": "{}",
+                "previous_id": None if i == 0 else f"crash-{kill_point}-{i-1}",
+            }
+            for i in range(5)
+        ]
+        # Replay the producer batch at-least-once style.  This is also the
+        # first committer-guard acquisition after the crash, so it performs
+        # marker roll-forward recovery — and must NOT block on the dead
+        # holder's flock (kernel released it).
+        t0 = time.time()
+        parent.append_batch(crash_rows, on_conflict="ignore")
+        assert time.time() - t0 < 60, "committer lock wedged by dead holder"
+
+        ev = parent.events()
+        crash_ids = [r["event_id"] for r in ev.filter(
+            F.col("decider_id") == f"crash-{kill_point}"
+        ).collect()]
+        # all-or-nothing + idempotent replay: exactly one copy of each
+        assert sorted(crash_ids) == sorted(r["event_id"] for r in crash_rows)
+        offsets = [r["offset"] for r in ev.select("offset").collect()]
+        assert len(offsets) == len(set(offsets)), "colliding offsets after crash"
+        # per-stream replay order intact
+        replay = parent.get_events(f"crash-{kill_point}", "dec").collect()
+        assert [r["event_id"] for r in replay] == [r["event_id"] for r in crash_rows]
+        # downstream append still works and keeps offsets unique
+        parent.append_event("evt", f"post-{kill_point}", "dec", "seed", "{}",
+                            previous_id="seed-1")
+        offsets2 = [r["offset"] for r in parent.events().select("offset").collect()]
+        assert len(offsets2) == len(set(offsets2))
+
+    def test_visibility_before_replay(self, spark, shared_path):
+        """after_append: the batch is whole on disk but unpublished; a
+        sibling reader must NOT see a torn view, and the first guard
+        acquisition republishes it."""
+        parent = EventStore(spark, shared_path)
+        parent.register_decider_event("dec", "evt", "crash test")
+        parent.append_event("evt", "seed-1", "dec", "seed", "{}")
+        self._run_crash(shared_path, "after_append")
+        # fresh reader over the store path (no append yet)
+        reader = EventStore(spark, shared_path)
+        n = reader.events().filter(
+            F.col("decider_id") == "crash-after_append"
+        ).count()
+        assert n in (0, 5), f"torn batch visible: {n} of 5 rows"
