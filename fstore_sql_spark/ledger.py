@@ -204,7 +204,7 @@ class LocksLedger:
     # slow consumer still looks live to sibling fairness probes
     STAMP_MAX_AGE_S = 1.0
 
-    def __init__(self, storage, table: str = "locks"):
+    def __init__(self, storage, table: str = "locks", lazy: bool = False):
         self.storage = storage  # ParquetStore (state-snapshot layout owner)
         self.table = table
         state_dir = os.path.join(storage.root, f"{table}_state")
@@ -233,7 +233,11 @@ class LocksLedger:
         self._stamp_written_at = 0.0  # monotonic clock of last publish
         # (index object, materialized decider_id level) — see _view_slice
         self._ids_cache: tuple | None = None
-        self._reload_if_stale()
+        # lazy=True (LRU shard paging): skip the eager load; the frame
+        # stays empty at version -2 until first guarded use or a
+        # negative-probe refresh in the claim walk loads it on demand.
+        if not lazy:
+            self._reload_if_stale()
 
     # ------------------------------------------------------------------ #
     # persistence
@@ -510,6 +514,29 @@ class LocksLedger:
         self._consumer_views.clear()
         self._chain_len = 0
         self._ids_cache = None
+
+    @property
+    def resident(self) -> bool:
+        """True when the shard's frame is loaded (version sentinel -2 =
+        never loaded / evicted)."""
+        return self._version > -2
+
+    def frame_bytes(self) -> int:
+        """Resident bytes of the shard frame, index included (deep scan —
+        strings counted; call on demand, not per tick)."""
+        if not self.resident or self._df.empty:
+            return 0
+        return int(self._df.memory_usage(deep=True).sum())
+
+    def evict(self) -> None:
+        """LRU shard paging (VERDICT r4 #2): release the resident frame;
+        the next use reloads from the (flushed) disk snapshot.  Callable
+        only OUTSIDE the guard — mutators flush before releasing, so a
+        dirty frame here means a caller bug and the evict is refused
+        rather than dropping unflushed consumer progress."""
+        if self._dirty:
+            return
+        self._invalidate()
 
     def refresh(self) -> None:
         """Lock-free read freshness: reload the frame if a sibling process
@@ -817,13 +844,30 @@ class ShardedLocksLedger:
     # = tighter starvation bound, higher = more shard affinity
     FAIRNESS_EVERY = 8
 
-    def __init__(self, storage, table: str = "locks", n_shards: int | None = None):
+    def __init__(
+        self,
+        storage,
+        table: str = "locks",
+        n_shards: int | None = None,
+        max_resident: int | None = None,
+    ):
         self.table = table
         self.n_shards = self._pin_shard_count(storage, table, n_shards)
+        # LRU shard paging (VERDICT r4 #2): with ``max_resident`` set,
+        # at most that many shard frames stay loaded on the driver —
+        # resident memory is O(active shards), not O(#partitions).  The
+        # sticky-affinity claim path touches ~1 shard per consumer, so a
+        # small budget costs nothing in steady state; evicted shards
+        # reload on demand (full snapshot + delta tail).  ``None``
+        # (default) keeps every shard resident — correct for stores whose
+        # partition count fits the driver comfortably.
+        self.max_resident = max_resident
         self.shards = [
-            LocksLedger(storage, f"{table}_s{i:02d}")
+            LocksLedger(storage, f"{table}_s{i:02d}", lazy=max_resident is not None)
             for i in range(self.n_shards)
         ]
+        self._use_clock = 0
+        self._last_use: dict[int, int] = {}
         # sticky claim shard; pid-seeded start so concurrent consumers
         # begin their first walk on different shards
         self._sticky = os.getpid() % self.n_shards
@@ -912,19 +956,63 @@ class ShardedLocksLedger:
         except OSError:
             pass
 
+    # ---- LRU shard paging -------------------------------------------- #
+
+    def _note_use(self, k: int) -> None:
+        self._use_clock += 1
+        self._last_use[k] = self._use_clock
+
+    def _evict_over_budget(self) -> None:
+        """Drop least-recently-used shard frames beyond ``max_resident``.
+        Called at the end of each self-guarding mutator (never inside a
+        shard guard); the sticky shard is by construction the most
+        recently used, so steady-state consumers never thrash."""
+        if self.max_resident is None:
+            return
+        resident = [k for k, s in enumerate(self.shards) if s.resident]
+        over = len(resident) - self.max_resident
+        if over <= 0:
+            return
+        resident.sort(key=lambda k: self._last_use.get(k, -1))
+        for k in resident[:over]:
+            self.shards[k].evict()
+
+    def resident_shards(self) -> int:
+        return sum(1 for s in self.shards if s.resident)
+
+    def resident_bytes(self) -> int:
+        """Driver-resident ledger bytes across all loaded shard frames
+        (deep measurement — the number BASELINE.md's scale-ceiling table
+        pins)."""
+        return sum(s.frame_bytes() for s in self.shards)
+
     # ---- reads ------------------------------------------------------- #
 
     def refresh(self) -> None:
-        for s in self.shards:
+        """Bring EVERY shard current — the O(#partitions) read surface
+        behind the reference-shaped ``locks()`` view.  On a paged store
+        this transiently exceeds the residency budget (inherent: the
+        caller asked for the full table); the next mutator tick evicts
+        back to budget."""
+        for k, s in enumerate(self.shards):
             s.refresh()
+            self._note_use(k)
+
+    def _ensure_resident(self, k: int) -> "LocksLedger":
+        s = self.shards[k]
+        if not s.resident:  # evicted/lazy shard: load before reading
+            s.refresh()
+            self._note_use(k)
+        return s
 
     def to_pandas(self) -> pd.DataFrame:
         return pd.concat(
-            [s.to_pandas() for s in self.shards], ignore_index=True
+            [self._ensure_resident(k).to_pandas() for k in range(self.n_shards)],
+            ignore_index=True,
         )
 
     def count(self) -> int:
-        return sum(s.count() for s in self.shards)
+        return sum(self._ensure_resident(k).count() for k in range(self.n_shards))
 
     # ---- mutators (self-guarding) ------------------------------------ #
 
@@ -990,6 +1078,7 @@ class ShardedLocksLedger:
         if k == self._sticky or k in skip_shards:
             return []
         s = self.shards[k]
+        self._note_use(k)
         v = s.storage.state_version(s.table)
         if v != s._version:
             stamp = s.read_claim_stamp()
@@ -1061,6 +1150,8 @@ class ShardedLocksLedger:
                 break
             s = self.shards[k]
             shard_acks = pending.get(k)
+            if shard_acks is not None:
+                self._note_use(k)
             if shard_acks is None:
                 if want <= 0:
                     continue
@@ -1072,6 +1163,7 @@ class ShardedLocksLedger:
                 # costs one refresh on first visit and nothing after.
                 if not s.has_eligible(view, hwm, now):
                     s.refresh()
+                    self._note_use(k)
                     if not s.has_eligible(view, hwm, now):
                         continue
             with s.try_guard() as held:
@@ -1079,6 +1171,7 @@ class ShardedLocksLedger:
                     if want > 0:
                         busy_claimable.append(k)
                     continue
+                self._note_use(k)
                 if shard_acks is not None:
                     s.ack(view, shard_acks, now)
                     pending.pop(k)
@@ -1089,6 +1182,7 @@ class ShardedLocksLedger:
                     got.extend(res)
         for k, shard_acks in pending.items():  # blocked-shard acks: must land
             s = self.shards[k]
+            self._note_use(k)
             with s.guard():
                 s.ack(view, shard_acks, now)
         if not got and busy_claimable:
@@ -1097,6 +1191,7 @@ class ShardedLocksLedger:
             # store to the consumer loop
             for k in busy_claimable:
                 s = self.shards[k]
+                self._note_use(k)
                 with s.guard():
                     res = s.claim(view, hwm, limit - len(got), now, lease_until)
                 if res:
@@ -1104,6 +1199,7 @@ class ShardedLocksLedger:
                     got.extend(res)
                 if len(got) >= limit:
                     break
+        self._evict_over_budget()
         return got
 
     def ack(self, view: str, acks: list[tuple[str, int]], now) -> None:
@@ -1112,13 +1208,18 @@ class ShardedLocksLedger:
             by_shard.setdefault(shard_of(d, self.n_shards), []).append((d, o))
         for i, shard_acks in by_shard.items():
             s = self.shards[i]
+            self._note_use(i)
             with s.guard():
                 s.ack(view, shard_acks, now)
+        self._evict_over_budget()
 
     def set_locked_until(self, view: str, decider_id: str, until, now) -> None:
-        s = self.shards[shard_of(decider_id, self.n_shards)]
+        k = shard_of(decider_id, self.n_shards)
+        s = self.shards[k]
+        self._note_use(k)
         with s.guard():
             s.set_locked_until(view, decider_id, until, now)
+        self._evict_over_budget()
 
     def _split(self, rows: pd.DataFrame) -> list[tuple[int, pd.DataFrame]]:
         shard = rows["decider_id"].map(lambda d: shard_of(d, self.n_shards))
@@ -1130,18 +1231,24 @@ class ShardedLocksLedger:
             return
         for i, part in self._split(rows):
             s = self.shards[i]
+            self._note_use(i)
             with s.guard():
                 s.insert_missing(part)
+        self._evict_over_budget()
 
     def upsert(self, rows: pd.DataFrame) -> None:
         if rows.empty:
             return
         for i, part in self._split(rows):
             s = self.shards[i]
+            self._note_use(i)
             with s.guard():
                 s.upsert(part)
+        self._evict_over_budget()
 
     def delete_view(self, view: str) -> None:
-        for s in self.shards:
+        for k, s in enumerate(self.shards):
+            self._note_use(k)
             with s.guard():
                 s.delete_view(view)
+        self._evict_over_budget()

