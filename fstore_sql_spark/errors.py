@@ -104,3 +104,32 @@ class DuplicateRegistrationError(FStoreError):
             f'duplicate key value violates unique constraint "deciders_pkey" '
             f"({decider}, {event}, {event_version})"
         )
+
+class UnregisteredSchemaError(FStoreError):
+    """``events_typed`` met an (event, event_version) with no registered
+    payload schema — schema-on-read cannot type that row (SURVEY.md §1.3).
+    Register the version or exclude it."""
+
+    def __init__(self, event: str, event_version: int | None = None):
+        if event_version is None:
+            super().__init__(
+                f"no payload schema registered for event {event!r}"
+            )
+        else:
+            super().__init__(
+                f"no payload schema registered for event {event!r} "
+                f"version {event_version} (present in the log)"
+            )
+
+
+class DuplicateSchemaError(FStoreError):
+    """A payload schema for this (event, event_version) already exists —
+    registered schemas are immutable (append a new version instead, the
+    R1/R2 immutability discipline applied to schema evolution)."""
+
+    def __init__(self, event: str, event_version: int):
+        super().__init__(
+            f"payload schema for ({event!r}, version {event_version}) "
+            "already registered; schemas are immutable — register a new "
+            "event_version instead"
+        )

@@ -2847,3 +2847,60 @@ def lang_source_mutual_info(spark, sf_dir):
         F.sum(term).cast("double").alias("mutual_info_bits"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+@query(
+    "payload_schema_upcast",
+    """
+    WITH versioned AS (
+      SELECT event_id,
+             CAST(event_id % 2 + 1 AS BIGINT) AS event_version,
+             CASE WHEN event_id % 2 = 0 THEN props
+                  ELSE rtrim(props, '}') || ', "q": "' || event_type || '"}'
+             END AS data
+      FROM events
+    )
+    SELECT event_id, event_version,
+           CAST(json_extract_string(data, '$.k') AS BIGINT) AS k,
+           json_extract_string(data, '$.q') AS q
+    FROM versioned
+    """,
+)
+def payload_schema_upcast(spark, sf_dir):
+    """Versioned payload schema registry + typed upcast view (VERDICT r4
+    #4; SURVEY.md §1.3 schema-on-read — the reference keeps payloads
+    opaque JSONB, /root/reference/schema.sql:37).  Rows alternate between
+    payload v1 {k} and v2 {k, q}; the operator under test
+    (``typed_payload_column``, what ``EventStore.events_typed`` applies)
+    dispatches ``from_json`` on the version column and upcasts v1 rows to
+    the latest shape with a typed NULL ``q``.  The oracle types the same
+    JSON directly — so a wrong dispatch, a wrong upcast, or a dropped
+    field all hash-mismatch.  Pure from_json + CASE projection: no
+    shuffle, codegen end-to-end."""
+    from fstore_sql_spark.functions.typed_payload import typed_payload_column
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "event_version", (F.col("event_id") % 2 + 1).cast("long")
+    ).withColumn(
+        "data",
+        F.when(F.col("event_version") == 1, F.col("props")).otherwise(
+            F.concat(
+                F.expr("trim(TRAILING '}' FROM props)"),
+                F.lit(', "q": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            )
+        ),
+    )
+    schemas = {1: "k BIGINT", 2: "k BIGINT, q STRING"}
+    typed = ev.withColumn(
+        "payload",
+        typed_payload_column(F.col("data"), F.col("event_version"), schemas),
+    )
+    return typed.select(
+        "event_id",
+        "event_version",
+        F.col("payload.k").alias("k"),
+        F.col("payload.q").alias("q"),
+    )

@@ -100,3 +100,17 @@ LOCKS_SCHEMA = StructType(
         StructField("updated_at", TimestampType(), nullable=False),
     ]
 )
+
+
+# Versioned payload schema registry (engine extension, SURVEY.md §1.3:
+# "per-event-type payload schemas can optionally be registered … applied
+# at query time via from_json").  One row per (event, event_version);
+# ``ddl`` is the Spark DDL string of the payload StructType.
+PAYLOAD_SCHEMAS_SCHEMA = StructType(
+    [
+        StructField("event", StringType(), nullable=False),
+        StructField("event_version", LongType(), nullable=False),
+        StructField("ddl", StringType(), nullable=False),
+        StructField("created_at", TimestampType(), nullable=False),
+    ]
+)
