@@ -300,17 +300,35 @@ def main() -> None:
         "BENCH_DETAIL_SF1.json" if sf_tag == "1" else "BENCH_DETAIL.json",
     )
     headline["detail_file"] = os.path.basename(detail_path)
+    detail = {
+        **headline,
+        "queries": timings,
+        "b1_append_profile": b1_profile,
+        "b3_prefetch_counters": pf,
+    }
     with open(detail_path, "w", encoding="utf-8") as f:
-        json.dump(
-            {
-                **headline,
-                "queries": timings,
-                "b1_append_profile": b1_profile,
-                "b3_prefetch_counters": pf,
-            },
-            f,
-            indent=1,
-        )
+        json.dump(detail, f, indent=1)
+    # Per-round archive (VERDICT r4 #6): BENCH_DETAIL.json is overwritten
+    # each run, so per-query history needed git archaeology.  The driver
+    # names rounds via BENCH_r{N}.json; mirror that numbering — current
+    # round = highest existing BENCH_r{N} + 1 (this run's artifact isn't
+    # written yet when bench executes).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(here)
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", fn))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+        suffix = "_SF1" if sf_tag == "1" else ("" if sf_tag == "0.1" else f"_SF{sf_tag}")
+        round_path = os.path.join(here, f"BENCH_DETAIL{suffix}_r{rnd:02d}.json")
+        with open(round_path, "w", encoding="utf-8") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # archival copy is best-effort; the canonical file landed
     print(json.dumps(headline))
 
 

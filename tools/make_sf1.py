@@ -22,6 +22,15 @@ every join in the query registry keeps its selectivity shape:
 - embeddings: vec_id offset, vectors/labels unchanged
 
 Usage: python tools/make_sf1.py [--out /root/repo/testdata_sf1]
+
+sf10 (VERDICT r4 #3) is the same composition run at 100 replicas of the
+SAME sf0.1 source — single-level, so every replica's document permutation
+(reverse + rotate-by-i, i = 0..99) is distinct and no cross-replica
+near-duplicates are planted (two-level replication of sf1 would compose
+two reverse-rotations into a pure rotation and collide replica pairs
+with equal index differences):
+
+    python tools/make_sf1.py --replicas 100 --out /root/repo/testdata_sf10
 """
 
 from __future__ import annotations
@@ -31,9 +40,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
 
 # key offsets: comfortably above each table's sf0.1 key range
 OFF = {
@@ -51,7 +57,31 @@ OFF = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--tag-doc-tokens",
+        action="store_true",
+        help="suffix every document token with its replica id, making "
+        "replica vocabularies DISJOINT.  Required at high replica counts: "
+        "word-order permutation alone preserves token SETS, so set-"
+        "similarity operators (PPJoin prefix filter, token Jaccard) see "
+        "every base doc duplicated R times — at R=100 that plants ~R²/2 "
+        "candidate pairs per base doc and turns a linear workload "
+        "quadratic (a data artifact, not a plan property).  Tagging makes "
+        "the corpus scale as R disjoint corpora — the honest 100x shape.",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to (re)generate",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
+    REPLICAS = args.replicas
+    SRC = args.src
+    # output file counts scale with data volume (sf1 keeps its r03 layout)
+    fscale = max(1, REPLICAS // 10)
 
     from pyspark.sql import functions as F
 
@@ -65,6 +95,10 @@ def main() -> None:
         return spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
 
     def write(t: str, df, n_files: int = 8):
+        if only is not None and t not in only:
+            return
+        if n_files > 1:
+            n_files *= fscale
         df.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(args.out, f"{t}.parquet")
         )
@@ -122,13 +156,22 @@ def main() -> None:
     def permute_text(r, i: int):
         if i == 0:
             return r
-        # reverse + rotate-by-i over the word array: a bijection for any
-        # word count, destroying shingle identity between replicas
-        expr = (
-            "array_join(transform(sequence(0, size(split(text, ' ')) - 1), "
-            f"j -> element_at(split(text, ' '), "
-            f"((size(split(text, ' ')) - 1 - j + {i}) % size(split(text, ' '))) + 1)), ' ')"
-        )
+        if args.tag_doc_tokens:
+            # disjoint vocabulary per replica (see --tag-doc-tokens help)
+            expr = (
+                "array_join(transform(split(text, ' '), "
+                f"w -> concat(w, '~{i}')), ' ')"
+            )
+        else:
+            # reverse + rotate-by-i over the word array: a bijection for
+            # any word count, destroying shingle identity between replicas
+            # (token SETS stay identical — fine at small replica counts,
+            # quadratic for set-similarity ops at high ones)
+            expr = (
+                "array_join(transform(sequence(0, size(split(text, ' ')) - 1), "
+                f"j -> element_at(split(text, ' '), "
+                f"((size(split(text, ' ')) - 1 - j + {i}) % size(split(text, ' '))) + 1)), ' ')"
+            )
         return r.withColumn("text", F.expr(expr)).withColumn(
             "n_chars", F.length("text").cast("long")
         )
