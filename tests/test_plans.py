@@ -576,3 +576,16 @@ class TestR4RetrievalAndScrubOps:
         df = q(spark, "embedding_contamination")
         assert P.broadcast_join_count(df) >= 1
         assert P.sort_merge_join_count(df) == 0
+
+
+class TestR5TypedPayload:
+    def test_payload_upcast_is_zero_shuffle_codegen_projection(self, spark):
+        """payload_schema_upcast: version-dispatched from_json + CASE must
+        stay a pure scan+project — zero exchanges, one codegen span (the
+        100 TB posture: a typed view costs the same as any projection)."""
+        df = q(spark, "payload_schema_upcast")
+        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
+        assert P.codegen_span_count(df) >= 1
+        # column pruning: only the columns the projection needs are read
+        cols = P.scan_columns(df)
+        assert cols and all("value" not in c for c in cols), cols

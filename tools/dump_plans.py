@@ -36,6 +36,7 @@ FLAGSHIP = [
     ("pii_redaction_stats", "regex scrub scan-side; single 20-group HashAggregate"),
     ("bm25_topk", "broadcast df/corpus stats; top-k as TakeOrderedAndProject"),
     ("hybrid_rrf_topk", "RRF fusion over two top-k-bounded rankers"),
+    ("payload_schema_upcast", "typed view: version-dispatched from_json + CASE, zero-shuffle codegen projection"),
 ]
 
 
