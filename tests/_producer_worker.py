@@ -151,3 +151,104 @@ def crash_committer_worker(root: str, out_path: str, kill_point: str) -> None:
     store.append_batch(rows)  # never returns for any valid kill_point
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("survived")  # parent treats this as a harness bug
+
+
+def soak_batches(n_batches: int, batch_size: int) -> list[list[dict]]:
+    """Deterministic soak workload shared by producer and replayer: one
+    NEW stream per (batch, lane), events chained within the batch via
+    explicit seq (DataFrame-free dict batches keep list order)."""
+    out = []
+    for b in range(n_batches):
+        rows = []
+        lanes = 4
+        per_lane = batch_size // lanes
+        for lane in range(lanes):
+            prev = None
+            for i in range(per_lane):
+                eid = f"s{b}-l{lane}-e{i}"
+                rows.append(
+                    {
+                        "event": "evt",
+                        "event_id": eid,
+                        "decider": "dec",
+                        "decider_id": f"s{b}-l{lane}",
+                        "data": "{}",
+                        "previous_id": prev,
+                        "seq": lane * per_lane + i,
+                    }
+                )
+                prev = eid
+        out.append(rows)
+    return out
+
+
+def soak_producer_worker(
+    root: str,
+    out_path: str,
+    n_batches: int,
+    batch_size: int,
+    kill_batch: int,
+    kill_point: str,
+) -> None:
+    """Live-soak committer: appends batches continuously while the parent
+    consumes; at ``kill_batch`` arms the same mid-_commit SIGKILL
+    injection as crash_committer_worker, so the death happens during
+    real interleaved ingest→stream→ack traffic."""
+    import json as _json
+
+    from fstore_sql_spark import EventStore
+    from fstore_sql_spark.storage import ParquetStore
+
+    spark = _small_spark("soak-producer")
+    store = EventStore(spark, root)
+    batches = soak_batches(n_batches, batch_size)
+
+    orig_write_manifest = ParquetStore.write_manifest
+    orig_append_log = ParquetStore.append_log
+    orig_write_published = ParquetStore.write_published
+
+    def die():
+        os._exit(42)
+
+    def arm():
+        if kill_point == "before_manifest":
+            ParquetStore.write_manifest = lambda *a, **k: die()
+        elif kill_point == "after_manifest":
+
+            def _wm(self, table, manifest):
+                orig_write_manifest(self, table, manifest)
+                if table == "events":
+                    die()
+
+            ParquetStore.write_manifest = _wm
+        elif kill_point == "after_append":
+
+            def _al(self, table, df, cluster_by=None):
+                orig_append_log(self, table, df, cluster_by=cluster_by)
+                if table == "events":
+                    die()
+
+            ParquetStore.append_log = _al
+        elif kill_point == "after_publish":
+
+            def _wp(self, table, commit_id):
+                orig_write_published(self, table, commit_id)
+                if table == "events":
+                    die()
+
+            ParquetStore.write_published = _wp
+        else:
+            raise ValueError(kill_point)
+
+    done = []
+    for b, rows in enumerate(batches):
+        if b == kill_batch:
+            with open(out_path, "w", encoding="utf-8") as f:
+                _json.dump({"completed_batches": done, "armed": True}, f)
+            arm()
+        store.append_batch(rows)
+        done.append(b)
+        with open(out_path, "w", encoding="utf-8") as f:
+            _json.dump({"completed_batches": done, "armed": b >= kill_batch}, f)
+    # only reached when kill_batch >= n_batches (no-kill control run)
+    spark.stop()

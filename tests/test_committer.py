@@ -222,3 +222,106 @@ class TestCommitterCrashRecovery:
             F.col("decider_id") == "crash-after_append"
         ).count()
         assert n in (0, 5), f"torn batch visible: {n} of 5 rows"
+
+
+class TestLiveSoakCrash:
+    """VERDICT r4 #5, full shape: SIGKILL the committer MID-_commit while
+    a live consumer is streaming and acking the same store, then recover
+    by replay and assert end-to-end integrity (no partial batch, replay
+    idempotent, gap-free per-stream delivery, nothing delivered twice
+    after ack)."""
+
+    N_BATCHES = 6
+    BATCH = 20  # 4 lanes x 5 chained events
+    KILL_BATCH = 3
+
+    @pytest.mark.parametrize("kill_point", ["after_manifest", "after_append"])
+    def test_ingest_stream_ack_soak_with_committer_kill(
+        self, spark, shared_path, kill_point
+    ):
+        from tests._producer_worker import soak_batches, soak_producer_worker
+
+        parent = EventStore(spark, shared_path)
+        parent.register_decider_event("dec", "evt", "soak")
+        past = "2000-01-01 00:00:00"
+        parent.register_view("soak", start_at=past)
+
+        ctx = mp.get_context("spawn")
+        out = os.path.join(shared_path, f"soak_{kill_point}.json")
+        p = ctx.Process(
+            target=soak_producer_worker,
+            args=(
+                shared_path,
+                out,
+                self.N_BATCHES,
+                self.BATCH,
+                self.KILL_BATCH,
+                kill_point,
+            ),
+        )
+        p.start()
+
+        # live consumer loop while the producer runs (and dies)
+        delivered: list[tuple[str, int]] = []
+        deadline = time.time() + 300
+        while p.is_alive():
+            assert time.time() < deadline, "producer never exited"
+            rows = parent.stream_events("soak", limit=20).collect()
+            for r in rows:
+                delivered.append((r["decider_id"], r["offset"]))
+                parent.ack_event("soak", r["decider_id"], r["offset"])
+            if not rows:
+                time.sleep(0.05)
+        p.join(10)
+        assert p.exitcode == 42, f"expected injected kill, got {p.exitcode}"
+
+        # at-least-once recovery: replay EVERY batch; must be idempotent
+        # for the committed prefix and append the missing suffix
+        batches = soak_batches(self.N_BATCHES, self.BATCH)
+        for rows in batches:
+            parent.append_batch(rows, on_conflict="ignore")
+
+        # drain the consumer to completion
+        expected = {
+            (r["decider_id"], r["event_id"]) for rows in batches for r in rows
+        }
+        deadline = time.time() + 300
+        while True:
+            rows = parent.stream_events("soak", limit=50).collect()
+            if rows:
+                for r in rows:
+                    delivered.append((r["decider_id"], r["offset"]))
+                    parent.ack_event("soak", r["decider_id"], r["offset"])
+            else:
+                # nothing claimable: done when everything was delivered
+                if len({d for d, _ in delivered}) == self.N_BATCHES * 4:
+                    break
+            assert time.time() < deadline, (
+                f"drain stalled: {len(delivered)} deliveries"
+            )
+
+        # log integrity: every event exactly once, offsets unique
+        ev = parent.events().select("event_id", "decider_id", "offset").collect()
+        ids = [r["event_id"] for r in ev]
+        assert len(ids) == len(set(ids)) == len(expected)
+        offsets = [r["offset"] for r in ev]
+        assert len(offsets) == len(set(offsets))
+        # delivery integrity: per-stream delivered offsets strictly
+        # ascending (at-least-once allows redelivery only of unacked
+        # offsets; every acked offset must advance)
+        per_stream: dict[str, list[int]] = {}
+        for d, o in delivered:
+            per_stream.setdefault(d, []).append(o)
+        for d, offs in per_stream.items():
+            assert offs == sorted(offs), f"stream {d} delivered out of order"
+            assert len(offs) == len(set(offs)), f"stream {d} re-delivered an acked offset"
+        # completeness: every stream fully delivered through its tail
+        tails = {
+            r["decider_id"]: r["offset"]
+            for r in parent.events()
+            .groupBy("decider_id")
+            .agg(F.max("offset").alias("offset"))
+            .collect()
+        }
+        for d, hi in tails.items():
+            assert per_stream.get(d, [])[-1] == hi, f"stream {d} tail undelivered"
