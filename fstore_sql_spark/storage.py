@@ -213,7 +213,24 @@ class ParquetStore:
         df.write.mode("append").parquet(self._log_dir(table))
 
     def read_log(self, table: str, schema: StructType) -> DataFrame:
-        return self.spark.read.schema(schema).parquet(self._log_dir(table))
+        """Build a fresh DataFrame over the current log generation.
+
+        ``refreshByPath`` first: Spark caches directory LISTINGS
+        session-wide (FileStatusCache), and a SIBLING PROCESS's appended
+        files are invisible through a cached listing — the engine-level
+        `_PUBLISHED`-keyed invalidation rebuilds the DataFrame but the new
+        plan would list through the same stale cache, silently hiding the
+        sibling's batch (caught r5 by the pure-reader crash-recovery
+        test).  Same-process appends are safe either way (Spark's own
+        write commit invalidates the path).  read_log is called only on
+        cache rebuild, so the O(1) in-memory invalidation costs nothing
+        on the hot path."""
+        path = self._log_dir(table)
+        try:
+            self.spark.catalog.refreshByPath(path)
+        except Exception:
+            pass  # e.g. path not yet cached; never block a read on this
+        return self.spark.read.schema(schema).parquet(path)
 
     def log_file_count(self, table: str) -> int:
         return sum(

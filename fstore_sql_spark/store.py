@@ -252,6 +252,28 @@ class EventStore:
         (worse) skipping events (ADVICE r2, high).  One tiny file read
         per call."""
         commit = self.storage.read_published(_EVENTS)
+        # Orphaned-commit roll-forward for PURE READERS (r5): if every
+        # writer died between manifest advance and marker publish, the
+        # marker only moves again at the next committer-guard acquisition
+        # — which a read-only process never performs, leaving a complete
+        # on-disk batch invisible to it forever.  published < manifest is
+        # the tell; a NON-BLOCKING try_acquire disambiguates the two
+        # causes: acquired ⇒ no live committer exists (flock died with
+        # it) ⇒ roll the marker forward exactly as _committer_guard
+        # would; busy ⇒ a live committer is mid-append ⇒ normal, skip.
+        # Cost on the hot read path: one extra tiny file read, and the
+        # flock attempt only in the (rare) lag window.
+        if commit < self.storage.read_manifest(_EVENTS).commit_id and not getattr(
+            self._committer_depth, "n", 0
+        ):
+            if self._committer.try_acquire():
+                self._committer_depth.n = 1
+                try:
+                    self._recover_unpublished()
+                finally:
+                    self._committer_depth.n = 0
+                    self._committer.release()
+                commit = self.storage.read_published(_EVENTS)
         # the generation pointer catches a sibling's COMPACTION, which
         # rewrites the log layout without minting a commit id — a reader
         # keyed on the commit alone kept a plan over the old generation

@@ -208,20 +208,54 @@ class TestCommitterCrashRecovery:
         offsets2 = [r["offset"] for r in parent.events().select("offset").collect()]
         assert len(offsets2) == len(set(offsets2))
 
-    def test_visibility_before_replay(self, spark, shared_path):
-        """after_append: the batch is whole on disk but unpublished; a
-        sibling reader must NOT see a torn view, and the first guard
-        acquisition republishes it."""
+    def test_pure_reader_rolls_forward_orphaned_commit(self, spark, shared_path):
+        """after_append: the batch is whole on disk but unpublished and
+        every writer is dead.  A PURE READER (never appends) must still
+        see it: _refresh_external detects published < manifest, takes the
+        committer flock non-blocking (no live committer holds it), and
+        rolls the marker forward — never a torn view."""
         parent = EventStore(spark, shared_path)
         parent.register_decider_event("dec", "evt", "crash test")
         parent.append_event("evt", "seed-1", "dec", "seed", "{}")
         self._run_crash(shared_path, "after_append")
-        # fresh reader over the store path (no append yet)
+        # fresh reader over the store path — no append ever issued
         reader = EventStore(spark, shared_path)
         n = reader.events().filter(
             F.col("decider_id") == "crash-after_append"
         ).count()
-        assert n in (0, 5), f"torn batch visible: {n} of 5 rows"
+        assert n == 5, f"orphaned commit not recovered by reader: {n} of 5 rows"
+        # recovery published the marker durably
+        assert reader.storage.read_published("events") == (
+            reader.storage.read_manifest("events").commit_id
+        )
+
+    def test_reader_does_not_recover_while_committer_lives(self, spark, shared_path):
+        """The disambiguation arm: while a (simulated) live committer
+        holds the flock mid-append, a reader seeing published < manifest
+        must NOT roll forward (the batch may still be landing)."""
+        parent = EventStore(spark, shared_path)
+        parent.register_decider_event("dec", "evt", "crash test")
+        parent.append_event("evt", "seed-1", "dec", "seed", "{}")
+        # simulate a mid-append sibling: manifest advanced, marker not,
+        # flock HELD (by a second lock handle, as another process would)
+        from fstore_sql_spark.ledger import ProcessLock
+
+        m = parent.storage.read_manifest("events")
+        parent.storage.write_manifest(
+            "events", Manifest(max_offset=m.max_offset + 3, commit_id=m.commit_id + 1)
+        )
+        holder = ProcessLock(
+            os.path.join(parent.storage.root, "events_COMMITTER.lock")
+        )
+        assert holder.try_acquire()
+        try:
+            reader = EventStore(spark, shared_path)
+            reader.events().count()  # triggers _refresh_external
+            assert reader.storage.read_published("events") == m.commit_id, (
+                "reader rolled forward under a live committer"
+            )
+        finally:
+            holder.release()
 
 
 class TestLiveSoakCrash:

@@ -327,11 +327,24 @@ def test_refresh_keys_on_publish_marker_not_manifest(store, spark):
     seen = reader._seen_commit_id
 
     # simulate a sibling mid-append: manifest (allocation) advanced, no
-    # publish marker yet → the reader must NOT invalidate
+    # publish marker yet, committer flock HELD (a live committer always
+    # holds it as of r5 — without the flock this state is a CRASHED
+    # committer and the reader correctly rolls the marker forward, see
+    # test_pure_reader_rolls_forward_orphaned_commit) → the reader must
+    # NOT invalidate
+    import os as _os
+
+    from fstore_sql_spark.ledger import ProcessLock
+
     m = store.storage.read_manifest("events")
     store.storage.write_manifest("events", Manifest(m.max_offset + 1, m.commit_id + 7))
-    reader._refresh_external()
-    assert reader._seen_commit_id == seen  # untouched — still unpublished
+    holder = ProcessLock(_os.path.join(store.storage.root, "events_COMMITTER.lock"))
+    assert holder.try_acquire()
+    try:
+        reader._refresh_external()
+        assert reader._seen_commit_id == seen  # untouched — still unpublished
+    finally:
+        holder.release()
 
     # the append completes: marker advances → reader invalidates and sees it
     store.storage.write_manifest("events", m)  # restore
