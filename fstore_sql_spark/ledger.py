@@ -862,6 +862,9 @@ class ShardedLocksLedger:
         # (default) keeps every shard resident — correct for stores whose
         # partition count fits the driver comfortably.
         self.max_resident = max_resident
+        # A resize that crashed mid-rewrite left its staging export behind;
+        # finish it BEFORE any shard frame is loaded (see resize_shards).
+        _recover_resize(storage, table, self.n_shards)
         self.shards = [
             LocksLedger(storage, f"{table}_s{i:02d}", lazy=max_resident is not None)
             for i in range(self.n_shards)
@@ -1252,3 +1255,114 @@ class ShardedLocksLedger:
             with s.guard():
                 s.delete_view(view)
         self._evict_over_budget()
+
+
+# --------------------------------------------------------------------- #
+# Offline shard-count resize (r5).  The claim-tick scan is O(rows) per
+# visited shard (BASELINE.md tick-latency curve), so deployments growing
+# toward 10^8 partitions raise the shard count — but the count is pinned
+# into the on-disk layout (crc32 % N routing).  resize_shards re-routes
+# the whole consumer state into a new count, crash-safely:
+#
+#   1. export every row to a STAGING parquet (atomic replace, durable)
+#   2. rewrite all new-layout shard snapshots
+#   3. atomically replace the <table>_SHARDS marker
+#   4. delete staging
+#
+# The staging file is the recovery authority: any opener finding it
+# (crash between 1 and 4) rebuilds every shard of the CURRENT marker's
+# layout from it before touching shard state — so a crash before the
+# marker flip restores the old layout and a crash after it completes the
+# new one, idempotently.  Callers must QUIESCE the store first (stop
+# consumers/producers); the resize takes every old shard's flock plus a
+# dedicated resize lock to block stragglers, but a LIVE ledger instance
+# in another process would keep routing by the old count — this is a
+# maintenance-window operation, like re-sharding any keyed store.
+# --------------------------------------------------------------------- #
+
+
+def _resize_paths(storage, table: str) -> tuple[str, str]:
+    return (
+        os.path.join(storage.root, f"{table}_RESIZE_STAGING.parquet"),
+        os.path.join(storage.root, f"{table}_RESIZE.lock"),
+    )
+
+
+def _rebuild_shards(storage, table: str, n_shards: int, allrows: pd.DataFrame) -> None:
+    """Write a full snapshot of every shard 0..n_shards-1 from the staged
+    export (empty shards included — they must overwrite stale content)."""
+    shard = (
+        allrows["decider_id"].map(lambda d: shard_of(d, n_shards))
+        if len(allrows)
+        else pd.Series(dtype="int64")
+    )
+    for k in range(n_shards):
+        part = allrows[shard == k] if len(allrows) else allrows
+        t = f"{table}_s{k:02d}"
+        os.makedirs(os.path.join(storage.root, f"{t}_state"), exist_ok=True)
+        storage.write_state_pandas(t, part[_COLS])
+
+
+def _recover_resize(storage, table: str, n_shards: int) -> None:
+    """Finish a crashed resize: rebuild the current marker's layout from
+    the staging export, then clear it.  No-op when no staging exists."""
+    staging, lock_path = _resize_paths(storage, table)
+    if not os.path.exists(staging):
+        return
+    lock = ProcessLock(lock_path)
+    with lock.held(timeout_s=300):
+        if not os.path.exists(staging):  # a sibling finished recovery
+            return
+        allrows = pd.read_parquet(staging)
+        _rebuild_shards(storage, table, n_shards, allrows)
+        os.unlink(staging)
+
+
+def resize_shards(storage, table: str, new_n_shards: int) -> int:
+    """Re-shard the consumer-state ledger to ``new_n_shards`` (offline
+    maintenance — quiesce the store first; see module comment above).
+    Returns the new count."""
+    if new_n_shards < 1:
+        raise ValueError(f"new_n_shards must be >= 1: {new_n_shards}")
+    staging, lock_path = _resize_paths(storage, table)
+    lock = ProcessLock(lock_path)
+    with lock.held(timeout_s=300):
+        # finish any crashed predecessor before reading the layout
+        if os.path.exists(staging):
+            marker = os.path.join(storage.root, f"{table}_SHARDS")
+            with open(marker, encoding="utf-8") as f:
+                cur = int(f.read().strip())
+            _rebuild_shards(storage, table, cur, pd.read_parquet(staging))
+            os.unlink(staging)
+        old = ShardedLocksLedger(storage, table)
+        if old.n_shards == new_n_shards:
+            return new_n_shards
+        # quiesce stragglers: hold every old shard's flock for the duration
+        for s in old.shards:
+            s._plock.acquire(timeout_s=300)
+        try:
+            old.refresh()
+            allrows = old.to_pandas()
+            # 1. durable staging export (atomic publish)
+            tmp = f"{staging}.tmp.{os.getpid()}"
+            allrows.to_parquet(tmp)
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, staging)
+            # 2. rewrite the new layout's shards
+            _rebuild_shards(storage, table, new_n_shards, allrows)
+            # 3. commit: atomic marker replace
+            marker = os.path.join(storage.root, f"{table}_SHARDS")
+            mtmp = f"{marker}.tmp.{os.getpid()}"
+            with open(mtmp, "w", encoding="utf-8") as f:
+                f.write(str(new_n_shards))
+            os.replace(mtmp, marker)
+            # 4. staging no longer needed
+            os.unlink(staging)
+        finally:
+            for s in old.shards:
+                s._plock.release()
+    return new_n_shards

@@ -963,3 +963,81 @@ class TestShardPaging:
             f"\nledger bytes/partition={per_row:.1f} "
             f"resident_bytes={ledger.resident_bytes():,} budget={budget:,}"
         )
+
+
+class TestShardResize:
+    """Offline shard-count resize (r5): crc32 % N routing is pinned into
+    the layout, so growing the count is a re-shard — must preserve every
+    row, re-route exactly, survive a crash at any point (staging file is
+    the recovery authority), and leave a working claim path."""
+
+    def _seed(self, root, n=300):
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        rows = seed_rows("v", n)
+        ledger.insert_missing(rows)
+        # make some consumer progress so state isn't uniform
+        hwm = hwm_frame(n)
+        now = now_utc()
+        got = ledger.claim("v", hwm, 40, now, now + timedelta(seconds=300))
+        ledger.ack("v", [(d, lo + 1) for d, lo in got], now)
+        return ledger.to_pandas().sort_values(["view", "decider_id"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("new_n", [16, 3])
+    def test_resize_preserves_state_and_claims(self, root, new_n):
+        from fstore_sql_spark.ledger import resize_shards, shard_of
+
+        before = self._seed(root)
+        storage = ParquetStore(None, root)
+        assert resize_shards(storage, "locks", new_n) == new_n
+        reopened = ShardedLocksLedger(storage)
+        assert reopened.n_shards == new_n
+        after = reopened.to_pandas().sort_values(["view", "decider_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+        # routing: every row sits in its crc32 % new_n shard
+        for k, s in enumerate(reopened.shards):
+            for d in s.to_pandas()["decider_id"]:
+                assert shard_of(d, new_n) == k
+        # the claim path still works and respects prior acks
+        hwm = hwm_frame(300)
+        now = now_utc()
+        got = reopened.claim("v", hwm, 25, now, now + timedelta(seconds=300))
+        assert len(got) == 25
+        acked = set(before[before.last_offset > 0]["decider_id"])
+        for d, lo in got:
+            if d in acked:
+                assert lo >= 1, "resize lost an ack"
+
+    def test_resize_same_count_is_noop(self, root):
+        from fstore_sql_spark.ledger import resize_shards
+
+        before = self._seed(root)
+        storage = ParquetStore(None, root)
+        assert resize_shards(storage, "locks", 8) == 8
+        after = (
+            ShardedLocksLedger(storage)
+            .to_pandas()
+            .sort_values(["view", "decider_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
+
+    def test_crashed_resize_recovers_from_staging(self, root):
+        """Simulate a crash mid-rewrite: staging exists, one shard's state
+        already scrambled.  The next opener must rebuild every shard of
+        the current layout from staging and clear it."""
+        before = self._seed(root)
+        storage = ParquetStore(None, root)
+        # scramble shard 0 as a half-finished rewrite would (no ledger
+        # construction here — that would itself run recovery), THEN plant
+        # the staging export a crashed resize leaves behind
+        storage.write_state_pandas("locks_s00", before.head(1))
+        staging = os.path.join(root, "locks_RESIZE_STAGING.parquet")
+        before.to_parquet(staging)
+        reopened = ShardedLocksLedger(storage)
+        assert not os.path.exists(staging), "staging not cleared"
+        after = (
+            reopened.to_pandas()
+            .sort_values(["view", "decider_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
