@@ -62,7 +62,14 @@ class ConcurrentCommitError(OptimisticLockError):
     filesystem lacks flock semantics).  The Delta-style commit conflict
     (SURVEY.md §3.3); the reference surfaces the same race as a UNIQUE
     violation on ``previous_id`` (/root/reference/schema.sql:43-44).
-    Retry the batch: validation will re-run against the winner's log."""
+    Retry the batch: validation will re-run against the winner's log.
+
+    Guarantee boundary (VERDICT r5): the committer FLOCK is the actual
+    mutual-exclusion guarantee; this CAS is DETECTION, and its
+    read-check → write_manifest window is not itself atomic — on a
+    filesystem without flock semantics (some NFS mounts) the CAS alone
+    does not close the race, it only makes most interleavings fail
+    loudly.  Run the store on a filesystem with POSIX flock."""
 
     def __init__(self, expected: int, found: int):
         FStoreError.__init__(
@@ -120,6 +127,21 @@ class UnregisteredSchemaError(FStoreError):
                 f"no payload schema registered for event {event!r} "
                 f"version {event_version} (present in the log)"
             )
+
+
+class SchemaEvolutionError(FStoreError):
+    """A new payload schema version retypes or narrows an existing field
+    (or declares an invalid rename) relative to the previous version —
+    evolution is restricted to add / rename / numeric-widen so every old
+    row upcasts losslessly (``typed_payload.validate_evolution``)."""
+
+    def __init__(self, event: str, event_version: int, problems: "list[str]"):
+        detail = "; ".join(problems)
+        super().__init__(
+            f"invalid schema evolution for ({event!r}, version {event_version}): "
+            f"{detail} — allowed changes are new fields, explicit renames "
+            "(renamed_from), and numeric widening"
+        )
 
 
 class DuplicateSchemaError(FStoreError):

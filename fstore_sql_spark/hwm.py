@@ -1,0 +1,340 @@
+"""ShardedHwm — sharded, paged, disk-backed per-partition high-watermark.
+
+Why this exists (VERDICT r5 #1): the claim path needs, per partition, the
+log's max offset + final flag ("the derived half of the reference's T6
+dual-write", /root/reference/schema.sql:240-263).  Through r5 that was ONE
+driver-resident pandas frame (``EventStore._hwm_pandas``), 76 B/partition,
+always fully resident once any claim materialized it — the last unbounded
+driver-resident structure (at 10⁸ partitions ≈ 7.6 GB with no budget
+knob).  This module gives the watermark the SAME treatment the locks
+ledger got in r4/r5:
+
+- **Sharded by ``crc32(decider_id) % n_shards``** — the exact routing of
+  ``ShardedLocksLedger`` (verified Spark ``F.crc32`` ≡ ``zlib.crc32``), so
+  ledger shard k's eligibility scan needs ONLY hwm shard k: the fused
+  claim tick touches one ledger shard + one hwm shard, never the whole
+  table.
+- **Disk-backed in the ParquetStore state layout** (``hwm_s{k:02d}_state``
+  snapshots + per-commit deltas + a ``hwm_META.json`` validity tag): an
+  evicted shard reloads with a pyarrow read, NOT a Spark aggregation over
+  the log, and a sibling consumer PROCESS freeloads the committer's
+  maintained watermark instead of recomputing the full aggregate after
+  every external commit.
+- **LRU budget** (``max_resident`` shards): total driver residency of a
+  paged store is O(active shards) for ledger AND hwm — closing the table
+  in BASELINE.md that still carried an O(#partitions) hwm term.
+
+Consistency contract: ``hwm_META.json`` holds the PUBLISHED log commit id
+the state tables collectively reflect; the invariant "meta == C ⟹ every
+shard table equals the watermark of commit C" is maintained under a
+dedicated ProcessLock (``hwm_STATE.lock``) by exactly two writers —
+``merge_batch`` (the committer folding its own batch's aggregate, one tiny
+delta per touched shard) and ``_rebuild`` (a full Spark recompute +
+partitioned write, run by whichever process first finds the meta stale).
+``merge_batch`` refuses to advance a stale meta (it cannot know what the
+missing commits touched), so the invariant can never be silently violated;
+readers whose view races a sibling's publish by microseconds may serve a
+slightly NEWER watermark than their log cache — the claim path tolerates
+that (a claim with no readable event is released immediately, see
+``EventStore.stream_events``).
+
+Scale: rebuild is one shuffle + a partitioned parquet write (no
+O(#partitions) driver collect — the old design's hidden spike); steady
+single-committer ingest+deliver costs one arrow delta write per touched
+shard per commit and zero reloads; per-shard chains compact every
+``COMPACT_EVERY`` deltas, bounding cold reloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.ledger import ProcessLock, shard_of
+
+_HWM_COLS = ["decider_id", "offset", "offset_final"]
+
+
+def _empty_hwm() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "decider_id": pd.Series(dtype="object"),
+            "offset": pd.Series(dtype="int64"),
+            "offset_final": pd.Series(dtype="bool"),
+        }
+    ).set_index("decider_id")
+
+
+def _norm_hwm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[_HWM_COLS].copy()
+    if str(pdf["offset"].dtype) != "int64":
+        pdf["offset"] = pdf["offset"].astype("int64")
+    if str(pdf["offset_final"].dtype) != "bool":
+        pdf["offset_final"] = pdf["offset_final"].astype("bool")
+    return pdf.set_index("decider_id").sort_index()
+
+
+class ShardedHwm:
+    """See module doc.  All in-memory access is serialized by the store's
+    commit lock (one ShardedHwm per EventStore); cross-process safety is
+    the ``hwm_STATE.lock`` flock + atomic snapshot/meta publishes."""
+
+    # per-shard delta-chain length that triggers a full-snapshot fold
+    COMPACT_EVERY = 64
+
+    def __init__(self, storage, spark, n_shards: int, events_fn, max_resident=None):
+        self.storage = storage
+        self.spark = spark
+        self.n_shards = n_shards
+        self._events_fn = events_fn  # () -> events DataFrame (cached log)
+        self.max_resident = max_resident
+        self._frames: dict[int, pd.DataFrame] = {}
+        self._versions: dict[int, int] = {}
+        self._use_clock = 0
+        self._last_use: dict[int, int] = {}
+        # the published commit id our STATE VIEW reflects; None = never
+        # materialized (claim path not used yet — appends skip merge_batch)
+        self._synced_commit: "int | None" = None
+        self._meta_path = os.path.join(storage.root, "hwm_META.json")
+        self._plock = ProcessLock(os.path.join(storage.root, "hwm_STATE.lock"))
+        # observability: how often the expensive path ran (tests assert
+        # steady-state ingest+deliver does NOT re-aggregate the log)
+        self.rebuild_count = 0
+
+    def _table(self, k: int) -> str:
+        return f"hwm_s{k:02d}"
+
+    # ---- meta ---------------------------------------------------------- #
+
+    def _read_meta(self) -> "int | None":
+        try:
+            with open(self._meta_path, encoding="utf-8") as f:
+                return int(json.load(f)["commit_id"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_meta(self, commit_id: int) -> None:
+        tmp = f"{self._meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"commit_id": int(commit_id)}, f)
+        os.replace(tmp, self._meta_path)
+
+    # ---- lifecycle ----------------------------------------------------- #
+
+    def is_active(self) -> bool:
+        return self._synced_commit is not None
+
+    def sync(self, commit_id: int) -> None:
+        """Make the watermark view reflect published commit ``commit_id``
+        (the store's ``_seen_commit_id`` — the same snapshot its cached
+        log serves).  Fast path: already synced — zero IO.  Sibling-
+        maintained path: meta matches on disk — drop only the shards
+        whose state version moved (they reload lazily).  Stale path: one
+        process rebuilds from the log under the hwm lock; everyone else
+        blocks briefly on the flock, then reloads."""
+        commit_id = int(commit_id)
+        if self._synced_commit == commit_id:
+            return
+        meta = self._read_meta()
+        if meta is not None and meta >= commit_id:
+            # disk is current (or microseconds NEWER than our log view —
+            # tolerated, see module doc): keep resident shards whose
+            # version didn't move, drop the rest
+            self._drop_moved_shards()
+            self._synced_commit = commit_id
+            return
+        with self._plock.held(timeout_s=600):
+            meta = self._read_meta()
+            if meta is None or meta < commit_id:
+                self._rebuild(commit_id)
+        self._frames.clear()
+        self._versions.clear()
+        self._synced_commit = commit_id
+
+    def _drop_moved_shards(self) -> None:
+        for k in list(self._frames):
+            if self.storage.state_version(self._table(k)) != self._versions.get(k):
+                self._frames.pop(k, None)
+                self._versions.pop(k, None)
+
+    def invalidate(self) -> None:
+        """Force re-validation against the meta on next access."""
+        self._frames.clear()
+        self._versions.clear()
+        self._synced_commit = None
+
+    def _rebuild(self, commit_id: int) -> None:
+        """Full recompute (called under the hwm lock): ONE Spark
+        aggregation over the log, written as a shard-partitioned parquet
+        staging and ADOPTED dir-by-dir into the state layout — the
+        watermark never funnels through the driver (the pre-r6
+        ``toPandas`` materialization spiked O(#partitions) driver RSS)."""
+        self.rebuild_count += 1
+        ev = self._events_fn()
+        shard = F.pmod(
+            F.crc32(F.col("decider_id").cast("binary")), F.lit(self.n_shards)
+        ).cast("int")
+        hwm = (
+            ev.groupBy("decider_id")
+            .agg(
+                F.max("offset").alias("offset"),
+                F.max_by("final", "offset").alias("offset_final"),
+            )
+            .withColumn("shard", shard)
+        )
+        staging = os.path.join(self.storage.root, f"hwm_REBUILD.tmp.{os.getpid()}")
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            (
+                hwm.repartition(self.n_shards, "shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(staging)
+            )
+            for k in range(self.n_shards):
+                src = os.path.join(staging, f"shard={k}")
+                if os.path.isdir(src):
+                    self.storage.adopt_state_dir(self._table(k), src)
+                else:  # no partitions routed here: explicit empty snapshot
+                    self.storage.write_state_pandas(
+                        self._table(k), _empty_hwm().reset_index()
+                    )
+            self._write_meta(commit_id)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- committer incremental maintenance ----------------------------- #
+
+    def merge_batch(self, batch: pd.DataFrame, prev_commit: int, new_commit: int) -> None:
+        """Fold one committed batch's per-partition aggregate (index
+        decider_id; columns offset, offset_final) into the watermark:
+        in-memory merge for resident shards + one arrow delta per touched
+        shard + the meta bump — so steady ingest+deliver never
+        re-aggregates the log.  Refuses (and marks itself stale) when the
+        on-disk meta isn't exactly ``prev_commit``: advancing a meta whose
+        missing commits this batch doesn't cover would break the
+        meta-invariant (module doc)."""
+        if batch.empty:
+            # a sibling's rebuild can hold the lock for a full Spark job
+            with self._plock.held(timeout_s=600):
+                if self._read_meta() == int(prev_commit):
+                    self._write_meta(new_commit)
+                    self._synced_commit = int(new_commit)
+                    return
+            self.invalidate()
+            return
+        pdf = batch.reset_index()
+        shards = pdf["decider_id"].map(lambda d: shard_of(d, self.n_shards))
+        with self._plock.held(timeout_s=600):
+            if self._read_meta() != int(prev_commit):
+                self.invalidate()
+                return
+            for k, part in pdf.groupby(shards):
+                k = int(k)
+                table = self._table(k)
+                rows = part[_HWM_COLS].copy()
+                rows["_deleted"] = False
+                v = self.storage.write_state_delta(table, rows)
+                if k in self._frames:
+                    add = _norm_hwm(part)
+                    kept = self._frames[k].drop(index=add.index, errors="ignore")
+                    self._frames[k] = pd.concat([kept, add]).sort_index()
+                    self._versions[k] = v
+                if self.storage.state_delta_chain(table) >= self.COMPACT_EVERY:
+                    frame = self._frames.get(k)
+                    if frame is None:
+                        frame = self._load_frame(k)
+                    self._versions[k] = self.storage.write_state_pandas(
+                        table, frame.reset_index()[_HWM_COLS]
+                    )
+                    if k in self._frames:
+                        self._frames[k] = frame
+            self._write_meta(new_commit)
+        self._synced_commit = int(new_commit)
+        self._evict_over_budget()
+
+    # ---- paging -------------------------------------------------------- #
+
+    def _note_use(self, k: int) -> None:
+        self._use_clock += 1
+        self._last_use[k] = self._use_clock
+
+    def _evict_over_budget(self) -> None:
+        if self.max_resident is None:
+            return
+        resident = list(self._frames)
+        over = len(resident) - self.max_resident
+        if over <= 0:
+            return
+        resident.sort(key=lambda k: self._last_use.get(k, -1))
+        for k in resident[:over]:
+            self._frames.pop(k, None)
+            self._versions.pop(k, None)
+
+    def resident_shards(self) -> int:
+        return len(self._frames)
+
+    def resident_bytes(self) -> int:
+        """Driver-resident watermark bytes across loaded shard frames
+        (deep — strings counted); the number BASELINE.md's scale-ceiling
+        table pins."""
+        return sum(
+            int(f.memory_usage(deep=True).sum())
+            for f in self._frames.values()
+            if len(f)
+        )
+
+    # ---- reads --------------------------------------------------------- #
+
+    def _load_frame(self, k: int) -> pd.DataFrame:
+        table = self._table(k)
+        if self.storage.state_version(table) < 0:
+            return _empty_hwm()
+        pdf = self.storage.read_state_pandas(table, key_cols=["decider_id"])
+        return _norm_hwm(pdf) if len(pdf) else _empty_hwm()
+
+    def for_shard(self, k: int) -> pd.DataFrame:
+        """Shard k's watermark frame (index decider_id; columns offset,
+        offset_final) — the claim path's per-shard read.  Loads from the
+        state layout on a miss; LRU-evicts over budget."""
+        f = self._frames.get(k)
+        if f is None:
+            f = self._load_frame(k)
+            self._frames[k] = f
+            self._versions[k] = self.storage.state_version(self._table(k))
+        self._note_use(k)
+        self._evict_over_budget()
+        return f
+
+    def full(self) -> pd.DataFrame:
+        """The whole watermark as one sorted frame — the O(#partitions)
+        read surface behind ``locks()`` and the T7 backfill (the RESULT is
+        full-table by contract; resident shard frames still respect the
+        budget via the rolling evict in ``for_shard``)."""
+        parts = [self.for_shard(k) for k in range(self.n_shards)]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _empty_hwm()
+        return pd.concat(parts).sort_index()
+
+    def lookup(self, decider_ids: "list[str]") -> pd.DataFrame:
+        """Watermark rows for specific partitions — touches only their
+        shards (the RETURNING-clause path on a paged store must not fault
+        in the whole table)."""
+        by_shard: dict[int, list[str]] = {}
+        for d in decider_ids:
+            by_shard.setdefault(shard_of(d, self.n_shards), []).append(d)
+        parts = []
+        for k, ids in by_shard.items():
+            f = self.for_shard(k)
+            if len(f):
+                hit = f.loc[f.index.intersection(ids)]
+                if len(hit):
+                    parts.append(hit)
+        if not parts:
+            return _empty_hwm()
+        return pd.concat(parts).sort_index()

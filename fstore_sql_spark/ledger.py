@@ -47,14 +47,18 @@ semantics, and delta-spark is not installable here.)
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 import time
 import zlib
+from collections import deque
 from contextlib import contextmanager
 from datetime import datetime
 
 import pandas as pd
+
+logger = logging.getLogger("fstore_sql_spark.ledger")
 
 _COLS = ["view", "decider_id", "last_offset", "locked_until", "created_at", "updated_at"]
 
@@ -317,7 +321,11 @@ class LocksLedger:
         + INDEXED replay of the tail deltas (the positional
         :meth:`_apply_delta`, ~50x the unindexed ``apply_state_delta``
         the generic ``read_state_pandas`` path pays per delta — this is
-        the first-visit-to-a-busy-shard cost for concurrent consumers)."""
+        the first-visit-to-a-busy-shard cost for concurrent consumers).
+        An evict-cache spill (see :meth:`evict`) short-circuits all of it
+        when this process recently held the frame."""
+        if self._try_evict_cache(disk):
+            return
         try:
             base_v = self.storage.latest_full_state_version(self.table)
             if base_v < 0:
@@ -533,10 +541,69 @@ class LocksLedger:
         the next use reloads from the (flushed) disk snapshot.  Callable
         only OUTSIDE the guard — mutators flush before releasing, so a
         dirty frame here means a caller bug and the evict is refused
-        rather than dropping unflushed consumer progress."""
+        rather than dropping unflushed consumer progress.
+
+        Before dropping, the PARSED frame is spilled to a version-tagged
+        Arrow IPC evict-cache (r6, VERDICT r5 #2): a re-visit then pays
+        one mmap read + the delta tail SINCE the tag, instead of the full
+        parquet snapshot + up-to-COMPACT_EVERY delta replay — the cost
+        that made a paged drain 0.59x of unpaged (BASELINE.md).  Best
+        effort: any failure just falls back to the snapshot path."""
         if self._dirty:
             return
+        if self.resident and self._version >= 0 and len(self._df):
+            try:
+                self._write_evict_cache()
+            except Exception:  # noqa: BLE001 — cache only, never blocks evict
+                pass
         self._invalidate()
+
+    def _evict_cache_path(self) -> str:
+        return os.path.join(self.storage._state_dir(self.table), "_EVICT.arrow")
+
+    def _write_evict_cache(self) -> None:
+        if getattr(self, "_evict_cache_version", None) == self._version:
+            return  # frame unchanged since the last spill
+        import pyarrow as pa
+
+        t = pa.Table.from_pandas(self._df.reset_index(), preserve_index=False)
+        t = t.replace_schema_metadata({b"ledger_version": str(self._version).encode()})
+        path = self._evict_cache_path()
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        os.replace(tmp, path)  # atomic; no fsync — cache only
+        self._evict_cache_version = self._version
+
+    def _try_evict_cache(self, disk: int) -> bool:
+        """Reload from the evict-cache if its tag is close enough to the
+        disk version for a delta-tail replay; False → caller takes the
+        full snapshot path."""
+        import pyarrow as pa
+
+        try:
+            with pa.memory_map(self._evict_cache_path()) as m:
+                t = pa.ipc.open_file(m).read_all()
+        except Exception:  # noqa: BLE001 — absent/torn/foreign: fall back
+            return False
+        meta = t.schema.metadata or {}
+        try:
+            v = int(meta.get(b"ledger_version", b"?"))
+        except ValueError:
+            return False
+        if v > disk or disk - v > self.COMPACT_EVERY:
+            return False
+        tail = []
+        if v < disk:
+            tail = self.storage.read_state_deltas(self.table, v, disk)
+            if tail is None:
+                return False
+        pdf = t.to_pandas()
+        self._df = _normalize(pdf) if len(pdf) else _empty_frame()
+        for dpdf in tail:
+            self._apply_delta(dpdf)
+        self._chain_len = self.storage.state_delta_chain(self.table)
+        return True
 
     def refresh(self) -> None:
         """Lock-free read freshness: reload the frame if a sibling process
@@ -770,8 +837,21 @@ class LocksLedger:
 
 def shard_of(decider_id: str, n_shards: int) -> int:
     """Stable cross-process shard routing (builtin ``hash`` is per-process
-    randomized and must never be used here)."""
+    randomized and must never be used here).  Spark-side parity:
+    ``pmod(crc32(cast(decider_id as binary)), n_shards)`` computes the
+    same value (verified — standard CRC-32), which is what lets the
+    sharded hwm rebuild route partitions executor-side (hwm.py)."""
     return zlib.crc32(decider_id.encode("utf-8")) % n_shards
+
+
+def _shard_hwm(hwm, k: int) -> pd.DataFrame:
+    """Resolve the watermark for shard ``k``: a ``ShardedHwm`` serves its
+    per-shard frame (r6 — the fused tick then touches one ledger shard +
+    one hwm shard); a plain whole-table pandas frame (tests, tools,
+    pre-r6 callers) is used as-is for every shard — correct because a
+    shard's ``_eligible_scan`` only probes its own decider ids."""
+    fs = getattr(hwm, "for_shard", None)
+    return fs(k) if fs is not None else hwm
 
 
 class ShardedLocksLedger:
@@ -843,6 +923,32 @@ class ShardedLocksLedger:
     # claims between fairness-probe ticks (see _fairness_probe): lower
     # = tighter starvation bound, higher = more shard affinity
     FAIRNESS_EVERY = 8
+    # Sizing rule (r6, VERDICT r5 #3, from the BASELINE.md tick-latency
+    # curve: the per-tick eligibility scan is O(shard rows); ~2.5k
+    # rows/shard ticks at ~5ms, ~125k at ~42ms): keep shards at or under
+    # TARGET_ROWS_PER_SHARD rows for a low-double-digit-ms p95 tick.
+    TARGET_ROWS_PER_SHARD = 32_768
+    MAX_SHARDS = 4096
+    # rolling p95 tick latency above this emits the one-line resize
+    # warning (see ack_and_claim) — the curve says a healthy shard count
+    # stays well under it
+    TICK_P95_WARN_S = 0.050
+    TICK_WINDOW = 128  # ticks in the rolling latency window
+
+    @classmethod
+    def shards_for(cls, expected_partitions: int) -> int:
+        """Initial shard count for an expected partition cardinality:
+        next power of two keeping shards ≤ TARGET_ROWS_PER_SHARD rows,
+        clamped to [DEFAULT_SHARDS, MAX_SHARDS].  Only consulted when a
+        store is CREATED (the count pins into the layout); growing later
+        is ``tools/resize_shards.py``."""
+        n = cls.DEFAULT_SHARDS
+        while (
+            n < cls.MAX_SHARDS
+            and expected_partitions / n > cls.TARGET_ROWS_PER_SHARD
+        ):
+            n *= 2
+        return n
 
     def __init__(
         self,
@@ -850,9 +956,18 @@ class ShardedLocksLedger:
         table: str = "locks",
         n_shards: int | None = None,
         max_resident: int | None = None,
+        expected_partitions: int | None = None,
     ):
         self.table = table
-        self.n_shards = self._pin_shard_count(storage, table, n_shards)
+        hint = None
+        if n_shards is None and expected_partitions is not None:
+            # a HINT, not a pin: only consulted when this open CREATES
+            # the layout; an existing marker wins (and, unlike an
+            # explicit n_shards, a mismatching hint is not an error —
+            # two racing first-openers with different hints just adopt
+            # the winner's count)
+            hint = self.shards_for(int(expected_partitions))
+        self.n_shards = self._pin_shard_count(storage, table, n_shards, hint)
         # LRU shard paging (VERDICT r4 #2): with ``max_resident`` set,
         # at most that many shard frames stay loaded on the driver —
         # resident memory is O(active shards), not O(#partitions).  The
@@ -882,10 +997,18 @@ class ShardedLocksLedger:
         # shard -> last observed claim stamp: the live-sibling detector
         # (see _fairness_probe)
         self._fairness_stamp: dict[int, tuple | None] = {}
+        # rolling tick-latency window for the operational resize warning
+        # (r6, VERDICT r5 #3): shard count binds tick latency, the count
+        # is pinned into the layout, and nothing used to tell an operator
+        # the store had outgrown it until they read BASELINE.md
+        self._tick_lat: deque = deque(maxlen=self.TICK_WINDOW)
+        self._tick_warned_at = 0.0
         self._maybe_migrate_legacy(storage)
 
     @staticmethod
-    def _pin_shard_count(storage, table: str, requested: int | None) -> int:
+    def _pin_shard_count(
+        storage, table: str, requested: int | None, hint: int | None = None
+    ) -> int:
         import re
         import uuid as _uuid
 
@@ -906,7 +1029,7 @@ class ShardedLocksLedger:
             if found:
                 n = max(found) + 1
             else:
-                n = requested or ShardedLocksLedger.DEFAULT_SHARDS
+                n = requested or hint or ShardedLocksLedger.DEFAULT_SHARDS
             # Atomic first-writer-wins publish: hard-link the fully
             # written tmp into place.  os.link fails with EEXIST when a
             # concurrent opener already published, so two first-openers
@@ -993,29 +1116,62 @@ class ShardedLocksLedger:
 
     def refresh(self) -> None:
         """Bring EVERY shard current — the O(#partitions) read surface
-        behind the reference-shaped ``locks()`` view.  On a paged store
-        this transiently exceeds the residency budget (inherent: the
-        caller asked for the full table); the next mutator tick evicts
-        back to budget."""
+        behind the reference-shaped ``locks()`` view.  Re-enforces the
+        residency budget afterwards (ADVICE r5): a READ-ONLY process
+        (e.g. a monitor polling ``locks()``) never runs a mutator tick,
+        so without the trailing evict its full-table reads would keep
+        the entire ledger resident indefinitely on a paged store."""
         for k, s in enumerate(self.shards):
             s.refresh()
             self._note_use(k)
+        self._evict_over_budget()
 
     def _ensure_resident(self, k: int) -> "LocksLedger":
+        """Load (evicted/lazy) or freshen (resident-but-stale) one shard.
+        Always a version-pointer check — one tiny file read — so
+        ``to_pandas``/``count`` serve sibling-flushed state without the
+        caller issuing a separate full refresh first."""
         s = self.shards[k]
-        if not s.resident:  # evicted/lazy shard: load before reading
-            s.refresh()
-            self._note_use(k)
+        s.refresh()
+        self._note_use(k)
         return s
 
     def to_pandas(self) -> pd.DataFrame:
-        return pd.concat(
-            [self._ensure_resident(k).to_pandas() for k in range(self.n_shards)],
-            ignore_index=True,
-        )
+        # Shard-at-a-time with a rolling evict: the RESULT is O(#rows) by
+        # contract (the caller asked for the full table), but the resident
+        # shard frames stay within budget+1 even during the read — and are
+        # back under budget when it returns (ADVICE r5).
+        frames = []
+        for k in range(self.n_shards):
+            frames.append(self._ensure_resident(k).to_pandas())
+            self._evict_over_budget()
+        return pd.concat(frames, ignore_index=True)
 
     def count(self) -> int:
-        return sum(self._ensure_resident(k).count() for k in range(self.n_shards))
+        n = 0
+        for k in range(self.n_shards):
+            n += self._ensure_resident(k).count()
+            self._evict_over_budget()
+        return n
+
+    def rows_for(self, view: str, decider_ids: "list[str]") -> pd.DataFrame:
+        """State rows for specific (view, decider_id) keys — touches only
+        their shards (the RETURNING-clause path on a paged store must not
+        fault in the whole ledger).  Missing keys are simply absent, like
+        an UPDATE matching zero rows."""
+        by_shard: dict[int, list[str]] = {}
+        for d in decider_ids:
+            by_shard.setdefault(shard_of(d, self.n_shards), []).append(d)
+        parts = []
+        for k, ids in by_shard.items():
+            s = self._ensure_resident(k)
+            pos = s._positions_of([(view, d) for d in ids])
+            if pos:
+                parts.append(s._df.take(sorted(pos)).reset_index()[_COLS])
+        self._evict_over_budget()
+        if not parts:
+            return _empty_frame().reset_index()[_COLS]
+        return pd.concat(parts, ignore_index=True)
 
     # ---- mutators (self-guarding) ------------------------------------ #
 
@@ -1091,12 +1247,13 @@ class ShardedLocksLedger:
             if key != prev and stamp and view in stamp.get("views", ()):
                 return []  # live consumer progressing OUR view here: defer
             s.refresh()  # orphaned for this view: sync once (claim re-verifies)
-        if not s.has_eligible(view, hwm, now):
+        hwm_k = _shard_hwm(hwm, k)
+        if not s.has_eligible(view, hwm_k, now):
             return []
         with s.try_guard() as held:
             if not held:
                 return []  # busy right now — certainly not starved
-            got = s.claim(view, hwm, 1, now, lease_until)
+            got = s.claim(view, hwm_k, 1, now, lease_until)
         if got:
             # our own claim just bumped the stamp (flush on guard exit);
             # record the post-flush value so the next probe of this shard
@@ -1121,6 +1278,7 @@ class ShardedLocksLedger:
         non-blocking pass skipped them.  Claims are OPPORTUNISTIC (SKIP
         LOCKED), with one blocking retry only when the whole walk
         claimed nothing but skipped a busy candidate shard."""
+        tick_t0 = time.perf_counter()
         limit = int(limit)
         pending: dict[int, list[tuple[str, int]]] = {}
         for d, o in acks:
@@ -1155,6 +1313,8 @@ class ShardedLocksLedger:
             shard_acks = pending.get(k)
             if shard_acks is not None:
                 self._note_use(k)
+            hwm_k = None  # resolved lazily: an ack-only visit with no
+            # claim budget never needs (or faults in) the hwm shard
             if shard_acks is None:
                 if want <= 0:
                     continue
@@ -1164,10 +1324,11 @@ class ShardedLocksLedger:
                 # only when the stale frame shows nothing claimable.
                 # Walking past a shard a sibling fully drained then
                 # costs one refresh on first visit and nothing after.
-                if not s.has_eligible(view, hwm, now):
+                hwm_k = _shard_hwm(hwm, k)
+                if not s.has_eligible(view, hwm_k, now):
                     s.refresh()
                     self._note_use(k)
-                    if not s.has_eligible(view, hwm, now):
+                    if not s.has_eligible(view, hwm_k, now):
                         continue
             with s.try_guard() as held:
                 if not held:
@@ -1179,7 +1340,9 @@ class ShardedLocksLedger:
                     s.ack(view, shard_acks, now)
                     pending.pop(k)
                 if want > 0:
-                    res = s.claim(view, hwm, want, now, lease_until)
+                    if hwm_k is None:
+                        hwm_k = _shard_hwm(hwm, k)
+                    res = s.claim(view, hwm_k, want, now, lease_until)
                     if res and not got:
                         self._sticky = k  # first yielding shard = next tick's start
                     got.extend(res)
@@ -1196,14 +1359,48 @@ class ShardedLocksLedger:
                 s = self.shards[k]
                 self._note_use(k)
                 with s.guard():
-                    res = s.claim(view, hwm, limit - len(got), now, lease_until)
+                    res = s.claim(
+                        view, _shard_hwm(hwm, k), limit - len(got), now, lease_until
+                    )
                 if res:
                     self._sticky = k
                     got.extend(res)
                 if len(got) >= limit:
                     break
         self._evict_over_budget()
+        self._note_tick_latency(time.perf_counter() - tick_t0)
         return got
+
+    def _note_tick_latency(self, dt: float) -> None:
+        """The shard-sizing early-warning (r6, VERDICT r5 #3): when the
+        rolling p95 ``ack_and_claim`` latency crosses TICK_P95_WARN_S —
+        the tick-latency curve's tell that partitions-per-shard outgrew
+        the layout — log ONE actionable line naming the fix.  Re-warns at
+        most hourly; latency sampling costs a deque append per tick and a
+        128-float sort every 16th."""
+        self._tick_lat.append(dt)
+        if len(self._tick_lat) < self.TICK_WINDOW or len(self._tick_lat) % 16:
+            return
+        lat = sorted(self._tick_lat)
+        p95 = lat[int(len(lat) * 0.95)]
+        if p95 < self.TICK_P95_WARN_S:
+            return
+        now = time.monotonic()
+        if now - self._tick_warned_at < 3600 and self._tick_warned_at:
+            return
+        self._tick_warned_at = now
+        logger.warning(
+            "locks ledger tick p95 %.0f ms over the last %d ticks exceeds "
+            "%.0f ms: the store has likely outgrown its %d-shard layout "
+            "(claim scans are O(partitions/shard)); during a maintenance "
+            "window run `python tools/resize_shards.py --store <store_path> "
+            "--shards %d` (see BASELINE.md sizing rule)",
+            p95 * 1000,
+            len(lat),
+            self.TICK_P95_WARN_S * 1000,
+            self.n_shards,
+            max(self.n_shards * 4, self.shards_for(0)),
+        )
 
     def ack(self, view: str, acks: list[tuple[str, int]], now) -> None:
         by_shard: dict[int, list[tuple[str, int]]] = {}

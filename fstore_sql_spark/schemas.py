@@ -105,12 +105,17 @@ LOCKS_SCHEMA = StructType(
 # Versioned payload schema registry (engine extension, SURVEY.md §1.3:
 # "per-event-type payload schemas can optionally be registered … applied
 # at query time via from_json").  One row per (event, event_version);
-# ``ddl`` is the Spark DDL string of the payload StructType.
+# ``ddl`` is the Spark DDL string of the payload StructType; ``renames``
+# (r6, nullable) is a JSON object {new_field: previous_field} recording
+# which fields this version renamed relative to the previous one — parquet
+# snapshots written before r6 simply read the column as NULL (schema-on-
+# read fills missing columns), i.e. "no renames".
 PAYLOAD_SCHEMAS_SCHEMA = StructType(
     [
         StructField("event", StringType(), nullable=False),
         StructField("event_version", LongType(), nullable=False),
         StructField("ddl", StringType(), nullable=False),
+        StructField("renames", StringType(), nullable=True),
         StructField("created_at", TimestampType(), nullable=False),
     ]
 )

@@ -88,7 +88,14 @@ def apply_state_delta(pdf, dpdf, key_cols: list[str]):
     import pandas as pd
 
     keyed = pdf.set_index(key_cols)
-    keys = pd.MultiIndex.from_frame(dpdf[key_cols])
+    # A single key column indexes as a FLAT Index (set_index semantics);
+    # dropping MultiIndex keys from it silently matches nothing and turns
+    # the upsert into a duplicate append (r6 bug, caught by the hwm
+    # tables' one-column key) — build the matching index kind.
+    if len(key_cols) == 1:
+        keys = pd.Index(dpdf[key_cols[0]])
+    else:
+        keys = pd.MultiIndex.from_frame(dpdf[key_cols])
     keyed = keyed.drop(index=keys, errors="ignore")
     up = dpdf[~dpdf["_deleted"]].drop(columns=["_deleted"]).set_index(key_cols)
     if len(up):
@@ -103,10 +110,18 @@ class Manifest:
     ``commit_id`` is the engine's monotone transaction marker (the XID8
     analogue); ``max_offset`` caches the BIGSERIAL head so offset assignment
     is O(1) instead of a max() scan per append (SURVEY.md §7.4).
+
+    ``pending_rows`` (r6, ADVICE r5 medium) records how many rows the
+    allocation ``commit_id`` is about to append — written durably BEFORE
+    the log append so crash recovery can verify whether the batch landed
+    COMPLETELY (publish it) or PARTIALLY (quarantine its files) instead of
+    assuming append-never-ran / append-fully-completed are the only crash
+    windows.  ``None`` on pre-r6 manifests → legacy roll-forward.
     """
 
     max_offset: int = 0
     commit_id: int = 0
+    pending_rows: int | None = None
 
 
 class ParquetStore:
@@ -152,12 +167,22 @@ class ParquetStore:
             return Manifest()
         with open(path, encoding="utf-8") as f:
             d = json.load(f)
-        return Manifest(max_offset=d["max_offset"], commit_id=d["commit_id"])
+        return Manifest(
+            max_offset=d["max_offset"],
+            commit_id=d["commit_id"],
+            pending_rows=d.get("pending_rows"),
+        )
 
     def write_manifest(self, table: str, manifest: Manifest) -> None:
         _atomic_write(
             self._manifest_path(table),
-            json.dumps({"max_offset": manifest.max_offset, "commit_id": manifest.commit_id}),
+            json.dumps(
+                {
+                    "max_offset": manifest.max_offset,
+                    "commit_id": manifest.commit_id,
+                    "pending_rows": manifest.pending_rows,
+                }
+            ),
         )
 
     # ------------------------------------------------------------------ #
@@ -231,6 +256,68 @@ class ParquetStore:
         except Exception:
             pass  # e.g. path not yet cached; never block a read on this
         return self.spark.read.schema(schema).parquet(path)
+
+    def txn_log_files(self, table: str, txn: int) -> tuple[list[str], int]:
+        """(paths, total_rows) of current-generation log files whose rows
+        ALL belong to commit ``txn`` — resolved from parquet FOOTER
+        min/max statistics on ``transaction_id`` (no data read; one
+        footer per file).  Every append writes fresh files containing
+        only its own commit, so a batch's files are exactly the
+        min==max==txn set; recovery uses this to verify whether a crashed
+        append landed completely (ADVICE r5 medium).  Files without
+        usable stats fall back to reading just the transaction_id column
+        (tiny — defensive only)."""
+        import pyarrow.parquet as pq
+
+        d = self._log_dir(table)
+        paths: list[str] = []
+        rows = 0
+        for name in os.listdir(d):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(d, name)
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:  # torn/foreign file: not part of any batch
+                continue
+            if md.num_rows == 0:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = None
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == "transaction_id":
+                        st = col.statistics
+                        break
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok:
+                try:
+                    t = pq.read_table(p, columns=["transaction_id"])
+                    vals = t.column(0).to_pylist()
+                    lo, hi = min(vals), max(vals)
+                except Exception:
+                    continue
+            if lo == hi == txn:
+                paths.append(p)
+                rows += md.num_rows
+        return paths, rows
+
+    def clear_append_staging(self, table: str) -> None:
+        """Remove a dead Spark job's ``_temporary`` staging under the
+        current log generation.  Required during quarantine recovery: the
+        FileOutputCommitter's next job commit would otherwise sweep the
+        dead job's already-task-committed directories into the log,
+        resurrecting part of a quarantined batch."""
+        tmp = os.path.join(self._log_dir(table), "_temporary")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def log_file_count(self, table: str) -> int:
         return sum(
@@ -512,6 +599,23 @@ class ParquetStore:
                 os.path.join(tmp, "part-00000.parquet"),
             )
             os.replace(tmp, target)
+            _atomic_write(self._latest_path(table), str(version))
+            self._gc_state(table, keep=4)
+            return version
+
+    def adopt_state_dir(self, table: str, src_dir: str) -> int:
+        """Adopt an externally written parquet directory (e.g. one shard
+        of a Spark ``partitionBy`` output) as this table's next FULL state
+        snapshot: rename into ``v{N}`` and flip the pointer — no data
+        copy, no driver materialization.  The caller must be done writing
+        ``src_dir`` and it must live on the same filesystem."""
+        with self._lock:
+            version = self.state_version(table) + 1
+            self._clear_unpublished(table, version)
+            base = self._state_dir(table)
+            os.makedirs(base, exist_ok=True)
+            target = os.path.join(base, f"v{version:08d}")
+            os.replace(src_dir, target)
             _atomic_write(self._latest_path(table), str(version))
             self._gc_state(table, keep=4)
             return version

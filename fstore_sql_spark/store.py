@@ -52,11 +52,16 @@ from pyspark.sql import functions as F
 
 import os
 
+import json
+
 from fstore_sql_spark import errors
+from fstore_sql_spark.hwm import ShardedHwm
 from fstore_sql_spark.ledger import ProcessLock, ShardedLocksLedger
 from fstore_sql_spark.functions.typed_payload import (
     as_struct_type,
+    is_widening,
     typed_payload_column,
+    validate_evolution,
 )
 from fstore_sql_spark.schemas import (
     DECIDERS_SCHEMA,
@@ -101,7 +106,15 @@ class EventStore:
         path: str,
         cache_log: bool = True,
         max_resident_shards: int | None = None,
+        expected_partitions: int | None = None,
     ):
+        """``expected_partitions`` (r6, VERDICT r5 #3) sizes the initial
+        consumer-state shard count when this open CREATES the store
+        (``ShardedLocksLedger.shards_for``: next power of two keeping
+        shards ≤ ~32k partitions, the tick-latency sizing rule in
+        BASELINE.md).  Ignored for existing stores — the on-disk marker
+        pins the layout; grow later with ``tools/resize_shards.py``
+        (the ledger logs a p95-tick warning when that becomes due)."""
         self.spark = spark
         self.storage = ParquetStore(spark, path)
         self._commit_lock = threading.RLock()
@@ -138,9 +151,25 @@ class EventStore:
         # O(active shards) for the 10^8-partition regime.
         if max_resident_shards is None:
             env = os.environ.get("FSTORE_MAX_RESIDENT_SHARDS")
-            max_resident_shards = int(env) if env else None
+            if env:
+                try:
+                    max_resident_shards = int(env)
+                except ValueError:
+                    raise ValueError(
+                        "FSTORE_MAX_RESIDENT_SHARDS must be an integer >= 1, "
+                        f"got {env!r}"
+                    ) from None
+        if max_resident_shards is not None and max_resident_shards < 1:
+            # 0 would silently enable evict-everything-per-tick (ADVICE r5)
+            raise ValueError(
+                "max_resident_shards (or FSTORE_MAX_RESIDENT_SHARDS) must be "
+                f">= 1, got {max_resident_shards}"
+            )
         self.ledger = ShardedLocksLedger(
-            self.storage, _LOCKS, max_resident=max_resident_shards
+            self.storage,
+            _LOCKS,
+            max_resident=max_resident_shards,
+            expected_partitions=expected_partitions,
         )
         # Cross-process single-committer enforcement (VERDICT r4 #1): the
         # reference gets multi-connection producer safety from
@@ -157,7 +186,17 @@ class EventStore:
         )
         self._committer_depth = threading.local()
         self._state_seen_ver: dict[str, int] = {}
-        self._hwm_pdf: pd.DataFrame | None = None
+        # Sharded + paged per-partition high-watermark (r6, VERDICT r5
+        # #1): same crc32 shard routing and LRU budget as the ledger, so
+        # a paged store's TOTAL driver residency — consumer state AND
+        # watermark — is O(active shards).  See hwm.py module doc.
+        self._hwm_shards = ShardedHwm(
+            self.storage,
+            spark,
+            self.ledger.n_shards,
+            self.events,
+            max_resident=max_resident_shards,
+        )
         self._seen_commit_id = self.storage.read_published(_EVENTS)
         self._seen_log_gen = self.storage._log_gen(_EVENTS)
         self._sql_view_prefixes: set[str] = set()
@@ -221,26 +260,31 @@ class EventStore:
         if self._hwm_cached is not None:
             self._hwm_cached.unpersist()
             self._hwm_cached = None
-        self._hwm_pdf = None
+        # NOTE: the sharded hwm is NOT invalidated here — it is keyed on
+        # the published commit id (sync), so a compaction (same commits,
+        # new layout) keeps it, a commit advances it incrementally
+        # (merge_batch), and an external commit re-syncs on next access.
         # Append-only log ⇒ cached windows stay VALID within a commit
         # generation; a new commit may extend a window marked complete, so
         # drop on every invalidation (cheap — it's a read-ahead cache).
         self._prefetch.clear()
 
+    def _hwm_view(self) -> ShardedHwm:
+        """The sharded watermark, synced to the same published commit the
+        cached log serves — what the claim path reads per shard, and the
+        full-table surfaces (``locks()``, T7) read via ``.full()``.
+        Derived (never dual-written): one Spark rebuild on first need (or
+        after an unmaintained external commit), then folded incrementally
+        from each committed batch's own aggregate (``_commit``), so steady
+        ingest+deliver never re-aggregates the log."""
+        self._hwm_shards.sync(self._seen_commit_id)
+        return self._hwm_shards
+
     def _hwm_pandas(self) -> pd.DataFrame:
-        """Driver-resident copy of the per-partition high-watermark
-        (index decider_id; columns offset, offset_final) — what the claim
-        path reads every tick.  Derived (never dual-written): full
-        recompute from the log on first need, then merged incrementally
-        from each committed batch's own aggregate (`_commit`), so steady
-        ingest+deliver never re-collects the full watermark table.
-        Cardinality = #partitions — the same driver-central ceiling as the
-        ledger (and the reference's locks table)."""
-        if self._hwm_pdf is None:
-            self._hwm_pdf = (
-                self._hwm().toPandas().set_index("decider_id").sort_index()
-            )
-        return self._hwm_pdf
+        """Whole-watermark frame (index decider_id; columns offset,
+        offset_final) — kept for the full-table read surfaces; per-shard
+        consumers use ``_hwm_view().for_shard(k)`` instead (paging)."""
+        return self._hwm_view().full()
 
     def _refresh_external(self) -> None:
         """Cross-process read freshness: if ANOTHER committer PUBLISHED a
@@ -335,11 +379,12 @@ class EventStore:
         # (/root/reference/schema.sql:290-294).  Both sides are
         # driver-resident (ledger + hwm frame), so the reference-shaped
         # join is a pandas merge — no Spark job to expose the table.
-        # under the commit lock: refresh() rebinds shard frames, which
-        # must not race an in-flight mutator thread (claim/ack/T6)
+        # under the commit lock: the read rebinds shard frames, which
+        # must not race an in-flight mutator thread (claim/ack/T6);
+        # to_pandas itself refreshes each shard (sibling freshness) and
+        # re-enforces the paging budget when it returns (ADVICE r5)
         with self._commit_lock:
             self._refresh_external()
-            self.ledger.refresh()  # don't serve stale sibling-flushed state
             state = self.ledger.to_pandas()
             hwm = self._hwm_pandas().reset_index()
         schema = (
@@ -464,49 +509,98 @@ class EventStore:
         """The (event, event_version) → payload StructType registry."""
         return self._cached_state(_PAYLOAD, PAYLOAD_SCHEMAS_SCHEMA)
 
-    def register_payload_schema(self, event: str, event_version: int, schema) -> DataFrame:
+    def register_payload_schema(
+        self,
+        event: str,
+        event_version: int,
+        schema,
+        renamed_from: "dict[str, str] | None" = None,
+    ) -> DataFrame:
         """Register the payload StructType (or DDL string) for one
         (event, event_version).  Immutable once registered — evolution is
         a NEW version, never a rewrite (the R1/R2 discipline applied to
-        schemas); ``events_typed`` upcasts older versions at read time."""
-        ddl = ",".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in as_struct_type(schema).fields
-        )
+        schemas); ``events_typed`` upcasts older versions at read time.
+
+        ``renamed_from`` (r6, VERDICT r5 #5) maps new field name → the
+        PREVIOUS version's name for fields this version renames; the
+        typed view then routes old rows' values into the new name.
+        Evolution against the previous registered version is validated:
+        only additions, explicit renames, and numeric widening pass
+        (``SchemaEvolutionError`` otherwise) — so every historical row
+        upcasts losslessly."""
+        st = as_struct_type(schema)
+        ddl = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
         with self._commit_lock, self._committer_guard():
             now = _utcnow()
             existing = self.payload_schemas()
-            dup = (
-                existing.filter(
-                    (F.col("event") == event)
-                    & (F.col("event_version") == event_version)
-                ).count()
-                > 0
-            )
-            if dup:
+            reg = existing.filter(F.col("event") == event).collect()
+            if any(int(r["event_version"]) == int(event_version) for r in reg):
                 raise errors.DuplicateSchemaError(event, event_version)
+            prior = [r for r in reg if int(r["event_version"]) < int(event_version)]
+            if prior:
+                prev = max(prior, key=lambda r: int(r["event_version"]))
+                problems = validate_evolution(
+                    as_struct_type(prev["ddl"]), st, renamed_from
+                )
+                if problems:
+                    raise errors.SchemaEvolutionError(event, event_version, problems)
+            elif renamed_from:
+                raise errors.SchemaEvolutionError(
+                    event,
+                    event_version,
+                    ["renamed_from given but no previous version is registered"],
+                )
             row = self.spark.createDataFrame(
-                [(event, int(event_version), ddl, now)], PAYLOAD_SCHEMAS_SCHEMA
+                [
+                    (
+                        event,
+                        int(event_version),
+                        ddl,
+                        json.dumps(renamed_from) if renamed_from else None,
+                        now,
+                    )
+                ],
+                PAYLOAD_SCHEMAS_SCHEMA,
             )
             self.storage.write_state(_PAYLOAD, existing.unionByName(row))
             self._invalidate_state_cache(_PAYLOAD)
             return row
 
-    def events_typed(self, event: str) -> DataFrame:
-        """Schema-on-read typed view of one event type: every row's
-        ``data`` JSON parsed with ITS version's registered schema and
-        upcast to the latest version's shape in a ``payload`` struct
-        column (missing fields → typed NULLs).  Raises
-        ``UnregisteredSchemaError`` when the log holds a version with no
-        registered schema — a silent NULL payload would masquerade as a
-        parse failure.
-
-        Cost: the version check is one distinct over the (tiny)
-        version column of the filtered scan; the typed projection itself
-        is from_json + CASE — pure codegen, no shuffle, 100 TB-clean."""
+    def _payload_registry(self, event: str):
+        """(schemas, renames) maps for one event from the registry rows —
+        raises when the event has no registered schema at all."""
         reg = self.payload_schemas().filter(F.col("event") == event).collect()
         if not reg:
             raise errors.UnregisteredSchemaError(event)
         schemas = {int(r["event_version"]): r["ddl"] for r in reg}
+        renames = {
+            int(r["event_version"]): json.loads(r["renames"])
+            for r in reg
+            if r["renames"]
+        }
+        return schemas, renames
+
+    def events_typed(self, event: str) -> DataFrame:
+        """Schema-on-read typed view of one event type: every row's
+        ``data`` JSON parsed with ITS version's registered schema and
+        upcast to the latest version's shape in a ``payload`` struct
+        column (missing fields → typed NULLs; renamed fields routed via
+        the registry's ``renamed_from`` maps; numeric widenings cast).
+        Raises ``UnregisteredSchemaError`` when the log holds a version
+        with no registered schema — a silent NULL payload would
+        masquerade as a parse failure.
+
+        SNAPSHOT SEMANTICS (ADVICE r5): the view captures the registry
+        AND the pre-validated version set at CONSTRUCTION time.  Rows of
+        an unregistered version appended after construction fail loudly
+        at evaluation (``raise_error`` in the dispatch CASE) rather than
+        flowing through as NULL payloads — rebuild the view after
+        registering the new version.
+
+        Cost: the version check is one distinct over the (tiny)
+        version column of the filtered scan; the typed projection itself
+        is from_json + CASE — pure codegen, no shuffle, 100 TB-clean."""
+        schemas, renames = self._payload_registry(event)
         ev = self.events().filter(F.col("event") == event)
         present = [
             int(r["event_version"])
@@ -517,8 +611,81 @@ class EventStore:
                 raise errors.UnregisteredSchemaError(event, v)
         return ev.withColumn(
             "payload",
-            typed_payload_column(F.col("data"), F.col("event_version"), schemas),
+            typed_payload_column(
+                F.col("data"),
+                F.col("event_version"),
+                schemas,
+                renames=renames,
+                unmatched="error",
+            ),
         )
+
+    def events_typed_many(self, events: "list[str]") -> DataFrame:
+        """Multi-event typed view (VERDICT r5 #5): the UNION of several
+        event types' typed views under ONE merged payload shape — the
+        union of every requested event's latest-version fields, with
+        same-named fields across events required to agree up to numeric
+        widening (the widest type wins; anything else raises
+        ``SchemaEvolutionError`` — a cross-event name collision with
+        incompatible types has no lossless merged shape).
+
+        One scan, one projection: the dispatch is a single CASE over
+        (event, event_version) pairs — not one sub-DataFrame per event —
+        so the plan stays a codegen filter+project at any log size.
+        Same snapshot semantics and loud-unmatched contract as
+        ``events_typed``."""
+        if not events:
+            raise ValueError("events_typed_many needs at least one event type")
+        per_event: dict[str, tuple] = {}
+        merged_fields: dict[str, "tuple[str, object]"] = {}  # name -> (event, type)
+        problems: list[str] = []
+        for e in events:
+            schemas, renames = self._payload_registry(e)
+            per_event[e] = (schemas, renames)
+            latest = as_struct_type(schemas[max(schemas)])
+            for f in latest.fields:
+                if f.name not in merged_fields:
+                    merged_fields[f.name] = (e, f.dataType)
+                else:
+                    other_event, other = merged_fields[f.name]
+                    if is_widening(other, f.dataType):
+                        merged_fields[f.name] = (e, f.dataType)
+                    elif not is_widening(f.dataType, other):
+                        problems.append(
+                            f"field {f.name!r}: {other.simpleString()} "
+                            f"({other_event!r}) vs {f.dataType.simpleString()} "
+                            f"({e!r}) have no common widening"
+                        )
+        if problems:
+            raise errors.SchemaEvolutionError(events[0], -1, problems)
+        from pyspark.sql.types import StructField, StructType
+
+        target = StructType(
+            [StructField(n, t, True) for n, (_, t) in merged_fields.items()]
+        )
+        ev = self.events().filter(F.col("event").isin(list(events)))
+        present = [
+            (r["event"], int(r["event_version"]))
+            for r in ev.select("event", "event_version").distinct().collect()
+        ]
+        for e, v in present:
+            if v not in per_event[e][0]:
+                raise errors.UnregisteredSchemaError(e, v)
+        # one CASE keyed on event: each arm is that event's own
+        # version-dispatch column upcast to the merged target shape
+        expr = None
+        for e, (schemas, renames) in per_event.items():
+            branch = typed_payload_column(
+                F.col("data"),
+                F.col("event_version"),
+                schemas,
+                renames=renames,
+                target_schema=target,
+                unmatched="error",
+            )
+            cond = F.col("event") == F.lit(e)
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        return ev.withColumn("payload", expr)
 
     # ------------------------------------------------------------------ #
     # A2 append_event  (/root/reference/schema.sql:336-343 + §2.3 triggers)
@@ -662,19 +829,40 @@ class EventStore:
         that died between the manifest advance and the ``_PUBLISHED``
         marker write leaves ``published < manifest.commit_id``.  Holding
         the flock proves no LIVE committer is mid-append (the kernel
-        released the dead holder's lock), so rolling the marker forward is
-        safe and covers both crash windows:
+        released the dead holder's lock).  The manifest's ``pending_rows``
+        (written with the allocation) makes recovery VERIFIED, not
+        assumed (ADVICE r5 medium) — the three crash windows:
 
-        - log append never ran → the allocation is burned; publishing it
-          records only an offset gap (BIGSERIAL rollback-gap semantics,
-          SURVEY.md §7.4);
-        - log append completed → the batch is whole on disk; publishing
-          makes it visible, and a producer replay with
-          ``on_conflict='ignore'`` then dedups against it instead of
-          double-appending (the at-least-once recovery contract).
+        - log append never ran → 0 of pending_rows on disk; the
+          allocation is burned; publishing records only an offset gap
+          (BIGSERIAL rollback-gap semantics, SURVEY.md §7.4);
+        - log append completed → the batch's files (parquet footers with
+          transaction_id == commit_id) sum to exactly pending_rows;
+          publishing makes it visible, and a producer replay with
+          ``on_conflict='ignore'`` dedups against it (the at-least-once
+          recovery contract);
+        - log append INTERRUPTED MID-JOB-COMMIT → a strict subset of the
+          batch's files is in the log dir.  Publishing that would break
+          batch atomicity and intra-batch previous_id chains for readers,
+          so the partial files are QUARANTINED (unlinked, together with
+          the dead job's ``_temporary`` staging so the next job commit
+          cannot resurrect them) and the allocation is burned like the
+          never-ran window; the producer's replay re-appends the whole
+          batch under a fresh commit.
+
+        Pre-r6 manifests carry no ``pending_rows`` → legacy blind
+        roll-forward (both old windows behave as before).
         """
         manifest = self.storage.read_manifest(_EVENTS)
         if self.storage.read_published(_EVENTS) < manifest.commit_id:
+            if manifest.pending_rows is not None:
+                files, landed = self.storage.txn_log_files(
+                    _EVENTS, manifest.commit_id
+                )
+                if landed != manifest.pending_rows:
+                    for p in files:
+                        os.unlink(p)
+                    self.storage.clear_append_staging(_EVENTS)
             self.storage.write_published(_EVENTS, manifest.commit_id)
             self._invalidate_log_cache()
             self._seen_commit_id = manifest.commit_id
@@ -707,9 +895,11 @@ class EventStore:
             conf.set("spark.sql.shuffle.partitions", prev)
 
     def _as_candidates(self, rows_or_df) -> DataFrame:
+        self._last_seq_was_hashed = False
         if isinstance(rows_or_df, DataFrame):
             df = rows_or_df
             if "seq" not in df.columns:
+                self._last_seq_was_hashed = True
                 # A distributed DataFrame has NO defined row order, so a
                 # caller omitting ``seq`` gets DETERMINISTIC HASH ORDER
                 # (documented in append_batch).  xxhash64(event_id) is
@@ -870,6 +1060,13 @@ class EventStore:
             F.max(t1_viol).alias("t1"),
             F.max(t2_viol).alias("t2"),
             F.max(t3_viol).alias("t3"),
+            # in-batch predecessor that hash order placed AT/AFTER its
+            # successor — the tell for the no-seq scrambled-chain case
+            # (ADVICE r5: raise the targeted "supply seq" error, not a
+            # bare T3)
+            F.max(
+                t3_viol & F.col("pred_seq").isNotNull()
+            ).alias("t3_inbatch"),
             F.count("event_id").alias("n_eid"),
             F.count_distinct("event_id").alias("n_eid_distinct"),
             F.count("previous_id").alias("n_pid"),
@@ -886,6 +1083,17 @@ class EventStore:
         if v["t2"]:
             raise errors.FirstEventError()
         if v["t3"]:
+            if v["t3_inbatch"] and getattr(self, "_last_seq_was_hashed", False):
+                # the predecessor IS in the batch but deterministic hash
+                # order scrambled it after its successor — tell the caller
+                # the actual fix instead of a bare T3 (ADVICE r5)
+                raise errors.PreviousIdError(
+                    errors.PreviousIdError.MESSAGE
+                    + " (an intra-batch previous_id chain was appended from "
+                    "a DataFrame without a 'seq' column; DataFrames have no "
+                    "defined row order, so supply an explicit 'seq' long "
+                    "column giving the intended intra-batch order)"
+                )
             raise errors.PreviousIdError()
         if v["n_eid"] != v["n_eid_distinct"]:
             dup = (
@@ -994,13 +1202,16 @@ class EventStore:
                 )
             prof["offset_number_s"] = round(time.monotonic() - _t, 3)
             # Incremental high-watermark maintenance: aggregate THIS batch
-            # (already persisted) and merge into the driver hwm frame, so
-            # steady ingest+deliver never recomputes the full watermark
-            # from the log.  Skipped (left to lazy full recompute) when no
-            # claim path has materialized the frame yet.
+            # (already persisted) and fold it into the sharded watermark
+            # (memory + per-shard deltas + meta — hwm.merge_batch), so
+            # steady ingest+deliver never re-aggregates the log, and a
+            # CONSUMER PROCESS reloads our folded deltas instead of
+            # rebuilding (r6).  Skipped when no claim path has ever
+            # materialized the watermark (meta absent — the pure-producer
+            # b1 workload pays nothing).
             batch_hwm = None
             _t = time.monotonic()
-            if self._hwm_pdf is not None:
+            if self._hwm_shards.is_active() or self._hwm_shards._read_meta() is not None:
                 batch_hwm = (
                     finished.groupBy("decider_id")
                     .agg(
@@ -1028,8 +1239,16 @@ class EventStore:
             # the already-advanced max_offset.  The reference gets this
             # from the Postgres transaction; manifest-first is the
             # log-shipping equivalent.
+            # pending_rows rides the allocation (ADVICE r5 medium): if we
+            # die before the marker publish, recovery can verify whether
+            # the batch's files landed COMPLETELY instead of assuming so.
             self.storage.write_manifest(
-                _EVENTS, Manifest(max_offset=manifest.max_offset + n, commit_id=txn)
+                _EVENTS,
+                Manifest(
+                    max_offset=manifest.max_offset + n,
+                    commit_id=txn,
+                    pending_rows=n,
+                ),
             )
             _t = time.monotonic()
             self.storage.append_log(_EVENTS, finished, cluster_by="decider_id")
@@ -1040,14 +1259,18 @@ class EventStore:
             # a log missing this batch (ADVICE r2, high).
             self.storage.write_published(_EVENTS, txn)
             prof["marker_publish_s"] = round(time.monotonic() - _t, 3)
-            prior_hwm = self._hwm_pdf
             self._invalidate_log_cache()
             self._seen_commit_id = txn
             self._seen_log_gen = self.storage._log_gen(_EVENTS)
             self._rebind_sql_views()
-            if batch_hwm is not None and prior_hwm is not None:
-                kept = prior_hwm.drop(index=batch_hwm.index, errors="ignore")
-                self._hwm_pdf = pd.concat([kept, batch_hwm]).sort_index()
+            if batch_hwm is not None:
+                _t = time.monotonic()
+                self._hwm_shards.merge_batch(
+                    batch_hwm, prev_commit=manifest.commit_id, new_commit=txn
+                )
+                prof["hwm_merge_s"] = round(
+                    prof.get("hwm_merge_s", 0.0) + time.monotonic() - _t, 3
+                )
         finally:
             finished.unpersist()
             if pinned is not None:
@@ -1271,13 +1494,13 @@ class EventStore:
         with self._commit_lock:
             now = _utcnow()
             self._refresh_external()
-            hwm = self._hwm_pandas()
+            hwm = self._hwm_view()  # sharded: the claim walk reads per-shard
             claimed = self.ledger.claim(
                 view, hwm, int(limit), now, now + timedelta(seconds=int(seconds))
             )
             if not claimed:
                 return self.events().limit(0)
-            served, missing = self._serve_from_prefetch(view, claimed)
+            served, missing, drained = self._serve_from_prefetch(view, claimed)
             if missing:
                 # Warm the windows for ALL of the view's unread
                 # partitions (bounded), not just this round's claims: the
@@ -1287,8 +1510,21 @@ class EventStore:
                 self._refill_prefetch(
                     view, self._union_eligible_pairs(view, missing, hwm)
                 )
-                more, _ = self._serve_from_prefetch(view, missing, count=False)
+                more, _, drained2 = self._serve_from_prefetch(
+                    view, missing, count=False
+                )
                 served.extend(more)
+                drained.extend(drained2)
+            # Drained-claim release (r6): a claim whose window is complete
+            # and empty has NOTHING readable in our log view — possible
+            # when the disk-backed watermark is microseconds NEWER than
+            # the log cache (hwm.py module doc).  Leaving it leased would
+            # stall that partition for the full lease; release it now so
+            # the next tick (with a caught-up log) redelivers.
+            for decider_id, _lo in drained:
+                self.ledger.set_locked_until(
+                    view, decider_id, now - _UNLOCK_DELTA, now
+                )
         if not served:
             return self.events().limit(0)
         served.sort(key=lambda r: r["offset"])
@@ -1301,15 +1537,17 @@ class EventStore:
 
     def _serve_from_prefetch(
         self, view: str, claimed: list[tuple[str, int]], count: bool = True
-    ) -> tuple[list, list[tuple[str, int]]]:
-        """Split claims into rows servable from cached windows vs needing
-        a refill.  A window fetched at consumer position ``lo`` covers
+    ) -> tuple[list, list[tuple[str, int]], list[tuple[str, int]]]:
+        """Split claims into rows servable from cached windows, claims
+        needing a refill, and DRAINED claims (complete window, nothing
+        above the claim position — the hwm-ahead-of-log case the caller
+        releases).  A window fetched at consumer position ``lo`` covers
         offsets (lo, last-row] completely (``complete`` = it reached the
         partition watermark), so for a claim at position L ≥ lo the first
         cached row above L IS the next unread event.  ``count=False``
         (the post-refill retry) keeps the hit/miss counters measuring
         only FIRST-attempt serves — the cache's steady-state hit rate."""
-        served, missing = [], []
+        served, missing, drained = [], [], []
         for decider_id, last_offset in claimed:
             win = self._prefetch.get((view, decider_id))
             row = None
@@ -1332,7 +1570,9 @@ class EventStore:
                     self.prefetch_counters["hits"] += 1
                 if row is not False:
                     served.append(row)
-        return served, missing
+                else:
+                    drained.append((decider_id, last_offset))
+        return served, missing, drained
 
     # Partitions covered per refill job: bounds the windows fetched to
     # PREFETCH_PARTITIONS * PREFETCH_DEPTH rows per job.
@@ -1342,7 +1582,7 @@ class EventStore:
         self,
         view: str,
         missing: list[tuple[str, int]],
-        hwm: pd.DataFrame,
+        hwm: ShardedHwm,
     ) -> list[tuple[str, int]]:
         """The round's missing pairs plus (up to the cap) the view's other
         unread partitions with the LOWEST watermark offsets — the same
@@ -1351,17 +1591,21 @@ class EventStore:
         measured to miss at sf1's ~100k partitions: every round paid a
         refill job, 15x slower delivery).  Leased partitions are
         included — their windows are wanted as soon as the ack lands.
-        Driver-frame scan only; no Spark work."""
+        Driver-frame scan only; no Spark work.  Per-shard watermark
+        frames (r6): ledger shard k's candidates only need hwm shard k,
+        and non-resident ledger shards are skipped outright — a paged
+        store's refill never faults in the whole table."""
         pairs = dict(missing)
         budget = self.PREFETCH_PARTITIONS - len(pairs)
         if budget > 0:
             cands: list[tuple[int, str, int]] = []
-            for s in self.ledger.shards:
+            for k, s in enumerate(self.ledger.shards):
                 df = s._df
                 if df.empty or view not in df.index.get_level_values(0):
                     continue
                 sub = df.xs(view, level=0, drop_level=True)
-                offs = hwm["offset"].reindex(sub.index)
+                hk = hwm.for_shard(k)
+                offs = hk["offset"].reindex(sub.index)
                 el = sub[offs.notna() & (sub["last_offset"] < offs)]
                 cands.extend(
                     (int(o), str(d), int(lo))
@@ -1436,14 +1680,11 @@ class EventStore:
     def _locks_rows(self, view: str, decider_ids: list[str]) -> DataFrame:
         """RETURNING-clause analogue: reference-shaped lock rows for the
         touched keys, built from the driver frames (no Spark job, no full
-        table materialization)."""
-        with self._commit_lock:  # see locks(): refresh must not race mutators
-            self.ledger.refresh()
-            state = self.ledger.to_pandas()
-            hwm_reset = self._hwm_pandas().reset_index()
-        state = state[
-            (state["view"] == view) & state["decider_id"].isin(decider_ids)
-        ]
+        table materialization — and on a paged store, touching ONLY the
+        keys' ledger + hwm shards, r6)."""
+        with self._commit_lock:  # see locks(): reads must not race mutators
+            state = self.ledger.rows_for(view, decider_ids)
+            hwm_reset = self._hwm_view().lookup(decider_ids).reset_index()
         merged = state.merge(
             hwm_reset, on="decider_id", how="inner"
         )[
@@ -1591,6 +1832,9 @@ class EventStore:
             "ledger_resident_shards": self.ledger.resident_shards(),
             "ledger_resident_bytes": self.ledger.resident_bytes(),
             "ledger_max_resident": self.ledger.max_resident,
+            "hwm_resident_shards": self._hwm_shards.resident_shards(),
+            "hwm_resident_bytes": self._hwm_shards.resident_bytes(),
+            "hwm_rebuilds": self._hwm_shards.rebuild_count,
             "state_versions": {
                 **{
                     t: self.storage.state_version(t)

@@ -89,6 +89,11 @@ def crash_committer_worker(root: str, out_path: str, kill_point: str) -> None:
     - ``after_append``: log rows landed, ``_PUBLISHED`` marker never
       written — the batch is complete on disk, so it may be visible; a
       replay with on_conflict='ignore' must be a no-op.
+    - ``mid_append`` (r6, ADVICE r5 medium): the append job's commit is
+      interrupted after a SUBSET of the batch's files landed — recovery
+      must QUARANTINE the partial files (publishing them would break
+      batch atomicity), burn the allocation, and let the replay
+      re-append the whole batch.
 
     The kill is ``os._exit`` (no cleanup, no finally blocks) while the
     committer flock is HELD — the kernel must release it so the next
@@ -124,6 +129,18 @@ def crash_committer_worker(root: str, out_path: str, kill_point: str) -> None:
                 die()
 
         ParquetStore.append_log = _al
+    elif kill_point == "mid_append":
+
+        def _al_partial(self, table, df, cluster_by=None):
+            if table == "events":
+                # land a strict subset of the batch's files, then die —
+                # exactly what an interrupted FileOutputCommitter job
+                # commit leaves behind
+                orig_append_log(self, table, df.limit(2), cluster_by=cluster_by)
+                die()
+            orig_append_log(self, table, df, cluster_by=cluster_by)
+
+        ParquetStore.append_log = _al_partial
     elif kill_point == "after_publish":
 
         def _wp(self, table, commit_id):
@@ -229,6 +246,15 @@ def soak_producer_worker(
                     die()
 
             ParquetStore.append_log = _al
+        elif kill_point == "mid_append":
+
+            def _alp(self, table, df, cluster_by=None):
+                if table == "events":
+                    orig_append_log(self, table, df.limit(2), cluster_by=cluster_by)
+                    die()
+                orig_append_log(self, table, df, cluster_by=cluster_by)
+
+            ParquetStore.append_log = _alp
         elif kill_point == "after_publish":
 
             def _wp(self, table, commit_id):

@@ -161,6 +161,7 @@ class TestCommitterCrashRecovery:
         [
             ("before_manifest", 0),
             ("after_manifest", 0),
+            ("mid_append", 0),
             ("after_append", 5),
             ("after_publish", 5),
         ],
@@ -207,6 +208,49 @@ class TestCommitterCrashRecovery:
                             previous_id="seed-1")
         offsets2 = [r["offset"] for r in parent.events().select("offset").collect()]
         assert len(offsets2) == len(set(offsets2))
+
+    def test_mid_append_partial_batch_quarantined(self, spark, shared_path):
+        """ADVICE r5 (medium): a committer killed mid-job-commit leaves a
+        SUBSET of the batch's files in the log dir.  Recovery must NOT
+        publish that subset (batch atomicity / intra-batch previous_id
+        chains) — the manifest's pending_rows count exposes the mismatch,
+        the partial files are quarantined, and the replay lands the whole
+        batch exactly once."""
+        parent = EventStore(spark, shared_path)
+        parent.register_decider_event("dec", "evt", "crash test")
+        parent.append_event("evt", "seed-1", "dec", "seed", "{}")
+        self._run_crash(shared_path, "mid_append")
+
+        # a fresh pure reader triggers recovery: the partial batch must be
+        # INVISIBLE (not 2 of 5 rows), the allocation burned
+        reader = EventStore(spark, shared_path)
+        n = reader.events().filter(
+            F.col("decider_id") == "crash-mid_append"
+        ).count()
+        assert n == 0, f"partial batch published: {n} of 5 rows visible"
+        assert reader.storage.read_published("events") == (
+            reader.storage.read_manifest("events").commit_id
+        )
+        # per-stream chain integrity for every OTHER stream intact
+        assert reader.events().filter(F.col("decider_id") == "seed").count() == 1
+
+        # at-least-once replay: the whole batch lands under a fresh commit
+        crash_rows = [
+            {
+                "event": "evt",
+                "event_id": f"crash-mid_append-{i}",
+                "decider": "dec",
+                "decider_id": "crash-mid_append",
+                "data": "{}",
+                "previous_id": None if i == 0 else f"crash-mid_append-{i-1}",
+            }
+            for i in range(5)
+        ]
+        parent.append_batch(crash_rows, on_conflict="ignore")
+        replay = parent.get_events("crash-mid_append", "dec").collect()
+        assert [r["event_id"] for r in replay] == [r["event_id"] for r in crash_rows]
+        offsets = [r["offset"] for r in parent.events().select("offset").collect()]
+        assert len(offsets) == len(set(offsets)), "colliding offsets after quarantine"
 
     def test_pure_reader_rolls_forward_orphaned_commit(self, spark, shared_path):
         """after_append: the batch is whole on disk but unpublished and
@@ -269,7 +313,9 @@ class TestLiveSoakCrash:
     BATCH = 20  # 4 lanes x 5 chained events
     KILL_BATCH = 3
 
-    @pytest.mark.parametrize("kill_point", ["after_manifest", "after_append"])
+    @pytest.mark.parametrize(
+        "kill_point", ["after_manifest", "mid_append", "after_append"]
+    )
     def test_ingest_stream_ack_soak_with_committer_kill(
         self, spark, shared_path, kill_point
     ):

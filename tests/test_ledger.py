@@ -1041,3 +1041,74 @@ class TestShardResize:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(before, after)
+
+
+class TestShardSizing:
+    """Operational shard sizing (r6, VERDICT r5 #3): the count comes from
+    a partition-count hint at creation, and a p95 tick-latency warning
+    tells the operator when the store outgrew it."""
+
+    def test_shards_for_rule(self):
+        f = ShardedLocksLedger.shards_for
+        assert f(1_000) == 8
+        assert f(8 * 32_768) == 8
+        assert f(8 * 32_768 + 1) == 16
+        assert f(2_000_000) == 64
+        assert f(100_000_000) == 4096
+        assert f(10**12) == 4096  # clamped
+
+    def test_hint_sizes_fresh_store_and_marker_wins_later(self, root):
+        a = ShardedLocksLedger(
+            ParquetStore(None, root), expected_partitions=2_000_000
+        )
+        assert a.n_shards == 64
+        # reopen without the hint: the pinned layout is adopted
+        b = ShardedLocksLedger(ParquetStore(None, root))
+        assert b.n_shards == 64
+        # a DIFFERENT hint on an existing layout is ignored, not an error
+        c = ShardedLocksLedger(
+            ParquetStore(None, root), expected_partitions=100
+        )
+        assert c.n_shards == 64
+        # an EXPLICIT mismatching count still fails loudly
+        with pytest.raises(ValueError, match="mis-route"):
+            ShardedLocksLedger(ParquetStore(None, root), n_shards=8)
+
+    def test_p95_tick_warning_names_resize_tool(self, root, caplog):
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 64))
+        hwm = hwm_frame(64, offset=100)
+        now = now_utc()
+        # force the threshold low enough that real ticks cross it
+        ledger.TICK_P95_WARN_S = 0.0
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="fstore_sql_spark.ledger"):
+            pend: list[tuple[str, int]] = []
+            for _ in range(ledger.TICK_WINDOW + 16):
+                got = ledger.ack_and_claim(
+                    "v", [(d, lo + 1) for d, lo in pend], hwm, 4, now_utc(),
+                    now_utc() + timedelta(seconds=300),
+                )
+                pend = got
+        warnings = [r for r in caplog.records if "resize_shards" in r.getMessage()]
+        assert warnings, "no resize warning emitted past the p95 threshold"
+        assert len(warnings) == 1, "warning not throttled"
+        msg = warnings[0].getMessage()
+        assert "tools/resize_shards.py" in msg and "--shards" in msg
+
+    def test_no_warning_under_threshold(self, root, caplog):
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 64))
+        hwm = hwm_frame(64, offset=100)
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="fstore_sql_spark.ledger"):
+            pend: list[tuple[str, int]] = []
+            for _ in range(ledger.TICK_WINDOW + 16):
+                got = ledger.ack_and_claim(
+                    "v", [(d, lo + 1) for d, lo in pend], hwm, 4, now_utc(),
+                    now_utc() + timedelta(seconds=300),
+                )
+                pend = got
+        assert not [r for r in caplog.records if "resize_shards" in r.getMessage()]

@@ -85,6 +85,111 @@ class TestTypedPayload:
         rows = reopened.events_typed("created").select("payload.amount").collect()
         assert sorted(r["amount"] for r in rows) == [5, 7]
 
+    def test_late_unregistered_version_fails_loudly_at_eval(self, store):
+        """ADVICE r5: a version appended AFTER the typed view was built
+        flows into the dispatch CASE's otherwise branch — which must
+        raise at evaluation, not yield a silent NULL payload."""
+        _seed(store)
+        typed = store.events_typed("created")  # snapshots versions {1, 2}
+        store.register_decider_event("order", "created", "v9", 9)
+        store.append_event(
+            "created", "late", "order", "Z", '{"amount": 1}', event_version=9
+        )
+        with pytest.raises(Exception, match="no payload schema registered"):
+            typed.select("payload").collect()
+
+
+class TestSchemaEvolution:
+    """r6 (VERDICT r5 #5): rename + numeric-widening evolution and the
+    multi-event typed union view."""
+
+    def _seed_chain(self, store):
+        store.register_decider_event("order", "created", "v1", 1)
+        store.register_decider_event("order", "created", "v2", 2)
+        store.register_decider_event("order", "created", "v3", 3)
+        # v1 {qty INT} → v2 renames qty→quantity and widens to BIGINT
+        # → v3 adds note STRING
+        store.register_payload_schema("created", 1, "qty INT")
+        store.register_payload_schema(
+            "created", 2, "quantity BIGINT", renamed_from={"quantity": "qty"}
+        )
+        store.register_payload_schema("created", 3, "quantity BIGINT, note STRING")
+        store.append_event("created", "c1", "order", "A", '{"qty": 3}', event_version=1)
+        store.append_event(
+            "created", "c2", "order", "A", '{"quantity": 4000000000}',
+            previous_id="c1", event_version=2,
+        )
+        store.append_event(
+            "created", "c3", "order", "A", '{"quantity": 5, "note": "hi"}',
+            previous_id="c2", event_version=3,
+        )
+
+    def test_renamed_and_widened_chain_upcasts(self, store):
+        self._seed_chain(store)
+        t = store.events_typed("created").orderBy("offset")
+        payload_type = t.schema["payload"].dataType
+        assert [f.name for f in payload_type.fields] == ["quantity", "note"]
+        assert payload_type["quantity"].dataType.simpleString() == "bigint"
+        rows = t.select("event_id", "payload.*").collect()
+        assert [(r["event_id"], r["quantity"], r["note"]) for r in rows] == [
+            ("c1", 3, None),  # v1 qty routed into quantity, int → bigint
+            ("c2", 4000000000, None),
+            ("c3", 5, "hi"),
+        ]
+
+    def test_narrowing_rejected(self, store):
+        store.register_payload_schema("created", 1, "amount BIGINT")
+        with pytest.raises(errors.SchemaEvolutionError, match="not identity or a numeric widening"):
+            store.register_payload_schema("created", 2, "amount INT")
+
+    def test_retype_rejected(self, store):
+        store.register_payload_schema("created", 1, "amount BIGINT")
+        with pytest.raises(errors.SchemaEvolutionError):
+            store.register_payload_schema("created", 2, "amount STRING")
+
+    def test_rename_of_missing_field_rejected(self, store):
+        store.register_payload_schema("created", 1, "amount BIGINT")
+        with pytest.raises(errors.SchemaEvolutionError, match="does not exist"):
+            store.register_payload_schema(
+                "created", 2, "total BIGINT", renamed_from={"total": "nope"}
+            )
+
+    def test_rename_without_previous_version_rejected(self, store):
+        with pytest.raises(errors.SchemaEvolutionError, match="no previous version"):
+            store.register_payload_schema(
+                "created", 1, "total BIGINT", renamed_from={"total": "amount"}
+            )
+
+    def test_events_typed_many_merges_shapes(self, store):
+        self._seed_chain(store)
+        store.register_decider_event("order", "shipped", "v1", 1)
+        store.register_payload_schema("shipped", 1, "quantity INT, carrier STRING")
+        store.append_event(
+            "shipped", "s1", "order", "B", '{"quantity": 2, "carrier": "dhl"}'
+        )
+        t = store.events_typed_many(["created", "shipped"]).orderBy("offset")
+        payload_type = t.schema["payload"].dataType
+        # merged shape: created's {quantity BIGINT, note} ∪ shipped's
+        # {quantity INT, carrier} — quantity takes the WIDER type
+        assert sorted(f.name for f in payload_type.fields) == [
+            "carrier", "note", "quantity",
+        ]
+        assert payload_type["quantity"].dataType.simpleString() == "bigint"
+        rows = t.select("event", "event_id", "payload.*").collect()
+        got = {
+            r["event_id"]: (r["event"], r["quantity"], r["note"], r["carrier"])
+            for r in rows
+        }
+        assert got["c1"] == ("created", 3, None, None)
+        assert got["c3"] == ("created", 5, "hi", None)
+        assert got["s1"] == ("shipped", 2, None, "dhl")
+
+    def test_events_typed_many_conflicting_types_rejected(self, store):
+        store.register_payload_schema("created", 1, "ref BIGINT")
+        store.register_payload_schema("shipped", 1, "ref STRING")
+        with pytest.raises(errors.SchemaEvolutionError, match="no common widening"):
+            store.events_typed_many(["created", "shipped"])
+
     def test_malformed_json_yields_null_payload_not_error(self, store):
         store.register_decider_event("order", "created", "v1", 1)
         store.register_payload_schema("created", 1, "amount BIGINT")
