@@ -2850,6 +2850,81 @@ def lang_source_mutual_info(spark, sf_dir):
 
 
 @query(
+    "payload_schema_evolution",
+    """
+    WITH versioned AS (
+      SELECT event_id,
+             CAST(event_id % 3 + 1 AS BIGINT) AS event_version,
+             CASE
+               WHEN event_id % 3 = 0 THEN props
+               WHEN event_id % 3 = 1 THEN replace(props, '"k"', '"k_id"')
+               ELSE rtrim(replace(props, '"k"', '"k_id"'), '}')
+                    || ', "note": "' || event_type || '"}'
+             END AS data
+      FROM events
+    )
+    SELECT event_id, event_version,
+           CASE WHEN event_version = 1
+                THEN CAST(json_extract_string(data, '$.k') AS BIGINT)
+                ELSE CAST(json_extract_string(data, '$.k_id') AS BIGINT)
+           END AS k_id,
+           CASE WHEN event_version = 3
+                THEN json_extract_string(data, '$.note')
+           END AS note
+    FROM versioned
+    """,
+)
+def payload_schema_evolution(spark, sf_dir):
+    """Rename + widen + add across a 3-version payload chain (r6, VERDICT
+    r5 #5): v1 {k INT} → v2 renames k→k_id and widens to BIGINT → v3 adds
+    note STRING.  The operator under test is ``typed_payload_column`` with
+    per-version rename maps (what ``EventStore.events_typed`` applies
+    after ``register_payload_schema(..., renamed_from=...)``): v1 rows'
+    ``k`` must route into the latest ``k_id`` WITH the int→bigint widen,
+    v2 rows carry no note, v3 rows carry both.  The oracle types the same
+    JSON by hand, so a wrong rename walk, a dropped widen, or version
+    cross-talk all hash-mismatch.  Still a pure from_json + CASE
+    projection — zero shuffle, codegen end-to-end."""
+    from fstore_sql_spark.functions.typed_payload import typed_payload_column
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "event_version", (F.col("event_id") % 3 + 1).cast("long")
+    ).withColumn(
+        "data",
+        F.when(F.col("event_version") == 1, F.col("props"))
+        .when(
+            F.col("event_version") == 2,
+            F.replace(F.col("props"), F.lit('"k"'), F.lit('"k_id"')),
+        )
+        .otherwise(
+            F.concat(
+                F.expr(
+                    "trim(TRAILING '}' FROM replace(props, '\"k\"', '\"k_id\"'))"
+                ),
+                F.lit(', "note": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            )
+        ),
+    )
+    schemas = {1: "k INT", 2: "k_id BIGINT", 3: "k_id BIGINT, note STRING"}
+    renames = {2: {"k_id": "k"}}
+    typed = ev.withColumn(
+        "payload",
+        typed_payload_column(
+            F.col("data"), F.col("event_version"), schemas, renames=renames
+        ),
+    )
+    return typed.select(
+        "event_id",
+        "event_version",
+        F.col("payload.k_id").alias("k_id"),
+        F.col("payload.note").alias("note"),
+    )
+
+
+@query(
     "payload_schema_upcast",
     """
     WITH versioned AS (

@@ -81,9 +81,39 @@ class PushDelivery:
         post=http_post,
         batch_limit: int = 1,
         max_parallel_posts: int = 8,
+        mode: str = "driver",
+        fanout_partitions: int = 8,
+        ack_on_success: bool | None = None,
     ):
+        """``mode`` (r6, VERDICT r5 #6):
+
+        - ``"driver"`` (default) — POSTs run on a bounded driver-side
+          thread pool, parity with pg_net's single background worker
+          (/root/reference/extensions.sql:44-47).  The service never
+          acks; the edge function acks back (reference contract).
+        - ``"executor"`` — each tick's claimed batch is parallelized to
+          ``fanout_partitions`` Spark partitions and every EXECUTOR posts
+          its slice (``mapPartitions``), so high-fanout deployments don't
+          serialize all views' HTTP through the driver.  Successful
+          (2xx) sends are acked back in ONE batched ``ack_events`` per
+          tick (``ack_on_success``, default True in this mode: a 2xx
+          response IS the consumer's consumption acknowledgment —
+          endpoints that must defer consumption should ack via the API
+          and run with ``ack_on_success=False``).  Failed/hung sends are
+          simply not acked: lease expiry redelivers, exactly as in
+          driver mode.  The same backlog cap bounds in-flight delivery
+          JOBS, so a hung endpoint skips ticks instead of queueing
+          unboundedly.
+        """
+        if mode not in ("driver", "executor"):
+            raise ValueError(f"mode must be 'driver' or 'executor': {mode!r}")
         self.store = store
         self.post = post
+        self.mode = mode
+        self.fanout_partitions = int(fanout_partitions)
+        self.ack_on_success = (
+            (mode == "executor") if ack_on_success is None else bool(ack_on_success)
+        )
         # stream_events(view, 1) per tick, mirroring extensions.sql:40-42.
         self.batch_limit = batch_limit
         # ASYNC transport, matching pg_net's background-worker semantics
@@ -157,7 +187,7 @@ class PushDelivery:
         record = self._record_run
         backlog = self._backlog
 
-        def deliver(_batch_df, _batch_id) -> None:
+        def _driver_deliver(_batch_df, _batch_id) -> None:
             try:
                 # Backpressure BEFORE claiming: with a hung endpoint the
                 # executor's queue is unbounded — claiming anyway would
@@ -190,6 +220,86 @@ class PushDelivery:
                 # StreamingQuery — the reference's cron job just fires
                 # again next tick; un-acked leases expire and redeliver
                 pass
+
+        fanout = self.fanout_partitions
+        ack_on_success = self.ack_on_success
+
+        exec_post = post
+        if self.mode == "executor" and post is http_post:
+            # ship a SELF-CONTAINED twin of the default transport: a
+            # module-level function pickles by reference and would
+            # require the package on every python worker's sys.path;
+            # this local def pickles by value (stdlib only)
+            def exec_post(url, payload):  # noqa: ANN001
+                import json as _json
+                import urllib.request as _rq
+
+                req = _rq.Request(
+                    url,
+                    data=_json.dumps(payload).encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with _rq.urlopen(req, timeout=10) as resp:  # noqa: S310
+                    return resp.status
+
+        def _executor_deliver(_batch_df, _batch_id) -> None:
+            try:
+                # Backpressure BEFORE claiming (same cap as driver mode):
+                # here the backlog tracks in-flight delivery JOBS — a
+                # hung endpoint makes jobs pile up, and claiming more
+                # while they do would lease events nobody can send.
+                if backlog.full():
+                    return
+                rows = store.stream_events(view, limit=limit).collect()
+                record(view, len(rows))
+                if not rows:
+                    return
+                payloads = [
+                    {
+                        "view": view,
+                        "decider_id": r["decider_id"],
+                        "offset": r["offset"],
+                        "data": r["data"],
+                    }
+                    for r in rows
+                ]
+
+                # Defined LOCALLY so cloudpickle ships it BY VALUE —
+                # Spark python workers need no importable package on
+                # their sys.path to run it.
+                def post_slice(items):
+                    ok = []
+                    for p in items:
+                        try:
+                            status = exec_post(url, p)
+                            if status is None or 200 <= int(status) < 300:
+                                ok.append((p["decider_id"], p["offset"]))
+                        except Exception:  # noqa: BLE001 — no ack ⇒ retry
+                            pass
+                    return iter(ok)
+
+                def job():
+                    sc = store.spark.sparkContext
+                    slices = max(1, min(len(payloads), fanout))
+                    succ = (
+                        sc.parallelize(payloads, slices)
+                        .mapPartitions(post_slice)
+                        .collect()
+                    )
+                    if succ and ack_on_success:
+                        # ONE batched ack per tick for every 2xx send
+                        store.ack_events(
+                            view,
+                            [(d, int(o)) for d, o in succ],
+                            returning=False,
+                        )
+
+                backlog.track(pool.submit(job))
+            except Exception:  # noqa: BLE001 — same never-kill-the-query rule
+                pass
+
+        deliver = _executor_deliver if self.mode == "executor" else _driver_deliver
 
         q = (
             self.store.spark.readStream.format("rate")

@@ -170,10 +170,13 @@ def crash_committer_worker(root: str, out_path: str, kill_point: str) -> None:
         f.write("survived")  # parent treats this as a harness bug
 
 
-def soak_batches(n_batches: int, batch_size: int) -> list[list[dict]]:
+def soak_batches(
+    n_batches: int, batch_size: int, prefix: str = "s"
+) -> list[list[dict]]:
     """Deterministic soak workload shared by producer and replayer: one
     NEW stream per (batch, lane), events chained within the batch via
-    explicit seq (DataFrame-free dict batches keep list order)."""
+    explicit seq (DataFrame-free dict batches keep list order).
+    ``prefix`` namespaces streams per producer for multi-producer soaks."""
     out = []
     for b in range(n_batches):
         rows = []
@@ -182,13 +185,13 @@ def soak_batches(n_batches: int, batch_size: int) -> list[list[dict]]:
         for lane in range(lanes):
             prev = None
             for i in range(per_lane):
-                eid = f"s{b}-l{lane}-e{i}"
+                eid = f"{prefix}{b}-l{lane}-e{i}"
                 rows.append(
                     {
                         "event": "evt",
                         "event_id": eid,
                         "decider": "dec",
-                        "decider_id": f"s{b}-l{lane}",
+                        "decider_id": f"{prefix}{b}-l{lane}",
                         "data": "{}",
                         "previous_id": prev,
                         "seq": lane * per_lane + i,
@@ -206,6 +209,7 @@ def soak_producer_worker(
     batch_size: int,
     kill_batch: int,
     kill_point: str,
+    prefix: str = "s",
 ) -> None:
     """Live-soak committer: appends batches continuously while the parent
     consumes; at ``kill_batch`` arms the same mid-_commit SIGKILL
@@ -218,7 +222,7 @@ def soak_producer_worker(
 
     spark = _small_spark("soak-producer")
     store = EventStore(spark, root)
-    batches = soak_batches(n_batches, batch_size)
+    batches = soak_batches(n_batches, batch_size, prefix=prefix)
 
     orig_write_manifest = ParquetStore.write_manifest
     orig_append_log = ParquetStore.append_log
@@ -277,4 +281,67 @@ def soak_producer_worker(
         with open(out_path, "w", encoding="utf-8") as f:
             _json.dump({"completed_batches": done, "armed": b >= kill_batch}, f)
     # only reached when kill_batch >= n_batches (no-kill control run)
+    spark.stop()
+
+
+def soak_consumer_worker(
+    root: str,
+    out_path: str,
+    view: str,
+    stop_path: str,
+    kill_after_claims: int | None = None,
+    lease_s: int = 8,
+    max_resident: int = 2,
+) -> None:
+    """Full-engine consumer process for the combined crash soak (r6,
+    VERDICT r5 #4): opens the shared store PAGED (``max_resident``
+    shards resident for ledger AND hwm), loops stream→ack, records every
+    acked (decider_id, offset) incrementally (flushed per round so a
+    SIGKILL loses nothing already acked), and — when
+    ``kill_after_claims`` is set — dies by ``os._exit`` while HOLDING
+    freshly claimed, UN-acked leases: the claim-holder-kill half of the
+    soak.  A clean consumer exits when ``stop_path`` appears and a final
+    empty round confirms the store is drained for it."""
+    import json as _json
+    import time as _time
+
+    from fstore_sql_spark import EventStore
+
+    spark = _small_spark(f"soak-consumer-{os.path.basename(out_path)}")
+    store = EventStore(spark, root, max_resident_shards=max_resident)
+    acked: list[tuple[str, int]] = []
+    claims = 0
+
+    def flush():
+        tmp = f"{out_path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump({"acked": acked, "claims": claims}, f)
+        os.replace(tmp, out_path)
+
+    flush()
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        rows = store.stream_events(view, limit=10, seconds=lease_s).collect()
+        claims += len(rows)
+        if (
+            kill_after_claims is not None
+            and claims >= kill_after_claims
+            and rows
+        ):
+            # die holding these un-acked leases (progress already flushed)
+            flush()
+            os._exit(42)
+        if rows:
+            store.ack_events(
+                view,
+                [(r["decider_id"], r["offset"]) for r in rows],
+                returning=False,
+            )
+            acked.extend((r["decider_id"], r["offset"]) for r in rows)
+            flush()
+        else:
+            if os.path.exists(stop_path):
+                break
+            _time.sleep(0.1)
+    flush()
     spark.stop()

@@ -405,3 +405,153 @@ class TestLiveSoakCrash:
         }
         for d, hi in tails.items():
             assert per_stream.get(d, [])[-1] == hi, f"stream {d} tail undelivered"
+
+
+class TestCombinedCrashSoak:
+    """r6 (VERDICT r5 #4): N producer + M consumer PROCESSES on one PAGED
+    store, SIGKILLing BOTH a committer (mid-append-job-commit — the
+    partial-batch window) AND a claim-holding consumer, then recovering
+    by replay + lease expiry.  Asserts exactly-once landing, gap-free
+    per-stream chains, disjoint acks across every actor, and no stuck
+    leases after recovery."""
+
+    N_BATCHES = 4
+    BATCH = 20  # 4 lanes x 5 chained events per producer batch
+    KILL_BATCH = 2
+
+    def test_producers_consumers_paging_and_kills(self, spark, shared_path):
+        from tests._producer_worker import (
+            soak_batches,
+            soak_consumer_worker,
+            soak_producer_worker,
+        )
+
+        parent = EventStore(spark, shared_path, max_resident_shards=2)
+        parent.register_decider_event("dec", "evt", "combined soak")
+        parent.register_view("soak", start_at="2000-01-01 00:00:00")
+
+        ctx = mp.get_context("spawn")
+        stop_path = os.path.join(shared_path, "CONSUMERS_STOP")
+        p0_out = os.path.join(shared_path, "prod0.json")
+        p1_out = os.path.join(shared_path, "prod1.json")
+        c0_out = os.path.join(shared_path, "cons0.json")
+        c1_out = os.path.join(shared_path, "cons1.json")
+        procs = {
+            # producer 0: SIGKILL mid-append-job-commit at batch KILL_BATCH
+            "p0": ctx.Process(
+                target=soak_producer_worker,
+                args=(shared_path, p0_out, self.N_BATCHES, self.BATCH,
+                      self.KILL_BATCH, "mid_append", "a"),
+            ),
+            # producer 1: clean full run (kill batch beyond the end)
+            "p1": ctx.Process(
+                target=soak_producer_worker,
+                args=(shared_path, p1_out, self.N_BATCHES, self.BATCH,
+                      self.N_BATCHES + 1, "after_append", "b"),
+            ),
+            # consumer 0: dies holding fresh un-acked leases
+            "c0": ctx.Process(
+                target=soak_consumer_worker,
+                args=(shared_path, c0_out, "soak", stop_path, 25, 8, 2),
+            ),
+            # consumer 1: clean paged consumer until drained
+            "c1": ctx.Process(
+                target=soak_consumer_worker,
+                args=(shared_path, c1_out, "soak", stop_path, None, 8, 2),
+            ),
+        }
+        for p in procs.values():
+            p.start()
+        # wait for both producers (p0 must die with the injected kill)
+        procs["p0"].join(300)
+        procs["p1"].join(300)
+        assert procs["p0"].exitcode == 42, f"p0 exit {procs['p0'].exitcode}"
+        assert procs["p1"].exitcode == 0, f"p1 exit {procs['p1'].exitcode}"
+        # wait for the claim-holder kill
+        procs["c0"].join(300)
+        assert procs["c0"].exitcode == 42, f"c0 exit {procs['c0'].exitcode}"
+
+        # at-least-once recovery: replay EVERY batch of the dead producer
+        batches_a = soak_batches(self.N_BATCHES, self.BATCH, prefix="a")
+        for rows in batches_a:
+            parent.append_batch(rows, on_conflict="ignore")
+
+        # drain to completion alongside the surviving consumer; c0's
+        # killed leases (8s) must expire and redeliver to SOMEONE
+        expected_tails = {
+            r["decider_id"]: r["offset"]
+            for r in parent.events()
+            .groupBy("decider_id")
+            .agg(F.max("offset").alias("offset"))
+            .collect()
+        }
+        parent_acked: list[tuple[str, int]] = []
+        deadline = time.time() + 300
+
+        def all_ack_sets():
+            out = [list(parent_acked)]
+            for f in (c0_out, c1_out):
+                try:
+                    with open(f, encoding="utf-8") as fh:
+                        out.append([tuple(x) for x in json.load(fh)["acked"]])
+                except (OSError, ValueError):
+                    out.append([])
+            return out
+
+        while True:
+            rows = parent.stream_events("soak", limit=50, seconds=8).collect()
+            if rows:
+                parent.ack_events(
+                    "soak", [(r["decider_id"], r["offset"]) for r in rows],
+                    returning=False,
+                )
+                parent_acked.extend((r["decider_id"], r["offset"]) for r in rows)
+            else:
+                acked_union: dict[str, int] = {}
+                for s in all_ack_sets():
+                    for d, o in s:
+                        acked_union[d] = max(acked_union.get(d, 0), o)
+                if all(
+                    acked_union.get(d, 0) >= hi for d, hi in expected_tails.items()
+                ):
+                    break
+                time.sleep(0.2)
+            assert time.time() < deadline, (
+                f"combined drain stalled; tails missing: "
+                f"{[d for d, hi in expected_tails.items() if acked_union.get(d, 0) < hi][:5]}"
+            )
+        with open(stop_path, "w", encoding="utf-8") as f:
+            f.write("done")
+        procs["c1"].join(120)
+        assert procs["c1"].exitcode == 0, f"c1 exit {procs['c1'].exitcode}"
+
+        # 1. exactly-once landing: both producers' full event sets, no
+        # partial-batch leftovers, unique offsets
+        expected_ids = {
+            r["event_id"]
+            for rows in batches_a + soak_batches(self.N_BATCHES, self.BATCH, "b")
+            for r in rows
+        }
+        ev = parent.events().select("event_id", "decider_id", "offset").collect()
+        ids = [r["event_id"] for r in ev]
+        assert len(ids) == len(set(ids)), "duplicate event committed"
+        assert set(ids) == expected_ids, (
+            f"log mismatch: {len(ids)} vs {len(expected_ids)} expected"
+        )
+        offsets = [r["offset"] for r in ev]
+        assert len(offsets) == len(set(offsets)), "colliding offsets"
+        # 2. gap-free per-stream chains in replay order
+        for prefix in ("a", "b"):
+            replay = parent.get_events(f"{prefix}0-l0", "dec").collect()
+            assert [r["event_id"] for r in replay] == [
+                f"{prefix}0-l0-e{i}" for i in range(self.BATCH // 4)
+            ]
+        # 3. ack disjointness across ALL actors (parent + 2 consumers):
+        # an acked offset must never have been acked twice
+        everything = [p for s in all_ack_sets() for p in s]
+        assert len(everything) == len(set(everything)), (
+            "the same (partition, offset) was acked by two actors"
+        )
+        # 4. no stuck leases: every partition fully consumed and released
+        stuck = parent.locks().filter("last_offset < offset").count()
+        assert stuck == 0, f"{stuck} partitions left undelivered/stuck"

