@@ -1,11 +1,13 @@
-"""Quantify driver-resident consumer state (VERDICT r4 #2).
+"""Quantify driver-resident consumer state (VERDICT r4 #2; hwm r6).
 
 Measures, Spark-free, the two driver-central frames at 1M partitions:
 
 - the sharded locks ledger (`ShardedLocksLedger` shard frames: MultiIndex
   (view, decider_id) + last_offset/locked_until/created_at/updated_at),
-- the high-watermark frame (`EventStore._hwm_pandas` shape: index
-  decider_id, columns offset int64 + offset_final bool),
+- the sharded high-watermark (`ShardedHwm` shard-frame shape since r6:
+  index decider_id, columns offset int64 + offset_final bool — measured
+  here as the all-resident total, i.e. what an UNPAGED store holds; a
+  paged store holds ``max_resident/n_shards`` of it),
 
 and prints bytes/partition plus extrapolated ceilings.  The numbers are
 pinned in BASELINE.md ("Driver-resident state ceiling").
@@ -58,10 +60,17 @@ def main() -> None:
         ledger_bytes = ledger.resident_bytes()
         per_shard = ledger_bytes / ledger.n_shards
 
-        hwm = pd.DataFrame(
+        # sharded hwm, all shards resident (the r6 in-memory shape)
+        from fstore_sql_spark.ledger import shard_of
+
+        shards = pd.Series([shard_of(d, ledger.n_shards) for d in ids])
+        hwm_bytes = 0
+        base = pd.DataFrame(
             {"decider_id": ids, "offset": 1_000_000_000, "offset_final": False}
-        ).set_index("decider_id")
-        hwm_bytes = int(hwm.memory_usage(deep=True).sum())
+        )
+        for _k, part in base.groupby(shards.values):
+            f = part.set_index("decider_id").sort_index()
+            hwm_bytes += int(f.memory_usage(deep=True).sum())
 
         out = {
             "n_partitions": n,
