@@ -1425,19 +1425,53 @@ class EventStore:
         partition max offset)`` — i.e. start from event-time position
         ``start_at``, or mark fully consumed if nothing is newer.
 
-        ONE Spark job (the event-time aggregate over the log, with the
-        ``created_at`` predicate pushed to the scan); the COALESCE against
-        the high-watermark and the merge are driver-side frame ops.
-        Result cardinality = #partitions — the ledger's stated ceiling."""
-        events = self.events()
-        first_after = (
-            events.filter(F.col("created_at") >= F.lit(start_at))
+        ONE Spark aggregation (the event-time aggregate over the log, with
+        the ``created_at`` predicate pushed to the scan); the COALESCE
+        against the high-watermark and the merge are driver-side frame
+        ops.  Result cardinality = #partitions — the inherent write size
+        of T7.  On a PAGED store (r6) the backfill runs SHARD-AT-A-TIME
+        over the persisted aggregate, so the transient driver frame is
+        one shard, not the whole table — the last O(#partitions) driver
+        spike a paged store paid."""
+        first_after_df = (
+            self.events()
+            .filter(F.col("created_at") >= F.lit(start_at))
             .groupBy("decider_id")
             .agg(F.min("offset").alias("first_after"))
-            .toPandas()
-            .set_index("decider_id")
         )
-        hwm = self._hwm_pandas()
+        hwm = self._hwm_view()
+        if self.ledger.max_resident is None:
+            first_after = first_after_df.toPandas().set_index("decider_id")
+            self._t7_upsert_slice(view, first_after, hwm.full(), now)
+            return
+        shard = F.pmod(
+            F.crc32(F.col("decider_id").cast("binary")),
+            F.lit(self.ledger.n_shards),
+        ).cast("int")
+        sharded = first_after_df.withColumn("_shard", shard).persist()
+        try:
+            sharded.count()  # materialize once; per-shard filters then scan the cache
+            for k in range(self.ledger.n_shards):
+                hwm_k = hwm.for_shard(k)
+                if hwm_k.empty:
+                    continue
+                fa_k = (
+                    sharded.filter(F.col("_shard") == k)
+                    .drop("_shard")
+                    .toPandas()
+                    .set_index("decider_id")
+                )
+                self._t7_upsert_slice(view, fa_k, hwm_k, now)
+        finally:
+            sharded.unpersist()
+
+    def _t7_upsert_slice(
+        self,
+        view: str,
+        first_after: pd.DataFrame,
+        hwm: pd.DataFrame,
+        now: datetime,
+    ) -> None:
         if hwm.empty:
             return
         last = (first_after["first_after"] - 1).reindex(hwm.index)

@@ -191,6 +191,36 @@ class TestHwmPaging:
         # 25*2 events total, 5 already acked above
         assert len(delivered) == 25 * 2 - 5
 
+    def test_paged_register_view_backfill_stays_in_budget(self, spark, path):
+        """T7 on a paged store (r6): registering a view AFTER events exist
+        backfills every partition shard-at-a-time — residency stays at
+        the budget throughout, and the backfill semantics (start_at in
+        the past ⇒ stream everything) are unchanged."""
+        store = EventStore(spark, path, max_resident_shards=2)
+        store.register_decider_event("dec", "evt", "late view")
+        store.append_batch(
+            [
+                {
+                    "event": "evt",
+                    "event_id": f"lv-{i}",
+                    "decider": "dec",
+                    "decider_id": f"lv-{i:04d}",
+                    "data": "{}",
+                    "previous_id": None,
+                }
+                for i in range(100)
+            ]
+        )
+        store.register_view("late", start_at="2000-01-01T00:00:00")
+        st = store.stats()
+        assert st["ledger_resident_shards"] <= 2
+        assert st["hwm_resident_shards"] <= 2
+        delivered = _drain(store, view="late")
+        assert len(delivered) == 100
+        # and a start_at in the FUTURE backfills as fully-consumed
+        store.register_view("caught_up", start_at="2999-01-01T00:00:00")
+        assert store.stream_events("caught_up", limit=10).count() == 0
+
     def test_locks_view_and_returning_rows_match_unpaged(self, spark, path):
         """The full-table surface (locks()) and the RETURNING path
         (targeted shard lookup, r6) agree between a paged and an unpaged
