@@ -94,6 +94,7 @@ class ShardedHwm:
         self.max_resident = max_resident
         self._frames: dict[int, pd.DataFrame] = {}
         self._versions: dict[int, int] = {}
+        self._spilled: dict[int, int] = {}  # shard -> evict-cache version
         self._use_clock = 0
         self._last_use: dict[int, int] = {}
         # the published commit id our STATE VIEW reflects; None = never
@@ -272,8 +273,67 @@ class ShardedHwm:
             return
         resident.sort(key=lambda k: self._last_use.get(k, -1))
         for k in resident[:over]:
+            self._spill(k)
             self._frames.pop(k, None)
             self._versions.pop(k, None)
+
+    # ---- evict-cache (r6, same pattern as LocksLedger.evict): spill the
+    # PARSED frame as version-tagged Arrow IPC so a re-visit (fairness
+    # probe, ack routing, sibling reload) pays one mmap read + the delta
+    # tail since the tag, not a parquet snapshot + full chain replay ---- #
+
+    def _cache_path(self, k: int) -> str:
+        return os.path.join(
+            self.storage.root, f"{self._table(k)}_state", "_EVICT.arrow"
+        )
+
+    def _spill(self, k: int) -> None:
+        f = self._frames.get(k)
+        v = self._versions.get(k)
+        if f is None or v is None or v < 0 or not len(f):
+            return
+        if self._spilled.get(k) == v:
+            return  # unchanged since the last spill
+        try:
+            import pyarrow as pa
+
+            t = pa.Table.from_pandas(f.reset_index(), preserve_index=False)
+            t = t.replace_schema_metadata({b"hwm_version": str(v).encode()})
+            path = self._cache_path(k)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh, pa.ipc.new_file(fh, t.schema) as w:
+                w.write_table(t)
+            os.replace(tmp, path)
+            self._spilled[k] = v
+        except Exception:  # noqa: BLE001 — cache only; snapshot path remains
+            pass
+
+    def _try_cache(self, k: int, disk: int) -> "pd.DataFrame | None":
+        try:
+            import pyarrow as pa
+
+            with pa.memory_map(self._cache_path(k)) as m:
+                t = pa.ipc.open_file(m).read_all()
+            v = int((t.schema.metadata or {}).get(b"hwm_version", b"?"))
+        except Exception:  # noqa: BLE001 — absent/torn/foreign
+            return None
+        if v > disk or disk - v > self.COMPACT_EVERY:
+            return None
+        frame = _norm_hwm(t.to_pandas()) if t.num_rows else _empty_hwm()
+        if v < disk:
+            deltas = self.storage.read_state_deltas(self._table(k), v, disk)
+            if deltas is None:
+                return None
+            for dpdf in deltas:
+                # same semantics as apply_state_delta: drop every key the
+                # delta names, re-insert its non-tombstoned rows
+                keys = pd.Index(dpdf["decider_id"])
+                frame = frame.drop(index=keys, errors="ignore")
+                up = dpdf[~dpdf["_deleted"]]
+                if len(up):
+                    frame = pd.concat([frame, _norm_hwm(up)]).sort_index()
+        return frame
 
     def resident_shards(self) -> int:
         return len(self._frames)
@@ -292,8 +352,12 @@ class ShardedHwm:
 
     def _load_frame(self, k: int) -> pd.DataFrame:
         table = self._table(k)
-        if self.storage.state_version(table) < 0:
+        disk = self.storage.state_version(table)
+        if disk < 0:
             return _empty_hwm()
+        cached = self._try_cache(k, disk)
+        if cached is not None:
+            return cached
         pdf = self.storage.read_state_pandas(table, key_cols=["decider_id"])
         return _norm_hwm(pdf) if len(pdf) else _empty_hwm()
 

@@ -191,6 +191,57 @@ class TestHwmPaging:
         # 25*2 events total, 5 already acked above
         assert len(delivered) == 25 * 2 - 5
 
+    def test_evicted_hwm_shard_reloads_from_spill_cache(self, spark, path):
+        """r6 evict-cache for the watermark (mirror of the ledger's): an
+        evicted shard reloads from the version-tagged Arrow spill + delta
+        tail — identical content, without touching the parquet snapshot
+        path; a commit past the spill is covered by the tail replay."""
+        store = _seed(spark, path, 60, 1, max_resident=2)
+        hwm = store._hwm_view()
+        # materialize + capture every shard's content, forcing evictions
+        before = {k: hwm.for_shard(k).copy() for k in range(hwm.n_shards)}
+        # a new commit writes deltas past the spilled tags
+        store.append_batch(
+            [
+                {
+                    "event": "evt",
+                    "event_id": "spill-new",
+                    "decider": "dec",
+                    "decider_id": "spill-new",
+                    "data": "{}",
+                    "previous_id": None,
+                }
+            ]
+        )
+        hwm = store._hwm_view()
+        calls = {"n": 0}
+        orig = store.storage.read_state_pandas
+
+        def counting(table, key_cols=None):
+            if table.startswith("hwm_"):
+                calls["n"] += 1
+            return orig(table, key_cols=key_cols)
+
+        store.storage.read_state_pandas = counting
+        try:
+            import pandas as pd
+
+            full = pd.concat(
+                [hwm.for_shard(k) for k in range(hwm.n_shards)]
+            )
+            # identical content for all pre-existing keys + the new one
+            for k, f in before.items():
+                cur = hwm.for_shard(k)
+                got = cur.loc[cur.index.intersection(f.index)]
+                pd.testing.assert_frame_equal(got.sort_index(), f.sort_index())
+            assert "spill-new" in full.index
+            # spilled shards reloaded via the cache, not the snapshot path
+            assert calls["n"] == 0, (
+                f"{calls['n']} snapshot reloads despite warm evict-caches"
+            )
+        finally:
+            store.storage.read_state_pandas = orig
+
     def test_paged_register_view_backfill_stays_in_budget(self, spark, path):
         """T7 on a paged store (r6): registering a view AFTER events exist
         backfills every partition shard-at-a-time — residency stays at

@@ -589,3 +589,12 @@ class TestR5TypedPayload:
         # column pruning: only the columns the projection needs are read
         cols = P.scan_columns(df)
         assert cols and all("value" not in c for c in cols), cols
+
+    def test_payload_evolution_is_zero_shuffle_codegen_projection(self, spark):
+        """payload_schema_evolution (r6): the rename-walk + widen chain
+        adds CASE arms, not plan structure — still a pure scan+project
+        with zero exchanges (renames are resolved at expression-build
+        time, never at runtime)."""
+        df = q(spark, "payload_schema_evolution")
+        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
+        assert P.codegen_span_count(df) >= 1

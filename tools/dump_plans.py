@@ -37,6 +37,7 @@ FLAGSHIP = [
     ("bm25_topk", "broadcast df/corpus stats; top-k as TakeOrderedAndProject"),
     ("hybrid_rrf_topk", "RRF fusion over two top-k-bounded rankers"),
     ("payload_schema_upcast", "typed view: version-dispatched from_json + CASE, zero-shuffle codegen projection"),
+    ("payload_schema_evolution", "rename+widen chain: build-time rename walk, still zero-shuffle codegen (r6)"),
 ]
 
 
