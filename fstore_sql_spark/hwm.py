@@ -78,6 +78,22 @@ def _norm_hwm(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.set_index("decider_id").sort_index()
 
 
+def clear_hwm_layout(storage) -> None:
+    """Remove the persisted watermark (meta + every ``hwm_s*_state``
+    table + evict caches).  Called by the ledger's shard-count RESIZE:
+    hwm shards share the locks routing (``crc32 % n_shards``), so a
+    resized store's old hwm layout is mis-routed — and the watermark is
+    DERIVED, so deleting it is always safe (the next claim path rebuilds
+    from the log at the new count)."""
+    try:
+        os.unlink(os.path.join(storage.root, "hwm_META.json"))
+    except FileNotFoundError:
+        pass
+    for d in os.listdir(storage.root):
+        if d.startswith("hwm_s") and d.endswith("_state"):
+            shutil.rmtree(os.path.join(storage.root, d), ignore_errors=True)
+
+
 class ShardedHwm:
     """See module doc.  All in-memory access is serialized by the store's
     commit lock (one ShardedHwm per EventStore); cross-process safety is

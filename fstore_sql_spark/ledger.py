@@ -237,6 +237,8 @@ class LocksLedger:
         self._stamp_written_at = 0.0  # monotonic clock of last publish
         # (index object, materialized decider_id level) — see _view_slice
         self._ids_cache: tuple | None = None
+        # version of the last evict-cache spill (skip unchanged rewrites)
+        self._evict_cache_version: int | None = None
         # lazy=True (LRU shard paging): skip the eager load; the frame
         # stays empty at version -2 until first guarded use or a
         # negative-probe refresh in the claim walk loads it on demand.
@@ -1512,6 +1514,11 @@ def _recover_resize(storage, table: str, n_shards: int) -> None:
             return
         allrows = pd.read_parquet(staging)
         _rebuild_shards(storage, table, n_shards, allrows)
+        # a crashed resize may have died before clearing the derived hwm
+        # layout (see resize_shards step 3b) — clear it here too
+        from fstore_sql_spark.hwm import clear_hwm_layout
+
+        clear_hwm_layout(storage)
         os.unlink(staging)
 
 
@@ -1557,6 +1564,14 @@ def resize_shards(storage, table: str, new_n_shards: int) -> int:
             with open(mtmp, "w", encoding="utf-8") as f:
                 f.write(str(new_n_shards))
             os.replace(mtmp, marker)
+            # 3b. the DERIVED hwm layout shares this routing — clear it so
+            # the next open rebuilds at the new count (r6; leaving it
+            # would mis-route watermark lookups and stall delivery).
+            # Before the staging unlink: a crash here re-runs recovery,
+            # which clears again (idempotent).
+            from fstore_sql_spark.hwm import clear_hwm_layout
+
+            clear_hwm_layout(storage)
             # 4. staging no longer needed
             os.unlink(staging)
         finally:

@@ -295,6 +295,29 @@ class TestHwmPaging:
         assert st["ledger_resident_shards"] <= 1
 
 
+class TestHwmResizeInterplay:
+    def test_shard_resize_rebuilds_watermark_routing(self, spark, path):
+        """r6 review find: a shard-count resize re-routes the LOCKS
+        ledger, and the watermark shares that routing — the persisted hwm
+        layout must be cleared by the resize, else lookups against the
+        old shard layout miss partitions and delivery stalls forever."""
+        from fstore_sql_spark.ledger import resize_shards
+        from fstore_sql_spark.storage import ParquetStore
+
+        store = _seed(spark, path, 40, 1)
+        got = store.stream_events("v", limit=5).collect()  # materialize hwm
+        store.ack_events(
+            "v", [(r["decider_id"], r["offset"]) for r in got], returning=False
+        )
+        assert resize_shards(ParquetStore(None, path), "locks", 16) == 16
+        reopened = EventStore(spark, path)
+        assert reopened.ledger.n_shards == 16
+        delivered = _drain(reopened)
+        # every remaining event delivers under the NEW routing
+        assert len(delivered) == 40 - len(got)
+        assert reopened.locks().filter("last_offset < offset").count() == 0
+
+
 @pytest.mark.slow
 class TestHwmPagingScale:
     def test_million_partition_hwm_under_memory_budget(self, spark, path):
