@@ -239,6 +239,8 @@ class ShardedHwm:
             # a sibling's rebuild can hold the lock for a full Spark job
             with self._plock.held(timeout_s=600):
                 if self._read_meta() == int(prev_commit):
+                    if self._synced_commit != int(prev_commit):
+                        self._drop_moved_shards()
                     self._write_meta(new_commit)
                     self._synced_commit = int(new_commit)
                     return
@@ -250,26 +252,47 @@ class ShardedHwm:
             if self._read_meta() != int(prev_commit):
                 self.invalidate()
                 return
+            if self._synced_commit != int(prev_commit):
+                # committer alternation (review r6): a SIBLING published
+                # commits since our last sync — its deltas moved shard
+                # versions our resident frames predate.  Folding this
+                # batch into such a frame would mark stale content
+                # current (and the compact branch below would persist it
+                # as the snapshot, erasing the sibling's rows on disk).
+                # Drop every frame whose disk version moved; they reload
+                # lazily with the sibling's deltas included.
+                self._drop_moved_shards()
             for k, part in pdf.groupby(shards):
                 k = int(k)
                 table = self._table(k)
                 rows = part[_HWM_COLS].copy()
                 rows["_deleted"] = False
-                v = self.storage.write_state_delta(table, rows)
+                cur = self.storage.state_version(table)
+                # durable=True: the meta-invariant makes a power loss
+                # that keeps the meta but drops a delta silently
+                # permanent — see write_state_delta's doc
+                v = self.storage.write_state_delta(table, rows, durable=True)
                 if k in self._frames:
-                    add = _norm_hwm(part)
-                    kept = self._frames[k].drop(index=add.index, errors="ignore")
-                    self._frames[k] = pd.concat([kept, add]).sort_index()
-                    self._versions[k] = v
+                    if self._versions.get(k) == cur:
+                        add = _norm_hwm(part)
+                        kept = self._frames[k].drop(
+                            index=add.index, errors="ignore"
+                        )
+                        self._frames[k] = pd.concat([kept, add]).sort_index()
+                        self._versions[k] = v
+                    else:  # belt-and-braces for any per-shard race
+                        self._frames.pop(k, None)
+                        self._versions.pop(k, None)
                 if self.storage.state_delta_chain(table) >= self.COMPACT_EVERY:
                     frame = self._frames.get(k)
                     if frame is None:
-                        frame = self._load_frame(k)
-                    self._versions[k] = self.storage.write_state_pandas(
+                        frame = self._load_frame_or_repair(k, int(new_commit))
+                    v2 = self.storage.write_state_pandas(
                         table, frame.reset_index()[_HWM_COLS]
                     )
-                    if k in self._frames:
+                    if k in self._frames:  # keep frame+version paired
                         self._frames[k] = frame
+                        self._versions[k] = v2
             self._write_meta(new_commit)
         self._synced_commit = int(new_commit)
         self._evict_over_budget()
@@ -366,26 +389,68 @@ class ShardedHwm:
 
     # ---- reads --------------------------------------------------------- #
 
-    def _load_frame(self, k: int) -> pd.DataFrame:
+    def _load_frame(self, k: int) -> "tuple[pd.DataFrame, int]":
+        """Load shard k from the state layout; returns ``(frame, version)``
+        where ``version`` is the disk version read BEFORE the data
+        (review r6: recording ``state_version()`` re-read AFTER the load
+        could overstate — a sibling delta landing in between would mark a
+        stale frame current and ``_spill`` would tag the evict-cache with
+        the overstated version.  Reading the version first errs in the
+        safe direction: content can only be NEWER than the tag, so
+        ``_drop_moved_shards`` at worst reloads)."""
         table = self._table(k)
         disk = self.storage.state_version(table)
         if disk < 0:
-            return _empty_hwm()
+            return _empty_hwm(), disk
         cached = self._try_cache(k, disk)
         if cached is not None:
-            return cached
+            return cached, disk
         pdf = self.storage.read_state_pandas(table, key_cols=["decider_id"])
-        return _norm_hwm(pdf) if len(pdf) else _empty_hwm()
+        return (_norm_hwm(pdf) if len(pdf) else _empty_hwm()), disk
+
+    def _load_frame_or_repair(self, k: int, commit_id: int) -> pd.DataFrame:
+        """``merge_batch``'s compact-fold load: called with ``_plock``
+        already HELD (ProcessLock is non-reentrant, so repair must call
+        ``_rebuild`` directly, never ``sync``).  An unreadable shard —
+        power loss tearing a pre-r6 non-durable delta, a corrupt snapshot
+        — raises out of ``read_state_pandas``; the watermark is DERIVED,
+        so the log is always the authority: rebuild everything at
+        ``commit_id`` (the batch being folded is already in the published
+        log at that commit) and retry the read."""
+        try:
+            frame, _v = self._load_frame(k)
+            return frame
+        except Exception:  # noqa: BLE001 — any unreadable state: rebuild
+            self._frames.clear()
+            self._versions.clear()
+            self._rebuild(int(commit_id))
+            frame, _v = self._load_frame(k)
+            return frame
 
     def for_shard(self, k: int) -> pd.DataFrame:
         """Shard k's watermark frame (index decider_id; columns offset,
         offset_final) — the claim path's per-shard read.  Loads from the
-        state layout on a miss; LRU-evicts over budget."""
+        state layout on a miss (repairing an unreadable shard by rebuild
+        under the hwm lock — the read-side twin of
+        ``_load_frame_or_repair``); LRU-evicts over budget."""
         f = self._frames.get(k)
         if f is None:
-            f = self._load_frame(k)
+            try:
+                f, v = self._load_frame(k)
+            except Exception:  # noqa: BLE001 — torn state: repair
+                with self._plock.held(timeout_s=600):
+                    try:
+                        f, v = self._load_frame(k)
+                    except Exception:  # noqa: BLE001 — still broken
+                        at = self._synced_commit
+                        if at is None:
+                            at = self._read_meta() or 0
+                        self._frames.clear()
+                        self._versions.clear()
+                        self._rebuild(int(at))
+                        f, v = self._load_frame(k)
             self._frames[k] = f
-            self._versions[k] = self.storage.state_version(self._table(k))
+            self._versions[k] = v
         self._note_use(k)
         self._evict_over_budget()
         return f

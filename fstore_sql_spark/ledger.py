@@ -1004,6 +1004,7 @@ class ShardedLocksLedger:
         # is pinned into the layout, and nothing used to tell an operator
         # the store had outgrown it until they read BASELINE.md
         self._tick_lat: deque = deque(maxlen=self.TICK_WINDOW)
+        self._tick_count = 0  # monotonic — the deque length saturates
         self._tick_warned_at = 0.0
         self._maybe_migrate_legacy(storage)
 
@@ -1381,7 +1382,11 @@ class ShardedLocksLedger:
         most hourly; latency sampling costs a deque append per tick and a
         128-float sort every 16th."""
         self._tick_lat.append(dt)
-        if len(self._tick_lat) < self.TICK_WINDOW or len(self._tick_lat) % 16:
+        self._tick_count += 1
+        # throttle on the MONOTONIC counter (review r6: the deque length
+        # saturates at TICK_WINDOW, and 128 % 16 == 0 made the old
+        # len()-based guard fire every tick once the window filled)
+        if self._tick_count < self.TICK_WINDOW or self._tick_count % 16:
             return
         lat = sorted(self._tick_lat)
         p95 = lat[int(len(lat) * 0.95)]

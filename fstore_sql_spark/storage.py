@@ -80,6 +80,21 @@ def _atomic_write(path: str, content: str, durable: bool = True) -> None:
     os.replace(tmp, path)
 
 
+def _fsync_dir(path: str) -> None:
+    """Best-effort directory fsync: makes a just-completed ``os.replace``
+    into ``path`` durable across POWER loss (rename atomicity alone only
+    guarantees process-crash safety — the dirent itself lives in the page
+    cache until the directory is synced)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass  # e.g. filesystems that refuse O_RDONLY dir fsync
+
+
 def apply_state_delta(pdf, dpdf, key_cols: list[str]):
     """Apply one state delta to an unindexed frame: rows whose key appears
     in the delta are replaced (or, under the ``_deleted`` tombstone,
@@ -488,11 +503,31 @@ class ParquetStore:
             pdf[c] = pdf[c].astype("datetime64[us]")
         return pdf
 
-    def write_state_delta(self, table: str, pdf) -> int:
+    def write_state_delta(self, table: str, pdf, durable: bool = False) -> int:
         """Append one delta version: the changed rows only, with a
         ``_deleted`` bool column.  Single Arrow IPC file staged through a
         tmp name + os.replace, so readers never see a torn delta.  No GC
-        here — full-snapshot writes compact the chain."""
+        here — full-snapshot writes compact the chain.
+
+        ``durable=False`` (the consumer-progress hot path) is ASYNC
+        COMMIT (the Postgres synchronous_commit=off queue pattern): no
+        fsync on the delta or its pointer flip.  Rename atomicity still
+        makes every flush PROCESS-crash durable; on POWER loss the
+        un-synced tail of claim/ack progress is lost, which the
+        at-least-once contract absorbs as redelivery — unlike the EVENT
+        log, whose manifests/markers stay fsync'd (losing events is not
+        recoverable by redelivery).  Measured cost of per-tick fsync on
+        the b3 path: ~1.3 ms of a ~6 ms tick, -20% delivery throughput.
+
+        ``durable=True`` (the watermark maintenance path, review r6):
+        fsync the delta file AND its directory entry before flipping a
+        fsync'd pointer.  The hwm meta-invariant ("meta == C ⟹ state
+        reflects C") makes a power loss that keeps the meta but drops a
+        delta SILENT and permanent — unlike lost claim progress it is
+        not redelivery-recoverable — so the per-commit watermark deltas
+        must be durable BEFORE the meta advances.  Cost: ~1 fsync per
+        touched shard per commit, invisible next to the batch's parquet
+        write."""
         import pyarrow as pa
 
         with self._lock:
@@ -503,20 +538,18 @@ class ParquetStore:
             )
             tmp = f"{target}.tmp.{uuid.uuid4().hex}"
             t = pa.Table.from_pandas(self._coerce_us(pdf), preserve_index=False)
-            # ASYNC COMMIT for the consumer-progress hot path (the
-            # Postgres synchronous_commit=off queue pattern): no fsync on
-            # the delta or its pointer flip.  Rename atomicity still
-            # makes every flush PROCESS-crash durable; on POWER loss the
-            # un-synced tail of claim/ack progress is lost, which the
-            # at-least-once contract absorbs as redelivery — unlike the
-            # EVENT log, whose manifests/markers stay fsync'd (losing
-            # events is not recoverable by redelivery).  Measured cost of
-            # per-tick fsync on the b3 path: ~1.3 ms of a ~6 ms tick,
-            # -20% delivery throughput.
-            with open(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
-                w.write_table(t)
+            with open(tmp, "wb") as f:
+                with pa.ipc.new_file(f, t.schema) as w:
+                    w.write_table(t)
+                # fsync AFTER the IPC writer closed — the footer that
+                # makes the file readable is written on writer close
+                if durable:
+                    f.flush()
+                    os.fsync(f.fileno())
             os.replace(tmp, target)
-            _atomic_write(self._latest_path(table), str(version), durable=False)
+            if durable:
+                _fsync_dir(self._state_dir(table))
+            _atomic_write(self._latest_path(table), str(version), durable=durable)
             return version
 
     def read_state_deltas(self, table: str, after_version: int, to_version: int):
@@ -525,6 +558,8 @@ class ParquetStore:
         (caller falls back to a full reload).  This is the incremental
         cross-process reload path: a sibling that advanced the state by K
         small commits costs K tiny file reads, not a snapshot scan."""
+        import pyarrow as pa
+
         out = []
         for v in range(after_version + 1, to_version + 1):
             e = self._state_entry(table, v)
@@ -536,6 +571,14 @@ class ParquetStore:
                 # a sibling's full-snapshot GC unlinked the delta between
                 # the existence check and the open (lock-free readers are
                 # allowed here) — fall back to a full reload
+                return None
+            except (OSError, pa.lib.ArrowInvalid):
+                # unreadable/corrupt delta (power loss can tear a
+                # non-durable delta even though writers stage+rename —
+                # the rename survives the crash, the data pages may not):
+                # report the chain broken instead of crashing the claim
+                # path; callers fall back to a snapshot read or, for
+                # DERIVED tables (hwm), a rebuild from the log
                 return None
         return out
 
@@ -599,6 +642,10 @@ class ParquetStore:
                 os.path.join(tmp, "part-00000.parquet"),
             )
             os.replace(tmp, target)
+            # make the rename power-loss durable before the fsync'd
+            # pointer can name it (review r6: a pointer that survives a
+            # snapshot that didn't leaves the table unreadable)
+            _fsync_dir(self._state_dir(table))
             _atomic_write(self._latest_path(table), str(version))
             self._gc_state(table, keep=4)
             return version
@@ -616,6 +663,7 @@ class ParquetStore:
             os.makedirs(base, exist_ok=True)
             target = os.path.join(base, f"v{version:08d}")
             os.replace(src_dir, target)
+            _fsync_dir(base)  # same pointer-vs-snapshot ordering as above
             _atomic_write(self._latest_path(table), str(version))
             self._gc_state(table, keep=4)
             return version

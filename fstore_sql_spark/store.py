@@ -120,7 +120,6 @@ class EventStore:
         self._commit_lock = threading.RLock()
         self._cache_log = cache_log
         self._events_cached: DataFrame | None = None
-        self._hwm_cached: DataFrame | None = None
         self._state_cached: dict[str, DataFrame] = {}
         # (view, decider_id) -> {"lo": fetch-time last_offset, "rows":
         # [Row sorted by offset], "complete": window reached hwm}
@@ -237,29 +236,10 @@ class EventStore:
                 ).persist()
             return self._events_cached
 
-    def _hwm(self) -> DataFrame:
-        """Per-partition high-watermark (max offset + final flag of the last
-        event), derived from the log.  The delivery loop reads it on every
-        ``stream_events``/``ack`` call but it only changes on append, so it
-        shares the log cache's lifetime: one shuffle per log generation
-        instead of one per API call."""
-        hwm = self.events().groupBy("decider_id").agg(
-            F.max("offset").alias("offset"),
-            F.max_by("final", "offset").alias("offset_final"),
-        )
-        if not self._cache_log:
-            return hwm
-        if self._hwm_cached is None:
-            self._hwm_cached = hwm.persist()
-        return self._hwm_cached
-
     def _invalidate_log_cache(self) -> None:
         if self._events_cached is not None:
             self._events_cached.unpersist()
             self._events_cached = None
-        if self._hwm_cached is not None:
-            self._hwm_cached.unpersist()
-            self._hwm_cached = None
         # NOTE: the sharded hwm is NOT invalidated here — it is keyed on
         # the published commit id (sync), so a compaction (same commits,
         # new layout) keeps it, a commit advances it incrementally

@@ -20,6 +20,7 @@ the consumer acking, else lease expiry redelivers (README.md:135).
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
 import urllib.request
@@ -30,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from fstore_sql_spark.store import EventStore
+
+logger = logging.getLogger("fstore_sql_spark.push")
 
 
 def http_post(url: str, payload: dict) -> int:
@@ -142,6 +145,12 @@ class PushDelivery:
         # housekeeping job can't leak memory either.
         self.run_details: deque = deque(maxlen=100_000)
         self._run_details_lock = threading.Lock()
+        # executor-mode delivery-JOB failures (review r6): a job() dying
+        # inside the pool — unpicklable custom post, Spark submission
+        # error, ack failure — used to vanish in an unobserved Future,
+        # degenerating into a silent claim→expire→reclaim loop.  Bounded;
+        # each entry is (view, repr(exc)).  Also logged.
+        self.job_errors: deque = deque(maxlen=1000)
 
     # ------------------------------------------------------------------ #
 
@@ -295,9 +304,24 @@ class PushDelivery:
                             returning=False,
                         )
 
-                backlog.track(pool.submit(job))
+                job_errors = self.job_errors
+
+                def observe(fut) -> None:
+                    exc = fut.exception()
+                    if exc is not None:
+                        job_errors.append((view, repr(exc)))
+                        logger.warning(
+                            "push delivery job for view %r failed (events "
+                            "stay leased until expiry, then redeliver): %r",
+                            view,
+                            exc,
+                        )
+
+                fut = pool.submit(job)
+                fut.add_done_callback(observe)
+                backlog.track(fut)
             except Exception:  # noqa: BLE001 — same never-kill-the-query rule
-                pass
+                logger.debug("push tick for view %r skipped", view, exc_info=True)
 
         deliver = _executor_deliver if self.mode == "executor" else _driver_deliver
 

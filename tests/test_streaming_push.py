@@ -560,6 +560,41 @@ def test_push_executor_mode_delivers_and_acks(store):
         sink.close()
 
 
+def test_push_executor_job_failure_is_observed(store):
+    """Review r6: an executor-mode delivery job dying inside the pool
+    (here: a custom post whose closure cloudpickle cannot ship — the
+    exact hazard the exec_post comment warns about) must surface in
+    ``job_errors`` + the log instead of vanishing in an unobserved
+    Future, and must not kill the StreamingQuery."""
+    import threading
+
+    lk = threading.Lock()  # _thread.lock is unpicklable by cloudpickle
+
+    def bad_post(url, payload):
+        with lk:
+            return 200
+
+    svc = PushDelivery(store, mode="executor", batch_limit=10, post=bad_post)
+    try:
+        _seed_fanout(store, "push_badjob", "http://x.invalid/hook", n=3)
+        q = svc.start("push_badjob")
+        assert wait_until(lambda: len(svc.job_errors) >= 1, timeout=90), (
+            "failed delivery job was not observed"
+        )
+        view, err = svc.job_errors[0]
+        assert view == "push_badjob" and err
+        assert q.isActive, "job failure killed the StreamingQuery"
+        # nothing was acked — all 3 partitions remain unconsumed
+        assert (
+            store.locks()
+            .filter("view = 'push_badjob' AND last_offset < offset")
+            .count()
+            == 3
+        )
+    finally:
+        svc.stop_all()
+
+
 def test_push_modes_deliver_identical_payload_sets(spark, store, tmp_path):
     """Driver vs executor delivery parity (the VERDICT r5 #6 done
     criterion): same events, same view config, one real HTTP sink each —
