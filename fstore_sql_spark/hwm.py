@@ -319,12 +319,9 @@ class ShardedHwm:
     # ---- evict-cache (r6, same pattern as LocksLedger.evict): spill the
     # PARSED frame as version-tagged Arrow IPC so a re-visit (fairness
     # probe, ack routing, sibling reload) pays one mmap read + the delta
-    # tail since the tag, not a parquet snapshot + full chain replay ---- #
-
-    def _cache_path(self, k: int) -> str:
-        return os.path.join(
-            self.storage.root, f"{self._table(k)}_state", "_EVICT.arrow"
-        )
+    # tail since the tag, not a parquet snapshot + full chain replay.
+    # The IO protocol lives in storage.write/read_evict_cache (shared
+    # with the locks ledger); only the replay semantics are ours. ------- #
 
     def _spill(self, k: int) -> None:
         f = self._frames.get(k)
@@ -334,32 +331,21 @@ class ShardedHwm:
         if self._spilled.get(k) == v:
             return  # unchanged since the last spill
         try:
-            import pyarrow as pa
-
-            t = pa.Table.from_pandas(f.reset_index(), preserve_index=False)
-            t = t.replace_schema_metadata({b"hwm_version": str(v).encode()})
-            path = self._cache_path(k)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as fh, pa.ipc.new_file(fh, t.schema) as w:
-                w.write_table(t)
-            os.replace(tmp, path)
+            self.storage.write_evict_cache(
+                self._table(k), f.reset_index(), v, tag=b"hwm_version"
+            )
             self._spilled[k] = v
         except Exception:  # noqa: BLE001 — cache only; snapshot path remains
             pass
 
     def _try_cache(self, k: int, disk: int) -> "pd.DataFrame | None":
-        try:
-            import pyarrow as pa
-
-            with pa.memory_map(self._cache_path(k)) as m:
-                t = pa.ipc.open_file(m).read_all()
-            v = int((t.schema.metadata or {}).get(b"hwm_version", b"?"))
-        except Exception:  # noqa: BLE001 — absent/torn/foreign
+        hit = self.storage.read_evict_cache(self._table(k), tag=b"hwm_version")
+        if hit is None:
             return None
+        pdf, v = hit
         if v > disk or disk - v > self.COMPACT_EVERY:
             return None
-        frame = _norm_hwm(t.to_pandas()) if t.num_rows else _empty_hwm()
+        frame = _norm_hwm(pdf) if len(pdf) else _empty_hwm()
         if v < disk:
             deltas = self.storage.read_state_deltas(self._table(k), v, disk)
             if deltas is None:

@@ -560,39 +560,23 @@ class LocksLedger:
                 pass
         self._invalidate()
 
-    def _evict_cache_path(self) -> str:
-        return os.path.join(self.storage._state_dir(self.table), "_EVICT.arrow")
-
     def _write_evict_cache(self) -> None:
         if getattr(self, "_evict_cache_version", None) == self._version:
             return  # frame unchanged since the last spill
-        import pyarrow as pa
-
-        t = pa.Table.from_pandas(self._df.reset_index(), preserve_index=False)
-        t = t.replace_schema_metadata({b"ledger_version": str(self._version).encode()})
-        path = self._evict_cache_path()
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
-            w.write_table(t)
-        os.replace(tmp, path)  # atomic; no fsync — cache only
+        self.storage.write_evict_cache(
+            self.table, self._df.reset_index(), self._version,
+            tag=b"ledger_version",
+        )
         self._evict_cache_version = self._version
 
     def _try_evict_cache(self, disk: int) -> bool:
         """Reload from the evict-cache if its tag is close enough to the
         disk version for a delta-tail replay; False → caller takes the
         full snapshot path."""
-        import pyarrow as pa
-
-        try:
-            with pa.memory_map(self._evict_cache_path()) as m:
-                t = pa.ipc.open_file(m).read_all()
-        except Exception:  # noqa: BLE001 — absent/torn/foreign: fall back
+        hit = self.storage.read_evict_cache(self.table, tag=b"ledger_version")
+        if hit is None:
             return False
-        meta = t.schema.metadata or {}
-        try:
-            v = int(meta.get(b"ledger_version", b"?"))
-        except ValueError:
-            return False
+        pdf, v = hit
         if v > disk or disk - v > self.COMPACT_EVERY:
             return False
         tail = []
@@ -600,7 +584,6 @@ class LocksLedger:
             tail = self.storage.read_state_deltas(self.table, v, disk)
             if tail is None:
                 return False
-        pdf = t.to_pandas()
         self._df = _normalize(pdf) if len(pdf) else _empty_frame()
         for dpdf in tail:
             self._apply_delta(dpdf)

@@ -582,6 +582,46 @@ class ParquetStore:
                 return None
         return out
 
+    # ---- evict-cache (r6): version-tagged Arrow IPC spill of a PARSED
+    # state frame, shared by the paged locks ledger and watermark (review
+    # r6: the two sides used to carry near-identical copies of this
+    # protocol, one future-drift bug source).  The cache is best-effort
+    # only — atomic rename, no fsync, torn/absent/foreign caches are
+    # simply misses; the snapshot+delta chain stays the durable truth.
+    # Each owner passes its own ``tag`` key so a foreign writer's cache
+    # (or a pre-rename layout) can never be mistaken for ours, and keeps
+    # its own delta-tail replay semantics on top of the returned frame.
+
+    def write_evict_cache(self, table: str, pdf, version: int, tag: bytes) -> None:
+        """Spill ``pdf`` (index already reset) tagged with the state
+        ``version`` it reflects.  Raises on failure — callers treat the
+        spill as optional and catch."""
+        import pyarrow as pa
+
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        t = t.replace_schema_metadata({tag: str(int(version)).encode()})
+        path = os.path.join(self._state_dir(table), "_EVICT.arrow")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        os.replace(tmp, path)  # atomic; no fsync — cache only
+
+    def read_evict_cache(self, table: str, tag: bytes):
+        """-> ``(pdf, tagged_version)`` or ``None`` (absent / torn /
+        foreign tag).  The caller validates the tag window against the
+        current disk version and replays the delta tail above it."""
+        import pyarrow as pa
+
+        path = os.path.join(self._state_dir(table), "_EVICT.arrow")
+        try:
+            with pa.memory_map(path) as m:
+                t = pa.ipc.open_file(m).read_all()
+            v = int((t.schema.metadata or {}).get(tag, b"?"))
+        except Exception:  # noqa: BLE001 — any unreadable cache is a miss
+            return None
+        return t.to_pandas(), v
+
     def read_state_pandas(self, table: str, key_cols: list[str] | None = None):
         """Reconstruct the current state: latest full snapshot + replay of
         the delta chain above it.  ``key_cols`` is required to apply
