@@ -244,13 +244,20 @@ def main() -> None:
     # skew swamps the window; 64k events (~7s single) measures the
     # contention shape the harness exists for.  sf1 runs a 160k pool
     # across 20k partitions (the ~sf1 partition count, VERDICT r3 #7).
-    b3c_parts = 20_000 if SF_DIR.rstrip("/").endswith("sf1") else 8_000
+    # The GATE metric runs at the 20k-partition pool at every sf (r7,
+    # VERDICT r6 missing #1): the 8k pool drains in ~2s under 4 workers,
+    # where worker-startup skew dominates and identical code draws
+    # 1.9-2.7x — BASELINE.md's r6 re-characterization shows the signal
+    # (3.4-3.8x) only emerges at >=20k partitions / 160k events.  The 8k
+    # point is still measured below and reported as INFORMATIONAL
+    # (b3_concurrent_scaling_8k) so the noise-dominated regime stays
+    # visible without carrying the gate.
+    b3c_parts = 20_000
     # Best-of-N for both arms: the harness metric divides by the SLOWEST
     # worker's clock, so tail imbalance + VM-host noise swing single runs
-    # by ~2x (measured spread at identical code: 11k-24k aggregate; r6
-    # re-characterization: 4-worker scaling draws 2.2-2.9 at sf0.1).
+    # by ~2x (measured spread at identical code: 11k-24k aggregate).
     # The contended arm gets THREE draws (it carries the scaling ratio
-    # the gate reads and has the wider spread); ~6s per extra draw.
+    # the gate reads and has the wider spread).
     b3c1_eps, _ = max(
         (run_claim_ack_harness(1, b3c_parts, 8) for _ in range(2)),
         key=lambda t: t[0],
@@ -259,6 +266,10 @@ def main() -> None:
         (run_claim_ack_harness(4, b3c_parts, 8) for _ in range(3)),
         key=lambda t: t[0],
     )
+    # informational 8k-partition point (one draw per arm — it carries no
+    # gate; BASELINE.md documents its noise band)
+    b3c1_8k_eps, _ = run_claim_ack_harness(1, 8_000, 8)
+    b3c_8k_eps, _ = run_claim_ack_harness(4, 8_000, 8)
 
     # b3c reported as separate fields, NOT summed into the headline total
     # (the total's composition is pinned since r01).
@@ -286,9 +297,14 @@ def main() -> None:
         "b3_prefetch_hit_rate": b3_hit_rate,
         "b3_concurrent_events_per_sec": b3c_eps,
         "b3_concurrent_workers": 4,
+        "b3_concurrent_partitions": b3c_parts,
         "b3_concurrent_single_worker_events_per_sec": b3c1_eps,
         "b3_concurrent_scaling": (
             round(b3c_eps / b3c1_eps, 2) if b3c1_eps else None
+        ),
+        # informational only (noise-dominated pool size; no gate)
+        "b3_concurrent_scaling_8k": (
+            round(b3c_8k_eps / b3c1_8k_eps, 2) if b3c1_8k_eps else None
         ),
         "regressions": regressions,
         "detail_file": "BENCH_DETAIL.json",
