@@ -2925,6 +2925,106 @@ def payload_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "payload_schema_evolution_nested",
+    """
+    WITH versioned AS (
+      SELECT event_id,
+             CAST(event_id % 3 + 1 AS BIGINT) AS event_version,
+             CASE
+               WHEN event_id % 3 = 0 THEN '{"meta": ' || props || '}'
+               WHEN event_id % 3 = 1
+                 THEN '{"meta": ' || replace(props, '"k"', '"k_id"') || '}'
+               ELSE '{"meta": ' || rtrim(replace(props, '"k"', '"k_id"'), '}')
+                    || ', "note": "' || event_type || '"}'
+                    || ', "tag": "' || event_type || '"}'
+             END AS data
+      FROM events
+    )
+    SELECT event_id, event_version,
+           CASE WHEN event_version = 1
+                THEN CAST(json_extract_string(data, '$.meta.k') AS BIGINT)
+                ELSE CAST(json_extract_string(data, '$.meta.k_id') AS BIGINT)
+           END AS k_id,
+           CASE WHEN event_version = 3
+                THEN json_extract_string(data, '$.meta.note')
+           END AS note,
+           CASE WHEN event_version = 3
+                THEN json_extract_string(data, '$.tag')
+           END AS tag
+    FROM versioned
+    """,
+)
+def payload_schema_evolution_nested(spark, sf_dir):
+    """NESTED rename + widen + add across a 3-version payload chain (r7,
+    VERDICT r6 #3 — the reference's own stress corpus is nested JSONB,
+    tests/performance/benchmarks/test_stress_conditions.sql:35-39):
+    v1 {meta {k INT}} → v2 renames meta.k→meta.k_id (dotted-path rename)
+    and widens to BIGINT → v3 adds meta.note STRING and top-level tag.
+    The operator under test is ``typed_payload_column``'s recursive
+    struct upcast: v1 rows' nested ``meta.k`` must route into
+    ``meta.k_id`` WITH the int→bigint widen, earlier versions carry
+    typed-NULL ``note``/``tag``.  The oracle types the same nested JSON
+    by hand via '$.meta.*' paths, so a wrong nested rename walk, a
+    dropped nested widen, or a struct-of-NULLs-instead-of-NULL parent
+    all hash-mismatch.  Still a pure from_json + CASE + struct
+    projection — zero shuffle, codegen end-to-end."""
+    from fstore_sql_spark.functions.typed_payload import typed_payload_column
+
+    ev = load(spark, sf_dir, "events")
+    inner_v3 = F.concat(
+        F.expr("trim(TRAILING '}' FROM replace(props, '\"k\"', '\"k_id\"'))"),
+        F.lit(', "note": "'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    ev = ev.withColumn(
+        "event_version", (F.col("event_id") % 3 + 1).cast("long")
+    ).withColumn(
+        "data",
+        F.when(
+            F.col("event_version") == 1,
+            F.concat(F.lit('{"meta": '), F.col("props"), F.lit("}")),
+        )
+        .when(
+            F.col("event_version") == 2,
+            F.concat(
+                F.lit('{"meta": '),
+                F.replace(F.col("props"), F.lit('"k"'), F.lit('"k_id"')),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"meta": '),
+                inner_v3,
+                F.lit(', "tag": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            )
+        ),
+    )
+    schemas = {
+        1: "meta STRUCT<k: INT>",
+        2: "meta STRUCT<k_id: BIGINT>",
+        3: "meta STRUCT<k_id: BIGINT, note: STRING>, tag STRING",
+    }
+    renames = {2: {"meta.k_id": "meta.k"}}
+    typed = ev.withColumn(
+        "payload",
+        typed_payload_column(
+            F.col("data"), F.col("event_version"), schemas, renames=renames
+        ),
+    )
+    return typed.select(
+        "event_id",
+        "event_version",
+        F.col("payload.meta.k_id").alias("k_id"),
+        F.col("payload.meta.note").alias("note"),
+        F.col("payload.tag").alias("tag"),
+    )
+
+
+@query(
     "payload_schema_upcast",
     """
     WITH versioned AS (

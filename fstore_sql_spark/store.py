@@ -504,10 +504,15 @@ class EventStore:
         ``renamed_from`` (r6, VERDICT r5 #5) maps new field name → the
         PREVIOUS version's name for fields this version renames; the
         typed view then routes old rows' values into the new name.
-        Evolution against the previous registered version is validated:
-        only additions, explicit renames, and numeric widening pass
-        (``SchemaEvolutionError`` otherwise) — so every historical row
-        upcasts losslessly."""
+        Nested fields address by DOTTED PATH (r7: ``{"meta.k_id":
+        "meta.k"}``); a renamed struct re-roots its nested paths, and a
+        rename may not cross struct boundaries.  Evolution against the
+        previous registered version is validated recursively: only
+        additions, explicit renames, and numeric widening (at any depth)
+        pass (``SchemaEvolutionError`` otherwise) — so every historical
+        row upcasts losslessly.  Versions must register in INCREASING
+        order (ADVICE r6): inserting a middle version would retroactively
+        rewire higher versions' rename walks."""
         st = as_struct_type(schema)
         ddl = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
         with self._commit_lock, self._committer_guard():
@@ -517,6 +522,23 @@ class EventStore:
             if any(int(r["event_version"]) == int(event_version) for r in reg):
                 raise errors.DuplicateSchemaError(event, event_version)
             prior = [r for r in reg if int(r["event_version"]) < int(event_version)]
+            if len(prior) < len(reg):
+                # ADVICE r6: out-of-order registration (v3 then v2) would
+                # validate v2 only against v1 — never v3-against-v2 — and
+                # a middle version's renames would retroactively change
+                # the rename walk of already-registered higher versions,
+                # silently breaking their typed views.  Versions must
+                # register in increasing order.
+                newest = max(int(r["event_version"]) for r in reg)
+                raise errors.SchemaEvolutionError(
+                    event,
+                    event_version,
+                    [
+                        f"version {int(event_version)} is below the highest "
+                        f"registered version {newest}: payload schema "
+                        "versions must be registered in increasing order"
+                    ],
+                )
             if prior:
                 prev = max(prior, key=lambda r: int(r["event_version"]))
                 problems = validate_evolution(

@@ -190,6 +190,149 @@ class TestSchemaEvolution:
         with pytest.raises(errors.SchemaEvolutionError, match="no common widening"):
             store.events_typed_many(["created", "shipped"])
 
+    def test_out_of_order_version_registration_rejected(self, store):
+        """ADVICE r6: registering below the current max would skip the
+        v-against-next-higher validation and retroactively rewire higher
+        versions' rename walks."""
+        store.register_payload_schema("created", 1, "amount BIGINT")
+        store.register_payload_schema("created", 3, "amount BIGINT, tax BIGINT")
+        with pytest.raises(errors.SchemaEvolutionError, match="increasing order"):
+            store.register_payload_schema("created", 2, "amount BIGINT")
+
+
+class TestNestedSchemaEvolution:
+    """r7 (VERDICT r6 #3): renames + numeric widening recurse into nested
+    structs — the reference's own stress corpus is nested JSONB
+    (tests/performance/benchmarks/test_stress_conditions.sql:35-39)."""
+
+    def _seed_nested_chain(self, store):
+        store.register_decider_event("order", "created", "v1", 1)
+        store.register_decider_event("order", "created", "v2", 2)
+        store.register_decider_event("order", "created", "v3", 3)
+        # v1 {meta {k INT}} → v2 renames meta.k→meta.k_id + widens to
+        # BIGINT → v3 adds meta.note STRING and top-level tag STRING
+        store.register_payload_schema("created", 1, "meta STRUCT<k: INT>")
+        store.register_payload_schema(
+            "created",
+            2,
+            "meta STRUCT<k_id: BIGINT>",
+            renamed_from={"meta.k_id": "meta.k"},
+        )
+        store.register_payload_schema(
+            "created", 3, "meta STRUCT<k_id: BIGINT, note: STRING>, tag STRING"
+        )
+        store.append_event(
+            "created", "n1", "order", "A", '{"meta": {"k": 3}}', event_version=1
+        )
+        store.append_event(
+            "created", "n2", "order", "A", '{"meta": {"k_id": 4000000000}}',
+            previous_id="n1", event_version=2,
+        )
+        store.append_event(
+            "created", "n3", "order", "A",
+            '{"meta": {"k_id": 5, "note": "hi"}, "tag": "t"}',
+            previous_id="n2", event_version=3,
+        )
+
+    def test_nested_rename_and_widen_chain_upcasts(self, store):
+        self._seed_nested_chain(store)
+        t = store.events_typed("created").orderBy("offset")
+        meta_t = t.schema["payload"].dataType["meta"].dataType
+        assert [f.name for f in meta_t.fields] == ["k_id", "note"]
+        assert meta_t["k_id"].dataType.simpleString() == "bigint"
+        rows = t.select(
+            "event_id",
+            F.col("payload.meta.k_id").alias("k_id"),
+            F.col("payload.meta.note").alias("note"),
+            F.col("payload.tag").alias("tag"),
+        ).collect()
+        assert [(r["event_id"], r["k_id"], r["note"], r["tag"]) for r in rows] == [
+            ("n1", 3, None, None),  # v1 meta.k routed into meta.k_id + widened
+            ("n2", 4000000000, None, None),
+            ("n3", 5, "hi", "t"),
+        ]
+
+    def test_null_nested_struct_stays_null(self, store):
+        """A NULL source struct must upcast to a NULL target struct, not
+        a struct of NULLs."""
+        self._seed_nested_chain(store)
+        store.append_event(
+            "created", "n4", "order", "B", '{"tag": "only"}', event_version=3
+        )
+        row = (
+            store.events_typed("created")
+            .filter(F.col("event_id") == "n4")
+            .select("payload")
+            .collect()[0]
+        )
+        assert row["payload"]["meta"] is None
+        assert row["payload"]["tag"] == "only"
+
+    def test_renamed_struct_reroots_nested_paths(self, store):
+        """Renaming the STRUCT itself re-roots every nested path: v2
+        renames meta→info; v1 rows' info.k must source from meta.k."""
+        store.register_decider_event("order", "created", "v1", 1)
+        store.register_decider_event("order", "created", "v2", 2)
+        store.register_payload_schema("created", 1, "meta STRUCT<k: INT>")
+        store.register_payload_schema(
+            "created", 2, "info STRUCT<k: BIGINT>", renamed_from={"info": "meta"}
+        )
+        store.append_event(
+            "created", "r1", "order", "A", '{"meta": {"k": 7}}', event_version=1
+        )
+        store.append_event(
+            "created", "r2", "order", "B", '{"info": {"k": 8}}', event_version=2
+        )
+        rows = (
+            store.events_typed("created")
+            .orderBy("offset")
+            .select("event_id", F.col("payload.info.k").alias("k"))
+            .collect()
+        )
+        assert [(r["event_id"], r["k"]) for r in rows] == [("r1", 7), ("r2", 8)]
+
+    def test_nested_narrowing_rejected(self, store):
+        store.register_payload_schema("created", 1, "meta STRUCT<k: BIGINT>")
+        with pytest.raises(
+            errors.SchemaEvolutionError, match="not identity or a numeric widening"
+        ):
+            store.register_payload_schema("created", 2, "meta STRUCT<k: INT>")
+
+    def test_nested_retype_rejected(self, store):
+        store.register_payload_schema("created", 1, "meta STRUCT<k: BIGINT>")
+        with pytest.raises(errors.SchemaEvolutionError):
+            store.register_payload_schema("created", 2, "meta STRUCT<k: STRING>")
+
+    def test_struct_scalar_flip_rejected(self, store):
+        store.register_payload_schema("created", 1, "meta STRUCT<k: BIGINT>")
+        with pytest.raises(errors.SchemaEvolutionError, match="struct <-> scalar"):
+            store.register_payload_schema("created", 2, "meta BIGINT")
+
+    def test_cross_struct_rename_rejected(self, store):
+        store.register_payload_schema(
+            "created", 1, "a STRUCT<x: BIGINT>, b STRUCT<y: BIGINT>"
+        )
+        with pytest.raises(
+            errors.SchemaEvolutionError, match="crosses struct boundaries"
+        ):
+            store.register_payload_schema(
+                "created",
+                2,
+                "a STRUCT<x: BIGINT>, b STRUCT<x2: BIGINT>",
+                renamed_from={"b.x2": "a.x"},
+            )
+
+    def test_nested_rename_of_missing_field_rejected(self, store):
+        store.register_payload_schema("created", 1, "meta STRUCT<k: BIGINT>")
+        with pytest.raises(errors.SchemaEvolutionError, match="does not exist"):
+            store.register_payload_schema(
+                "created",
+                2,
+                "meta STRUCT<k2: BIGINT>",
+                renamed_from={"meta.k2": "meta.nope"},
+            )
+
+
     def test_malformed_json_yields_null_payload_not_error(self, store):
         store.register_decider_event("order", "created", "v1", 1)
         store.register_payload_schema("created", 1, "amount BIGINT")
