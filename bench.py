@@ -156,7 +156,14 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="bench_store_")
     try:
-        store = EventStore(spark, tmp)
+        # The RECOMMENDED production posture (r7, VERDICT r6 #4): declare
+        # the expected partition cardinality, which sizes the shard layout
+        # AND enables the LRU paging budget — the bench artifact is
+        # produced under the posture the docs recommend, and the pinned
+        # regression gate verifies it costs nothing at this scale.
+        src0 = QUERIES["es_ingest_mapping"](spark, SF_DIR)
+        n_parts_hint = src0.select("decider_id").distinct().count()
+        store = EventStore(spark, tmp, expected_partitions=n_parts_hint)
         for ev in ("click", "view", "purchase", "signup", "error"):
             store.register_decider_event("user", ev, f"testdata event {ev}")
         src = QUERIES["es_ingest_mapping"](spark, SF_DIR)

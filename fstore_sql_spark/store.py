@@ -100,12 +100,21 @@ class EventStore:
     # eviction — bounds driver memory like any client-side cursor buffer.
     PREFETCH_MAX_ROWS = 50_000
 
+    # Auto paging budget (r7, VERDICT r6 #4): with ``expected_partitions``
+    # given and no explicit residency choice, cap driver-resident consumer
+    # state at this many shard frames — 16 × TARGET_ROWS_PER_SHARD ≈ 512k
+    # rows (~40 MB), a plateau independent of the store's partition count.
+    # BASELINE.md measured the r6 evict-cache's worst-case paging tax at
+    # 8-11%, which made paging "a reasonable DEFAULT posture"; this makes
+    # it the actual default for stores that declare their scale.
+    AUTO_MAX_RESIDENT_SHARDS = 16
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         cache_log: bool = True,
-        max_resident_shards: int | None = None,
+        max_resident_shards: "int | str | None" = None,
         expected_partitions: int | None = None,
     ):
         """``expected_partitions`` (r6, VERDICT r5 #3) sizes the initial
@@ -114,7 +123,15 @@ class EventStore:
         shards ≤ ~32k partitions, the tick-latency sizing rule in
         BASELINE.md).  Ignored for existing stores — the on-disk marker
         pins the layout; grow later with ``tools/resize_shards.py``
-        (the ledger logs a p95-tick warning when that becomes due)."""
+        (the ledger logs a p95-tick warning when that becomes due).
+
+        Giving ``expected_partitions`` also enables the RECOMMENDED
+        production posture (r7, VERDICT r6 #4): LRU shard paging with a
+        ``min(shards_for(N), AUTO_MAX_RESIDENT_SHARDS)`` residency budget,
+        so a store that declares its scale gets O(active shards) driver
+        memory by default.  Opt out with ``max_resident_shards="all"``
+        (keep every shard resident — the pre-r7 default), or override
+        with an explicit integer budget."""
         self.spark = spark
         self.storage = ParquetStore(spark, path)
         self._commit_lock = threading.RLock()
@@ -151,13 +168,34 @@ class EventStore:
         if max_resident_shards is None:
             env = os.environ.get("FSTORE_MAX_RESIDENT_SHARDS")
             if env:
-                try:
-                    max_resident_shards = int(env)
-                except ValueError:
-                    raise ValueError(
-                        "FSTORE_MAX_RESIDENT_SHARDS must be an integer >= 1, "
-                        f"got {env!r}"
-                    ) from None
+                max_resident_shards = env if env == "all" else None
+                if max_resident_shards is None:
+                    try:
+                        max_resident_shards = int(env)
+                    except ValueError:
+                        raise ValueError(
+                            "FSTORE_MAX_RESIDENT_SHARDS must be an integer "
+                            f">= 1 or 'all', got {env!r}"
+                        ) from None
+        if isinstance(max_resident_shards, str):
+            if max_resident_shards != "all":
+                raise ValueError(
+                    "max_resident_shards must be an integer >= 1, None, or "
+                    f"'all', got {max_resident_shards!r}"
+                )
+            max_resident_shards = None  # explicit keep-everything-resident
+        elif max_resident_shards is None and expected_partitions is not None:
+            # the recommended posture (r7, VERDICT r6 #4): a declared scale
+            # turns paging ON with a budget that plateaus regardless of N —
+            # small stores get a budget >= their shard count (all resident,
+            # zero tax), big ones get O(active shards) residency
+            max_resident_shards = max(
+                2,
+                min(
+                    self.AUTO_MAX_RESIDENT_SHARDS,
+                    ShardedLocksLedger.shards_for(int(expected_partitions)),
+                ),
+            )
         if max_resident_shards is not None and max_resident_shards < 1:
             # 0 would silently enable evict-everything-per-tick (ADVICE r5)
             raise ValueError(

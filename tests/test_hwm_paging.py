@@ -480,3 +480,65 @@ class TestHwmPagingScale:
             f"\nhwm resident_bytes={st['hwm_resident_bytes']:,} "
             f"budget={budget:,} shards={st['hwm_resident_shards']}"
         )
+
+
+class TestAutoPagingPosture:
+    """r7 (VERDICT r6 #4): ``expected_partitions`` enables the recommended
+    production posture — LRU paging with a plateaued residency budget —
+    by default, with an explicit "all" opt-out."""
+
+    def test_expected_partitions_enables_budget(self, spark, path):
+        store = EventStore(spark, path, expected_partitions=2_000_000)
+        assert store.ledger.n_shards == 64
+        assert store.ledger.max_resident == EventStore.AUTO_MAX_RESIDENT_SHARDS
+        assert (
+            store._hwm_shards.max_resident == EventStore.AUTO_MAX_RESIDENT_SHARDS
+        )
+
+    def test_small_store_budget_covers_all_shards(self, spark, path):
+        # paging machinery ON, but the budget >= shard count: nothing
+        # ever evicts, so small stores pay zero tax under the posture
+        store = EventStore(spark, path, expected_partitions=1_000)
+        assert store.ledger.n_shards == 8
+        assert store.ledger.max_resident == 8
+
+    def test_opt_out_all_keeps_everything_resident(self, spark, path):
+        store = EventStore(
+            spark, path, expected_partitions=2_000_000, max_resident_shards="all"
+        )
+        assert store.ledger.max_resident is None
+        assert store._hwm_shards.max_resident is None
+
+    def test_explicit_budget_wins_over_auto(self, spark, path):
+        store = EventStore(
+            spark, path, expected_partitions=2_000_000, max_resident_shards=3
+        )
+        assert store.ledger.max_resident == 3
+
+    def test_invalid_string_rejected(self, spark, path):
+        with pytest.raises(ValueError, match="'all'"):
+            EventStore(spark, path, max_resident_shards="everything")
+
+    def test_posture_store_delivers_and_acks(self, spark, path):
+        """Functional smoke under the auto posture: append, stream, ack —
+        same results as any store (deep paging behavior is pinned by the
+        budget=2 suites above)."""
+        store = EventStore(spark, path, expected_partitions=500)
+        store.register_decider_event("dec", "evt", "posture smoke")
+        store.register_view("v", start_at="2000-01-01T00:00:00")
+        store.append_batch(
+            [
+                {
+                    "event": "evt",
+                    "event_id": f"e{i}",
+                    "decider": "dec",
+                    "decider_id": f"p{i % 7}",
+                    "data": "{}",
+                    "previous_id": f"e{i - 7}" if i >= 7 else None,
+                    "seq": i,
+                }
+                for i in range(21)
+            ]
+        )
+        seen = _drain(store, limit=10)
+        assert len(seen) == 21 and len(set(seen)) == 21
