@@ -55,6 +55,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from fstore_sql_spark.ledger import ProcessLock, shard_of
+from fstore_sql_spark.storage import _fsync_dir
 
 _HWM_COLS = ["decider_id", "offset", "offset_final"]
 
@@ -135,10 +136,19 @@ class ShardedHwm:
             return None
 
     def _write_meta(self, commit_id: int) -> None:
+        # Durable (ADVICE r6): the meta is the validity tag of the state
+        # tables ("meta == C ⟹ shards reflect C") and is always written
+        # AFTER the durable shard deltas — fsync the content and the
+        # dirent so a power loss can only lose the meta ADVANCE (next
+        # reader sees a stale meta and rebuilds: safe), never persist a
+        # torn meta or reorder it ahead of anything.
         tmp = f"{self._meta_path}.tmp.{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"commit_id": int(commit_id)}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._meta_path)
+        _fsync_dir(os.path.dirname(self._meta_path))
 
     # ---- lifecycle ----------------------------------------------------- #
 

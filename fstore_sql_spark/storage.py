@@ -550,6 +550,17 @@ class ParquetStore:
             if durable:
                 _fsync_dir(self._state_dir(table))
             _atomic_write(self._latest_path(table), str(version), durable=durable)
+            if durable:
+                # ADVICE r6: the pointer FLIP itself must be durable too.
+                # On a filesystem persisting renames out of order, power
+                # loss could keep a LATER consumer of this version (e.g.
+                # the hwm meta, written after we return) while losing the
+                # pointer flip — the next write_state_delta would then
+                # re-allocate this version number and _clear_unpublished
+                # would delete the surviving delta, silently orphaning the
+                # durable state the meta-invariant claims exists.  One
+                # more dir fsync (same directory) closes the window.
+                _fsync_dir(self._state_dir(table))
             return version
 
     def read_state_deltas(self, table: str, after_version: int, to_version: int):
