@@ -1501,10 +1501,15 @@ class EventStore:
         the ``created_at`` predicate pushed to the scan); the COALESCE
         against the high-watermark and the merge are driver-side frame
         ops.  Result cardinality = #partitions — the inherent write size
-        of T7.  On a PAGED store (r6) the backfill runs SHARD-AT-A-TIME
-        over the persisted aggregate, so the transient driver frame is
-        one shard, not the whole table — the last O(#partitions) driver
-        spike a paged store paid."""
+        of T7.  On a PAGED store (r6) the backfill runs SHARD-AT-A-TIME:
+        the aggregate is written ONCE as a shard-partitioned parquet
+        staging (the same layout trick as ``ShardedHwm._rebuild``) and
+        each ``shard=k`` directory is then read directly with pyarrow —
+        O(|aggregate|) total scan work (ADVICE r6: the previous
+        filter-the-persisted-DF-per-shard loop ran one Spark job over the
+        WHOLE aggregate per shard, quadratic at the 4096-shard layouts
+        ``shards_for``/resize enable), and the transient driver frame is
+        one shard, not the whole table."""
         first_after_df = (
             self.events()
             .filter(F.col("created_at") >= F.lit(start_at))
@@ -1516,26 +1521,39 @@ class EventStore:
             first_after = first_after_df.toPandas().set_index("decider_id")
             self._t7_upsert_slice(view, first_after, hwm.full(), now)
             return
+        import shutil
+
         shard = F.pmod(
             F.crc32(F.col("decider_id").cast("binary")),
             F.lit(self.ledger.n_shards),
         ).cast("int")
-        sharded = first_after_df.withColumn("_shard", shard).persist()
+        staging = os.path.join(
+            self.storage.root, f"t7_BACKFILL.tmp.{os.getpid()}"
+        )
+        shutil.rmtree(staging, ignore_errors=True)
         try:
-            sharded.count()  # materialize once; per-shard filters then scan the cache
+            (
+                first_after_df.withColumn("shard", shard)
+                .repartition(self.ledger.n_shards, "shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(staging)
+            )
             for k in range(self.ledger.n_shards):
                 hwm_k = hwm.for_shard(k)
                 if hwm_k.empty:
                     continue
-                fa_k = (
-                    sharded.filter(F.col("_shard") == k)
-                    .drop("_shard")
-                    .toPandas()
-                    .set_index("decider_id")
-                )
+                src = os.path.join(staging, f"shard={k}")
+                if os.path.isdir(src):
+                    fa_k = pd.read_parquet(src).set_index("decider_id")
+                else:  # no backfill rows routed to this shard
+                    fa_k = pd.DataFrame(
+                        {"first_after": pd.Series(dtype="int64")},
+                        index=pd.Index([], name="decider_id"),
+                    )
                 self._t7_upsert_slice(view, fa_k, hwm_k, now)
         finally:
-            sharded.unpersist()
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _t7_upsert_slice(
         self,
