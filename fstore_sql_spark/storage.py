@@ -272,20 +272,27 @@ class ParquetStore:
             pass  # e.g. path not yet cached; never block a read on this
         return self.spark.read.schema(schema).parquet(path)
 
-    def txn_log_files(self, table: str, txn: int) -> tuple[list[str], int]:
-        """(paths, total_rows) of current-generation log files whose rows
-        ALL belong to commit ``txn`` — resolved from parquet FOOTER
-        min/max statistics on ``transaction_id`` (no data read; one
-        footer per file).  Every append writes fresh files containing
-        only its own commit, so a batch's files are exactly the
-        min==max==txn set; recovery uses this to verify whether a crashed
-        append landed completely (ADVICE r5 medium).  Files without
-        usable stats fall back to reading just the transaction_id column
-        (tiny — defensive only)."""
+    def txn_log_files(
+        self, table: str, txn: int
+    ) -> "tuple[list[str], int, list[str]]":
+        """(paths, total_rows, torn) of current-generation log files —
+        ``paths`` are files whose rows ALL belong to commit ``txn``,
+        resolved from parquet FOOTER min/max statistics on
+        ``transaction_id`` (no data read; one footer per file); ``torn``
+        are files with UNREADABLE footers (ADVICE r6: a power loss can
+        persist an append's rename while losing its data pages — such a
+        file belongs to no readable batch but would fail every subsequent
+        log read if left in place, so recovery must quarantine it).
+        Every append writes fresh files containing only its own commit,
+        so a batch's files are exactly the min==max==txn set; recovery
+        uses this to verify whether a crashed append landed completely
+        (ADVICE r5 medium).  Files without usable stats fall back to
+        reading just the transaction_id column (tiny — defensive only)."""
         import pyarrow.parquet as pq
 
         d = self._log_dir(table)
         paths: list[str] = []
+        torn: list[str] = []
         rows = 0
         for name in os.listdir(d):
             if not name.endswith(".parquet"):
@@ -293,7 +300,8 @@ class ParquetStore:
             p = os.path.join(d, name)
             try:
                 md = pq.ParquetFile(p).metadata
-            except Exception:  # torn/foreign file: not part of any batch
+            except Exception:  # unreadable footer: torn by power loss
+                torn.append(p)
                 continue
             if md.num_rows == 0:
                 continue
@@ -322,7 +330,27 @@ class ParquetStore:
             if lo == hi == txn:
                 paths.append(p)
                 rows += md.num_rows
-        return paths, rows
+        return paths, rows, torn
+
+    def quarantine_log_files(self, table: str, txn: int, paths: list[str]) -> str:
+        """Move log files into ``_quarantine/txn_<id>/`` under the current
+        log generation instead of unlinking them (ADVICE r6: recovery used
+        to DELETE a partial batch's files; a misconfigured reader on a
+        flock-less mount — the documented ProcessLock limitation — could
+        then destroy a live committer's in-flight batch unrecoverably.
+        Moving preserves the bytes for manual inspection/salvage while
+        removing them from every read path: the leading underscore makes
+        Spark/Hadoop listing ignore the directory, and the os.listdir
+        scans here match only ``*.parquet`` directly in the log dir).
+        Returns the quarantine directory."""
+        qdir = os.path.join(self._log_dir(table), "_quarantine", f"txn_{txn}")
+        os.makedirs(qdir, exist_ok=True)
+        for p in paths:
+            try:
+                os.replace(p, os.path.join(qdir, os.path.basename(p)))
+            except FileNotFoundError:
+                pass  # already gone (e.g. a sibling recovered first)
+        return qdir
 
     def clear_append_staging(self, table: str) -> None:
         """Remove a dead Spark job's ``_temporary`` staging under the

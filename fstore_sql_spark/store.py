@@ -916,25 +916,48 @@ class EventStore:
         - log append INTERRUPTED MID-JOB-COMMIT → a strict subset of the
           batch's files is in the log dir.  Publishing that would break
           batch atomicity and intra-batch previous_id chains for readers,
-          so the partial files are QUARANTINED (unlinked, together with
-          the dead job's ``_temporary`` staging so the next job commit
+          so the partial files are QUARANTINED (moved into the log dir's
+          ``_quarantine/txn_<id>/`` — r7, ADVICE r6: MOVED, never
+          unlinked, so even a misconfigured flock-less mount cannot make
+          this path destroy bytes unrecoverably — together with the dead
+          job's ``_temporary`` staging cleared so the next job commit
           cannot resurrect them) and the allocation is burned like the
           never-ran window; the producer's replay re-appends the whole
           batch under a fresh commit.
 
+        Power-loss-TORN parquet files (rename persisted, data pages lost
+        — unreadable footers) are quarantined in every window (ADVICE
+        r6): left in place they would fail all subsequent log reads.
+
+        SAFETY CONTRACT: this path mutates the log layout and is only
+        sound under the committer flock (``_committer_guard`` holds it at
+        both call sites); on mounts where flock is a no-op (the
+        documented ProcessLock limitation, see errors.py) a concurrent
+        reader could quarantine a LIVE committer's in-flight batch —
+        recoverable from ``_quarantine/`` but still an operational
+        incident; such mounts are unsupported for multi-process use.
+
         Pre-r6 manifests carry no ``pending_rows`` → legacy blind
-        roll-forward (both old windows behave as before).
+        roll-forward (both old windows behave as before, except torn
+        files are quarantined rather than left behind).
         """
         manifest = self.storage.read_manifest(_EVENTS)
         if self.storage.read_published(_EVENTS) < manifest.commit_id:
-            if manifest.pending_rows is not None:
-                files, landed = self.storage.txn_log_files(
-                    _EVENTS, manifest.commit_id
+            files, landed, torn = self.storage.txn_log_files(
+                _EVENTS, manifest.commit_id
+            )
+            if (
+                manifest.pending_rows is not None
+                and landed != manifest.pending_rows
+            ):
+                self.storage.quarantine_log_files(
+                    _EVENTS, manifest.commit_id, files
                 )
-                if landed != manifest.pending_rows:
-                    for p in files:
-                        os.unlink(p)
-                    self.storage.clear_append_staging(_EVENTS)
+                self.storage.clear_append_staging(_EVENTS)
+            if torn:
+                self.storage.quarantine_log_files(
+                    _EVENTS, manifest.commit_id, torn
+                )
             self.storage.write_published(_EVENTS, manifest.commit_id)
             self._invalidate_log_cache()
             self._seen_commit_id = manifest.commit_id

@@ -252,6 +252,47 @@ class TestCommitterCrashRecovery:
         offsets = [r["offset"] for r in parent.events().select("offset").collect()]
         assert len(offsets) == len(set(offsets)), "colliding offsets after quarantine"
 
+    def test_torn_parquet_quarantined_not_left_behind(self, spark, shared_path):
+        """ADVICE r6: a power loss can persist an append's rename while
+        losing its data pages — an unreadable-footer .parquet in the log
+        dir.  Pre-r7 recovery skipped such files (txn_log_files could not
+        attribute them) and left them in place, where they failed every
+        subsequent log read.  They must be MOVED to _quarantine/ (never
+        unlinked — bytes stay salvageable) and the log must read clean."""
+        store = EventStore(spark, shared_path)
+        store.register_decider_event("dec", "evt", "torn test")
+        store.append_event("evt", "seed-1", "dec", "seed", "{}")
+        st = store.storage
+        m = st.read_manifest("events")
+        # simulate the crash window: manifest advanced with pending_rows,
+        # one torn file landed, marker never published
+        st.write_manifest(
+            "events",
+            Manifest(
+                max_offset=m.max_offset + 3,
+                commit_id=m.commit_id + 1,
+                pending_rows=3,
+            ),
+        )
+        log_dir = st._log_dir("events")
+        torn = os.path.join(log_dir, "part-99999-torn.parquet")
+        with open(torn, "wb") as f:
+            f.write(b"PAR1 these are not the data pages you are looking for")
+        # a fresh reader triggers recovery and must read the log cleanly
+        reader = EventStore(spark, shared_path)
+        assert (
+            reader.events().filter(F.col("decider_id") == "seed").count() == 1
+        )
+        assert not os.path.exists(torn), "torn file left in the log dir"
+        qdir = os.path.join(log_dir, "_quarantine", f"txn_{m.commit_id + 1}")
+        assert os.path.isdir(qdir) and os.listdir(qdir), (
+            "torn file was not preserved in quarantine"
+        )
+        assert reader.storage.read_published("events") == m.commit_id + 1
+        # the store keeps working: append + replay unaffected
+        store.append_event("evt", "seed-2", "dec", "seed", "{}", previous_id="seed-1")
+        assert store.get_events("seed", "dec").count() == 2
+
     def test_pure_reader_rolls_forward_orphaned_commit(self, spark, shared_path):
         """after_append: the batch is whole on disk but unpublished and
         every writer is dead.  A PURE READER (never appends) must still
