@@ -128,6 +128,38 @@ PINNED_SF1_R03 = {
 }
 
 
+def redraw_pin_breaches(
+    timings: dict,
+    pins: dict,
+    redrawable: list,
+    rerun,
+    max_redraws: int = 2,
+) -> dict:
+    """Re-draw pin-gate breaches before they flag as regressions.
+
+    A query in ``redrawable`` whose time exceeds 2x its pin is re-timed
+    (via ``rerun(name) -> seconds``) up to ``max_redraws`` times, stopping
+    early once a draw passes the gate; ``timings`` is updated in place to
+    the min draw.  Returns ``{name: [all draws]}`` for every query that
+    was re-drawn, so the artifact DISCLOSES the redraws — a real 2x code
+    regression breaches every draw and still flags; a per-job scheduling
+    blip on a sub-second query doesn't.  Only pure re-runnable analytics
+    queries belong in ``redrawable``: the stateful b-benches mutate their
+    store, so a second draw would be a different measurement.
+    """
+    redraws: dict = {}
+    for name in redrawable:
+        if name not in pins or name not in timings:
+            continue
+        draws = [timings[name]]
+        while min(draws) > 2.0 * pins[name] and len(draws) <= max_redraws:
+            draws.append(rerun(name))
+        if len(draws) > 1:
+            redraws[name] = draws
+            timings[name] = min(draws)
+    return redraws
+
+
 def force(df) -> None:
     """Execute the full plan without driver-side collection."""
     df.write.format("noop").mode("overwrite").save()
@@ -294,20 +326,12 @@ def main() -> None:
     # redraw is disclosed in the artifact (regression_redraws) so the gate
     # stays honest; the stateful b-benches are never redrawn (their store
     # mutations make a second draw a different measurement).
-    regression_redraws: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        draws = [timings[name]]
-        while (
-            name in pins
-            and min(draws) > 2.0 * pins[name]
-            and len(draws) <= 2
-        ):
-            t0 = time.time()
-            force(QUERIES[name](spark, SF_DIR))
-            draws.append(round(time.time() - t0, 3))
-        if len(draws) > 1:
-            regression_redraws[name] = draws
-            timings[name] = min(draws)
+    def rerun(name: str) -> float:
+        t0 = time.time()
+        force(QUERIES[name](spark, SF_DIR))
+        return round(time.time() - t0, 3)
+
+    regression_redraws = redraw_pin_breaches(timings, pins, HEADLINE, rerun)
     # b3c reported as separate fields, NOT summed into the headline total
     # (the total's composition is pinned since r01).
     total = round(sum(timings.values()), 3)
