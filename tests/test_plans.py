@@ -598,3 +598,12 @@ class TestR5TypedPayload:
         df = q(spark, "payload_schema_evolution")
         assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
         assert P.codegen_span_count(df) >= 1
+
+    def test_nested_evolution_is_zero_shuffle_codegen_projection(self, spark):
+        """payload_schema_evolution_nested (r7): dotted-path renames and
+        nested widening recurse at expression-BUILD time into struct
+        rebuilds — runtime plan structure is unchanged: a pure
+        scan+project, zero exchanges."""
+        df = q(spark, "payload_schema_evolution_nested")
+        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
+        assert P.codegen_span_count(df) >= 1

@@ -38,6 +38,7 @@ FLAGSHIP = [
     ("hybrid_rrf_topk", "RRF fusion over two top-k-bounded rankers"),
     ("payload_schema_upcast", "typed view: version-dispatched from_json + CASE, zero-shuffle codegen projection"),
     ("payload_schema_evolution", "rename+widen chain: build-time rename walk, still zero-shuffle codegen (r6)"),
+    ("payload_schema_evolution_nested", "nested dotted-path renames + widening: struct rebuilds at expression-build time, zero-shuffle codegen (r7)"),
 ]
 
 
