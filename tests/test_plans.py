@@ -607,3 +607,13 @@ class TestR5TypedPayload:
         df = q(spark, "payload_schema_evolution_nested")
         assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
         assert P.codegen_span_count(df) >= 1
+
+    def test_array_evolution_is_zero_shuffle_codegen_projection(self, spark):
+        """payload_schema_evolution_array (r8): the F.transform
+        elementwise rebuild of array-of-struct payloads is still pure
+        expression work — renames re-root at the element at
+        expression-BUILD time, so the runtime plan stays a scan+project
+        with zero exchanges."""
+        df = q(spark, "payload_schema_evolution_array")
+        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
+        assert P.codegen_span_count(df) >= 1

@@ -109,18 +109,24 @@ def main() -> None:
     write("nation", read("nation"), 1)
 
     def replicate(df, shifts: dict[str, int], extra=None):
-        parts = []
-        for i in range(REPLICAS):
-            r = df
-            for col, off in shifts.items():
-                r = r.withColumn(col, (F.col(col) + F.lit(i * off)).cast("long"))
-            if extra is not None:
-                r = extra(r, i)
-            parts.append(r)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        """Fan each row out into REPLICAS copies with per-replica key
+        shifts.  r8: a crossJoin against a broadcast ``range(REPLICAS)``
+        (one scan, one plan node) replaced the original per-replica
+        unionByName loop — at ``--replicas 1000`` (sf100) a 1000-branch
+        union plan took longer to ANALYZE than to run.  ``extra`` (the
+        documents text permutation) is now expression-based over the
+        ``_rep`` column instead of a per-replica Python closure; the
+        emitted strings are identical, so sf1/sf10 regenerated under this
+        path are byte-equivalent row sets."""
+        reps = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+        r = df.crossJoin(F.broadcast(reps))
+        for col, off in shifts.items():
+            r = r.withColumn(
+                col, (F.col(col) + F.col("_rep") * F.lit(off)).cast("long")
+            )
+        if extra is not None:
+            r = extra(r)
+        return r.drop("_rep")
 
     write("customer", replicate(read("customer"), {"c_custkey": OFF["custkey"]}))
     write("supplier", replicate(read("supplier"), {"s_suppkey": OFF["suppkey"]}))
@@ -153,28 +159,30 @@ def main() -> None:
         n_files=16,
     )
 
-    def permute_text(r, i: int):
-        if i == 0:
-            return r
+    def permute_text(r):
+        # replica 0 stays the identity copy; every other replica gets a
+        # per-replica text rewrite (expressions reference the outer _rep
+        # column from inside the higher-order lambdas)
         if args.tag_doc_tokens:
             # disjoint vocabulary per replica (see --tag-doc-tokens help)
             expr = (
                 "array_join(transform(split(text, ' '), "
-                f"w -> concat(w, '~{i}')), ' ')"
+                "w -> concat(w, '~', cast(_rep as string))), ' ')"
             )
         else:
-            # reverse + rotate-by-i over the word array: a bijection for
-            # any word count, destroying shingle identity between replicas
-            # (token SETS stay identical — fine at small replica counts,
-            # quadratic for set-similarity ops at high ones)
+            # reverse + rotate-by-_rep over the word array: a bijection
+            # for any word count, destroying shingle identity between
+            # replicas (token SETS stay identical — fine at small replica
+            # counts, quadratic for set-similarity ops at high ones)
             expr = (
                 "array_join(transform(sequence(0, size(split(text, ' ')) - 1), "
-                f"j -> element_at(split(text, ' '), "
-                f"((size(split(text, ' ')) - 1 - j + {i}) % size(split(text, ' '))) + 1)), ' ')"
+                "j -> element_at(split(text, ' '), cast("
+                "((size(split(text, ' ')) - 1 - j + _rep) % size(split(text, ' '))) + 1 as int))), ' ')"
             )
-        return r.withColumn("text", F.expr(expr)).withColumn(
-            "n_chars", F.length("text").cast("long")
-        )
+        return r.withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(F.expr(expr)),
+        ).withColumn("n_chars", F.length("text").cast("long"))
 
     write(
         "documents",
