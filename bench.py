@@ -138,25 +138,32 @@ def redraw_pin_breaches(
     """Re-draw pin-gate breaches before they flag as regressions.
 
     A query in ``redrawable`` whose time exceeds 2x its pin is re-timed
-    (via ``rerun(name) -> seconds``) up to ``max_redraws`` times, stopping
-    early once a draw passes the gate; ``timings`` is updated in place to
-    the min draw.  Returns ``{name: [all draws]}`` for every query that
-    was re-drawn, so the artifact DISCLOSES the redraws — a real 2x code
-    regression breaches every draw and still flags; a per-job scheduling
-    blip on a sub-second query doesn't.  Only pure re-runnable analytics
-    queries belong in ``redrawable``: the stateful b-benches mutate their
-    store, so a second draw would be a different measurement.
+    (via ``rerun(name) -> seconds``) ``max_redraws`` more times and
+    ``timings`` is updated in place to the MEDIAN of all draws (r8,
+    VERDICT r7 wrong #2: the old min-of-draws was a downward-biased
+    estimator invoked exactly when the number looked bad; the median of
+    the odd draw count is an actual observed draw, robust to one outlier
+    in either direction).  Returns ``{name: [all draws]}`` for every
+    query that was re-drawn, so the artifact DISCLOSES the redraws — a
+    real 2x code regression breaches every draw and still flags; a
+    per-job scheduling blip on a sub-second query doesn't.  Only pure
+    re-runnable analytics queries belong in ``redrawable``: the stateful
+    b-benches mutate their store, so a second draw would be a different
+    measurement.
     """
+    import statistics
+
     redraws: dict = {}
     for name in redrawable:
         if name not in pins or name not in timings:
             continue
+        if timings[name] <= 2.0 * pins[name]:
+            continue
         draws = [timings[name]]
-        while min(draws) > 2.0 * pins[name] and len(draws) <= max_redraws:
+        while len(draws) <= max_redraws:
             draws.append(rerun(name))
-        if len(draws) > 1:
-            redraws[name] = draws
-            timings[name] = min(draws)
+        redraws[name] = draws
+        timings[name] = round(statistics.median(draws), 3)
     return redraws
 
 
@@ -331,6 +338,29 @@ def main() -> None:
         force(QUERIES[name](spark, SF_DIR))
         return round(time.time() - t0, 3)
 
+    # Noise calibration probe (r8, VERDICT r7 next-round #3): twice now
+    # the driver artifact drifted 10-20% on a noisy box and the "it's the
+    # box" case lived in dev-box appendices.  Re-time three pinned,
+    # code-frozen analytics queries (the first three headline entries, so
+    # their in-loop measurement doubles as the RUN-START sample with zero
+    # extra perturbation) at RUN END and emit noise_index — the median of
+    # the six observed/pinned ratios — in the headline JSON, so any
+    # reader can normalize cross-round comparisons from the artifact
+    # alone.  ~1.0 = the box runs like the pin box did; 1.2 = everything
+    # on this run reads ~20% slow for environmental reasons.
+    import statistics
+
+    NOISE_PROBES = ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue")
+    noise_index = noise_start = noise_end = None
+    noise_probe_end: dict[str, float] = {}
+    if all(p in pins and p in timings for p in NOISE_PROBES):
+        start_ratios = [timings[p] / pins[p] for p in NOISE_PROBES]
+        noise_probe_end = {p: rerun(p) for p in NOISE_PROBES}
+        end_ratios = [noise_probe_end[p] / pins[p] for p in NOISE_PROBES]
+        noise_start = round(statistics.median(start_ratios), 3)
+        noise_end = round(statistics.median(end_ratios), 3)
+        noise_index = round(statistics.median(start_ratios + end_ratios), 3)
+
     regression_redraws = redraw_pin_breaches(timings, pins, HEADLINE, rerun)
     # b3c reported as separate fields, NOT summed into the headline total
     # (the total's composition is pinned since r01).
@@ -362,6 +392,9 @@ def main() -> None:
         "b3_concurrent_scaling_8k": (
             round(b3c_8k_eps / b3c1_8k_eps, 2) if b3c1_8k_eps else None
         ),
+        "noise_index": noise_index,
+        "noise_index_start": noise_start,
+        "noise_index_end": noise_end,
         "regressions": regressions,
         "regression_redraws": regression_redraws,
         "detail_file": "BENCH_DETAIL.json",
@@ -379,6 +412,7 @@ def main() -> None:
         "queries": timings,
         "b1_append_profile": b1_profile,
         "b3_prefetch_counters": pf,
+        "noise_probe_end_sec": noise_probe_end,
     }
     with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(detail, f, indent=1)

