@@ -139,7 +139,12 @@ def claim_and_hang_worker(root: str, out_path: str, limit: int, lease_s: float) 
 
 
 def run_claim_ack_harness(
-    n_workers: int, n_parts: int, per_part: int, claim_limit: int = 50
+    n_workers: int,
+    n_parts: int,
+    per_part: int,
+    claim_limit: int = 50,
+    size_by_parts: bool = False,
+    join_timeout_s: float = 300.0,
 ) -> tuple[float, float]:
     """The shared b3c harness (bench.py B3c + tools/bench_b3c.py): seed a
     fresh ledger-only store with ``n_parts`` partitions x ``per_part``
@@ -161,7 +166,15 @@ def run_claim_ack_harness(
     mp_root = _tempfile.mkdtemp(prefix="bench_mp_")
     try:
         past = _now() - timedelta(hours=1)
-        ledger = ShardedLocksLedger(ParquetStore(None, mp_root))
+        # size_by_parts (r8, sf100): create the store under the sizing
+        # rule's layout for n_parts — the workers adopt the pinned marker
+        # (n_shards=None), so this is exactly the production posture of a
+        # scale-declaring store.  Default False keeps the historical
+        # 8-shard pools comparable across rounds.
+        ledger = ShardedLocksLedger(
+            ParquetStore(None, mp_root),
+            expected_partitions=n_parts if size_by_parts else None,
+        )
         seed = _pd.DataFrame(
             {
                 "view": "v",
@@ -189,7 +202,7 @@ def run_claim_ack_harness(
         for p in procs:
             p.start()
         for p in procs:
-            p.join(300)
+            p.join(join_timeout_s)
         all_acks: list[tuple] = []
         worker_elapsed = 0.0
         for o in outs:

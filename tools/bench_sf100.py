@@ -1,0 +1,178 @@
+"""sf100 (1000x sf0.1, ~16 GB) scale bench (r8, VERDICT r7 next-round #1).
+
+The fourth measured decade.  This is the first pool where the shard
+sizing rule (``ShardedLocksLedger.shards_for``, ledger.py) leaves the
+8-shard floor for real: at 2M partitions it picks a 64-shard layout, so
+the sizing rule, the paged high-watermark, and the sticky-shard claim
+path run under REAL load for the first time rather than by design
+argument.  Scope (driver-box budget: one run ~30-60 min):
+
+- the top-8 most expensive analytics queries from the sf10 ranking
+  (dedup/text/skew flagships) with ratios vs the same round family's
+  sf10 measurement — linear scaling reads ~10x; >15x flags superlinear;
+- B1: bulk append of the FULL 100M-event table through validation +
+  offset assignment;
+- B3c: the concurrent claim/ack harness at 2M partitions under the
+  sizing rule's 64-shard layout (``size_by_parts=True``), 4 workers vs 1.
+
+Writes ``BENCH_SF100_r{N}.json``.
+
+Usage: python tools/bench_sf100.py [--sf /root/repo/testdata_sf100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+# Top-8 of the sf10 per-query ranking (BENCH_SF10_r07.json), the
+# dedup/text/skew flagships the 100 TB posture leans on.
+TOP_QUERIES = [
+    "dedup_prefix_filter_pairs",
+    "skew_salted_revenue",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "dedup_minhash_lsh_pairs",
+    "text_fingerprint",
+    "triangle_count",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/repo/testdata_sf100")
+    ap.add_argument("--b3c-parts", type=int, default=2_000_000)
+    ap.add_argument("--skip-b1", action="store_true")
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    args = ap.parse_args()
+
+    import fstore_sql_spark.operators  # noqa: F401  (registers queries)
+    from pyspark.sql import functions as F
+
+    from fstore_sql_spark import EventStore, get_spark
+    from fstore_sql_spark.queries import QUERIES, load
+
+    spark = get_spark(app_name="fstore-bench-sf100")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    names = args.queries.split(",") if args.queries else TOP_QUERIES
+    timings: dict[str, float] = {}
+    load(spark, args.sf, "lineitem").count()  # warm listing/JVM
+
+    for name in names:
+        t0 = time.time()
+        force(QUERIES[name](spark, args.sf))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]}s", flush=True)
+
+    # B1 — bulk append with full validation (the sf100 events table:
+    # 100M events).  expected_partitions declares scale, so the store
+    # runs the production posture: sized shard layout + LRU paging.
+    b1_eps = None
+    b1_profile = {}
+    if not args.skip_b1:
+        tmp = tempfile.mkdtemp(prefix="bench_sf100_store_")
+        try:
+            src0 = QUERIES["es_ingest_mapping"](spark, args.sf)
+            n_parts_hint = src0.select("decider_id").distinct().count()
+            print(f"b1 partitions: {n_parts_hint}", flush=True)
+            store = EventStore(spark, tmp, expected_partitions=n_parts_hint)
+            for ev in ("click", "view", "purchase", "signup", "error"):
+                store.register_decider_event("user", ev, f"testdata event {ev}")
+            src = QUERIES["es_ingest_mapping"](spark, args.sf)
+            batch = src.select(
+                "event",
+                F.col("event_uuid").alias("event_id"),
+                "event_version",
+                "decider",
+                "decider_id",
+                F.lit("{}").alias("data"),
+                F.col("event_uuid").alias("command_id"),
+                "previous_id",
+                F.col("offset").alias("seq"),
+            )
+            n = batch.count()
+            t0 = time.time()
+            store.append_batch(batch)
+            b1 = time.time() - t0
+            timings["b1_append_validate"] = round(b1, 3)
+            b1_eps = round(n / b1, 1)
+            b1_profile = dict(store.last_append_profile)
+            print(f"b1: {b1:.1f}s ({b1_eps} ev/s, n={n})", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # B3c — concurrent claim/ack at 2M partitions: shards_for(2M) = 64,
+    # the first non-floor layout ever measured under load.  per_part=1
+    # (2M-event pool); the dimension under test is the 64-shard routing +
+    # per-shard claim-scan cost, not pool depth.
+    from tests._ledger_worker import run_claim_ack_harness
+
+    b3c1_eps, b3c1_el = run_claim_ack_harness(
+        1, args.b3c_parts, 1, size_by_parts=True, join_timeout_s=1800
+    )
+    print(f"b3c single: {b3c1_eps} ev/s ({b3c1_el:.0f}s)", flush=True)
+    b3c_eps, b3c_elapsed = run_claim_ack_harness(
+        4, args.b3c_parts, 1, size_by_parts=True, join_timeout_s=1800
+    )
+    timings["b3c_concurrent_deliver_ack"] = round(b3c_elapsed, 3)
+    print(f"b3c: {b3c_eps} ev/s agg vs {b3c1_eps} single", flush=True)
+
+    # ratios vs the newest sf10 measurement of the same query set
+    sf10 = {}
+    sf10_files = sorted(
+        fn for fn in os.listdir(HERE) if re.match(r"BENCH_SF10_r\d+\.json$", fn)
+    )
+    if sf10_files:
+        with open(os.path.join(HERE, sf10_files[-1]), encoding="utf-8") as f:
+            sf10 = json.load(f).get("queries", {})
+    ratios = {
+        k: round(v / sf10[k], 2) for k, v in timings.items() if sf10.get(k)
+    }
+
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(HERE)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 1
+    out = {
+        "metric": "sf100_spotcheck_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": "100",
+        "queries": timings,
+        "ratio_vs_sf10": ratios,
+        "superlinear": {k: r for k, r in ratios.items() if r > 15.0},
+        "b1_events_per_sec": b1_eps,
+        "b1_append_profile": b1_profile,
+        "b3_concurrent_events_per_sec": b3c_eps,
+        "b3_concurrent_single_worker_events_per_sec": b3c1_eps,
+        "b3_concurrent_scaling": (
+            round(b3c_eps / b3c1_eps, 2) if b3c1_eps else None
+        ),
+        "b3c_partitions": args.b3c_parts,
+        "b3c_shards": 64,
+    }
+    path = os.path.join(HERE, f"BENCH_SF100_r{rnd:02d}.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    print("written:", path)
+
+
+if __name__ == "__main__":
+    main()
