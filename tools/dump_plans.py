@@ -39,6 +39,7 @@ FLAGSHIP = [
     ("payload_schema_upcast", "typed view: version-dispatched from_json + CASE, zero-shuffle codegen projection"),
     ("payload_schema_evolution", "rename+widen chain: build-time rename walk, still zero-shuffle codegen (r6)"),
     ("payload_schema_evolution_nested", "nested dotted-path renames + widening: struct rebuilds at expression-build time, zero-shuffle codegen (r7)"),
+    ("payload_schema_evolution_array", "array-of-struct renames + widening: F.transform elementwise rebuild, still zero-shuffle codegen (r8)"),
 ]
 
 
