@@ -451,8 +451,7 @@ class EventStore:
             n = self.ledger.n_shards
         for k in range(n):
             with self._commit_lock:
-                state = self.ledger._ensure_resident(k).to_pandas()
-                self.ledger._evict_over_budget()
+                state = self.ledger.shard_frame(k)
                 hwm_k = self._hwm_view().for_shard(k).reset_index()
             merged = state.merge(hwm_k, on="decider_id", how="inner")
             if len(merged):
