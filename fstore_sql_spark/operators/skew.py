@@ -90,3 +90,57 @@ def skew_salted_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+def salted_join_hot(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    hot_keys: "list",
+    n: int = 8,
+    how: str = "inner",
+    salt_from: Column | None = None,
+) -> DataFrame:
+    """Hot-key-TARGETED salted join (r8, from the sf100 audit): identical
+    results to ``left ⋈ right ON on``, but only rows whose key is in
+    ``hot_keys`` pay the salt-and-replicate construction — the cold
+    majority takes the plain equi-join.
+
+    Why this exists: ``salted_join`` replicates the ENTIRE build side
+    ``n``× (the classic demonstrative construction).  At sf100 that meant
+    8 × 150M = 1.2B replicated orders rows and ~50 GB of shuffle write
+    for a join whose keys weren't actually skewed — the right tool when
+    skew is concentrated is to split ONLY the hot keys.  Here the
+    replicated side is ``n × |hot ∩ right|`` rows (thousands, not
+    billions), the hot filter is a broadcastable IN-list pushed to both
+    scans, and the cold path is the vanilla join Catalyst/AQE already
+    optimize.  ``inner``/``left`` joins split cleanly by left-key
+    membership; other join types would double-count unmatched right rows
+    across the two branches and are rejected.
+
+    ``hot_keys`` is a driver-side list by design: hot keys come from a
+    prior profiling aggregation (see ``join_key_skew_report``) and are
+    few by definition — if the list were large, the skew wouldn't be
+    skew.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join_hot supports inner/left joins, got {how!r}: "
+            "an outer right side can't be split by left-key membership "
+            "without double-counting unmatched rows"
+        )
+    if not hot_keys:
+        return left.join(right, on, how)
+    if salt_from is None:
+        salt_from = F.xxhash64(*[F.col(c) for c in left.columns])
+    is_hot = F.col(on).isin(list(hot_keys))
+    # the cold branch's right-side filter is an optimization, not a
+    # semantic need: cold left keys can never equal hot right keys
+    cold = left.filter(~is_hot).join(right.filter(~is_hot), on, how)
+    salted_l = left.filter(is_hot).withColumn(
+        "_salt", F.pmod(salt_from, F.lit(n)).cast("int")
+    )
+    rep_r = right.filter(is_hot).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    )
+    hot = salted_l.join(rep_r, [on, "_salt"], how).drop("_salt")
+    return cold.unionByName(hot)

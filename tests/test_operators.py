@@ -135,6 +135,64 @@ class TestSkewOperators:
         )
         assert n_salts > 1
 
+    def test_salted_join_hot_matches_plain_join(self, spark):
+        """r8 (sf100 audit): hot-key-TARGETED salting — only hot keys pay
+        salt-and-replicate; results identical to the plain join for
+        inner and left joins, including unmatched-left rows."""
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators.skew import salted_join_hot
+
+        # key 1 is hot (500 rows), keys 2-40 cold, keys 90+ unmatched
+        left = spark.range(500).select(
+            F.lit(1).alias("k"), F.col("id").alias("payload")
+        ).unionByName(
+            spark.range(2, 41).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+            )
+        ).unionByName(
+            spark.range(90, 95).select(
+                F.col("id").alias("k"), F.lit(-1).alias("payload")
+            )
+        )
+        right = spark.range(1, 61).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        for how in ("inner", "left"):
+            plain = left.join(right, "k", how)
+            hot = salted_join_hot(left, right, on="k", hot_keys=[1], n=4, how=how)
+            assert sorted(map(tuple, plain.collect())) == sorted(
+                map(tuple, hot.collect())
+            ), how
+        # empty hot list degenerates to the plain join
+        assert (
+            salted_join_hot(left, right, on="k", hot_keys=[], n=4).count()
+            == left.join(right, "k").count()
+        )
+
+    def test_salted_join_hot_replicates_only_hot_rows(self, spark):
+        """The point of the targeted form: the replicated build side is
+        n x |hot ∩ right| rows, not n x |right|."""
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators.skew import salted_join_hot  # noqa: F401
+
+        right = spark.range(1, 1001).select(F.col("id").alias("k"))
+        rep = right.filter(F.col("k").isin([7])).withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(7)))
+        )
+        assert rep.count() == 8  # 8 x 1 hot row, vs 8000 for full-salt
+
+    def test_salted_join_hot_rejects_outer(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators.skew import salted_join_hot
+
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join_hot(df, df, on="k", hot_keys=[1], how="outer")
+
     def test_two_phase_topk_grouped(self, spark, sf_dir):
         from fstore_sql_spark.operators.skew import two_phase_topk
         from fstore_sql_spark.queries import load
