@@ -1171,7 +1171,11 @@ class ShardedLocksLedger:
         re-enforced before returning — the public unit of shard-at-a-time
         operational scans (r8, VERDICT r7 wrong #3: callers previously
         reached into ``_ensure_resident``/``_evict_over_budget``,
-        scattering the eviction invariant outside the ledger)."""
+        scattering the eviction invariant outside the ledger).  Guarded
+        like every other read surface (ADVICE r8): a racing resize must
+        raise ``ShardLayoutChangedError``, not serve a half-staged or
+        stale-count layout."""
+        self._verify_layout()
         df = self._ensure_resident(k).to_pandas()
         self._evict_over_budget()
         return df

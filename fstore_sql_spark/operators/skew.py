@@ -133,9 +133,16 @@ def salted_join_hot(
     if salt_from is None:
         salt_from = F.xxhash64(*[F.col(c) for c in left.columns])
     is_hot = F.col(on).isin(list(hot_keys))
+    # NULL join keys route to the COLD branch (ADVICE r8 high): for a
+    # NULL key ``is_hot`` is NULL, so BOTH ``filter(is_hot)`` and
+    # ``filter(~is_hot)`` would drop the row — a plain left join keeps
+    # it with NULL right columns.  NULL never equi-joins, so the cold
+    # branch's vanilla join reproduces the plain-join behavior exactly
+    # (inner drops it, left preserves it unmatched).
+    cold_left = left.filter(F.col(on).isNull() | ~is_hot)
     # the cold branch's right-side filter is an optimization, not a
     # semantic need: cold left keys can never equal hot right keys
-    cold = left.filter(~is_hot).join(right.filter(~is_hot), on, how)
+    cold = cold_left.join(right.filter(~is_hot), on, how)
     salted_l = left.filter(is_hot).withColumn(
         "_salt", F.pmod(salt_from, F.lit(n)).cast("int")
     )

@@ -77,6 +77,26 @@ def test_slow_redraws_raise_the_recorded_time():
     assert timings["q"] == 9.9  # median of [0.5, 9.9, 9.9]
 
 
+def test_odd_max_redraws_still_records_an_actual_draw():
+    """ADVICE r8 (low): an odd ``max_redraws`` gives an EVEN draw count,
+    where plain ``median`` would average the two middle draws — a number
+    nobody observed.  ``median_high`` keeps the recorded value a real
+    draw and picks the SLOWER middle one (conservative: biased against
+    hiding a regression)."""
+    timings = {"q": 0.5}
+    pins = {"q": 0.2}
+    draws_given = iter([0.30, 0.44, 0.46])
+
+    def rerun(name):
+        return next(draws_given)
+
+    redraws = redraw_pin_breaches(timings, pins, ["q"], rerun, max_redraws=3)
+    assert redraws == {"q": [0.5, 0.30, 0.44, 0.46]}
+    # sorted draws [0.30, 0.44, 0.46, 0.5]: median_high = 0.46 (an actual
+    # observed draw), NOT (0.44 + 0.46) / 2 = 0.45 (observed by nobody)
+    assert timings["q"] == 0.46
+
+
 def test_passing_entry_is_never_redrawn():
     timings = {"q": 0.39}
     pins = {"q": 0.2}

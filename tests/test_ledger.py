@@ -1063,6 +1063,10 @@ class TestShardResize:
             live.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
         with pytest.raises(errors.ShardLayoutChangedError, match="resized to 16"):
             live.to_pandas()
+        with pytest.raises(errors.ShardLayoutChangedError, match="resized to 16"):
+            live.shard_frame(0)  # ADVICE r8: guarded like every read surface
+        with pytest.raises(errors.ShardLayoutChangedError, match="resized to 16"):
+            next(iter(live.shard_frames()))
         with pytest.raises(errors.ShardLayoutChangedError, match="quiesced"):
             live.insert_missing(seed_rows("v2", 5))
         with pytest.raises(errors.ShardLayoutChangedError, match="quiesced"):
@@ -1089,6 +1093,8 @@ class TestShardResize:
             live.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
         with pytest.raises(errors.ShardLayoutChangedError, match="in progress"):
             live.count()
+        with pytest.raises(errors.ShardLayoutChangedError, match="in progress"):
+            live.shard_frame(0)
         os.unlink(staging)  # resize finished (same count); ledger resumes
         got = live.claim("v", hwm_frame(300), 10, now, now + timedelta(seconds=300))
         assert len(got) == 10

@@ -170,6 +170,35 @@ class TestSkewOperators:
             == left.join(right, "k").count()
         )
 
+    def test_salted_join_hot_null_keys_take_cold_branch(self, spark):
+        """ADVICE r8 (high): a NULL join key makes ``isin`` NULL, so both
+        ``filter(is_hot)`` and ``filter(~is_hot)`` would drop the row —
+        silently losing left rows a plain LEFT join preserves.  NULL keys
+        must route to the cold branch: preserved-with-NULL-right on
+        'left', dropped on 'inner', exactly like the plain join."""
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators.skew import salted_join_hot
+
+        left = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (None, 30), (None, 31), (99, 40)],
+            "k int, payload int",
+        )
+        right = spark.createDataFrame(
+            [(1, 100), (2, 200), (None, 300)], "k int, v int"
+        )
+        for how in ("inner", "left"):
+            plain = left.join(right, "k", how)
+            hot = salted_join_hot(left, right, on="k", hot_keys=[1], n=4, how=how)
+            key = lambda r: tuple(-1e18 if x is None else x for x in r)
+            assert sorted(map(tuple, plain.collect()), key=key) == sorted(
+                map(tuple, hot.collect()), key=key
+            ), how
+        # the NULL-key left rows specifically survive the left join
+        out = salted_join_hot(left, right, on="k", hot_keys=[1], n=4, how="left")
+        null_rows = out.filter(F.col("k").isNull()).collect()
+        assert len(null_rows) == 2 and all(r["v"] is None for r in null_rows)
+
     def test_salted_join_hot_replicates_only_hot_rows(self, spark):
         """The point of the targeted form: the replicated build side is
         n x |hot ∩ right| rows, not n x |right|."""

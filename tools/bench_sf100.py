@@ -34,6 +34,12 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+
+def _shards_for(parts: int) -> int:
+    from fstore_sql_spark.ledger import ShardedLocksLedger
+
+    return ShardedLocksLedger.shards_for(parts)
+
 # Top-8 of the sf10 per-query ranking (BENCH_SF10_r07.json), the
 # dedup/text/skew flagships the 100 TB posture leans on.
 TOP_QUERIES = [
@@ -179,7 +185,9 @@ def main() -> None:
             round(b3c_eps / b3c1_eps, 2) if b3c1_eps else None
         ),
         "b3c_partitions": args.b3c_parts,
-        "b3c_shards": 64,
+        # derived, not hardcoded (ADVICE r8): a run with a different
+        # --b3c-parts must record the layout the sizing rule actually used
+        "b3c_shards": _shards_for(args.b3c_parts),
         "config": {
             "shuffle_partitions": 256,
             "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
