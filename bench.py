@@ -37,7 +37,11 @@ HEADLINE = [
     "user_sessions",
     "es_ingest_mapping",
     "es_stream_next_offset",
-    "skew_salted_revenue",
+    # r9 (VERDICT r8 #1): the skew flagship is the hot-key-TARGETED
+    # salted join; the full-salt construction (skew_salted_revenue)
+    # stays oracle-gated + pytest-pinned but out of the sweeps — its
+    # n×|right| replication was the sf100 audit's one real plan finding.
+    "skew_salted_hot_revenue",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ann_topk_bruteforce",
@@ -187,11 +191,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # Per-entry wall-clock offset from run start (r9, VERDICT r8 #5):
+    # the r8 artifact showed a 2.9x intra-run noise regime shift
+    # (noise_index_start 1.077 vs _end 0.373), making per-query drift
+    # unattributable.  t_offset_s places every measurement on the run's
+    # timeline so a reader can interpolate it against the start/end
+    # noise probes (BASELINE.md "Reading the noise fields").
+    t_offsets: dict[str, float] = {}
     # warm the JVM + file listing once (excluded from per-query timings)
     load(spark, SF_DIR, "lineitem").count()
+    run_t0 = time.time()
+
+    def _mark(name: str) -> float:
+        t0 = time.time()
+        t_offsets[name] = round(t0 - run_t0, 2)
+        return t0
 
     for name in HEADLINE:
-        t0 = time.time()
+        t0 = _mark(name)
         force(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
@@ -224,7 +241,7 @@ def main() -> None:
             F.col("offset").alias("seq"),
         )
         n = batch.count()
-        t0 = time.time()
+        t0 = _mark("b1_append_validate")
         store.append_batch(batch)
         b1 = time.time() - t0
         timings["b1_append_validate"] = round(b1, 3)
@@ -234,13 +251,13 @@ def main() -> None:
         b1_profile = dict(store.last_append_profile)
 
         # B4 — register_view T7 lock backfill against the full events table.
-        t0 = time.time()
+        t0 = _mark("b4_backfill_register_view")
         store.register_view("bench_view", start_at="1990-01-01 00:00:00")
         timings["b4_backfill_register_view"] = round(time.time() - t0, 3)
 
         # B2 — single-partition replay + last-event point lookup.
         some_id = batch.select("decider_id").first()[0]
-        t0 = time.time()
+        t0 = _mark("b2_replay_partition")
         store.get_events(some_id, "user").collect()
         store.get_last_event(some_id, "user").collect()
         timings["b2_replay_partition"] = round(time.time() - t0, 3)
@@ -253,7 +270,7 @@ def main() -> None:
         # loop measures one full amortization cycle of the cache.
         delivered = 0
         round_times: list[float] = []
-        t0 = time.time()
+        t0 = _mark("b3_deliver_ack")
         for _ in range(EventStore.PREFETCH_DEPTH):
             t1 = time.time()
             rows = store.stream_events("bench_view", limit=100).collect()
@@ -310,6 +327,7 @@ def main() -> None:
     # by ~2x (measured spread at identical code: 11k-24k aggregate).
     # The contended arm gets THREE draws (it carries the scaling ratio
     # the gate reads and has the wider spread).
+    _mark("b3c_concurrent_deliver_ack")
     b3c1_eps, _ = max(
         (run_claim_ack_harness(1, b3c_parts, 8) for _ in range(2)),
         key=lambda t: t[0],
@@ -361,6 +379,7 @@ def main() -> None:
     noise_probe_end: dict[str, float] = {}
     if all(p in pins and p in timings for p in NOISE_PROBES):
         start_ratios = [timings[p] / pins[p] for p in NOISE_PROBES]
+        _mark("noise_probe_end")
         noise_probe_end = {p: rerun(p) for p in NOISE_PROBES}
         end_ratios = [noise_probe_end[p] / pins[p] for p in NOISE_PROBES]
         noise_start = round(statistics.median(start_ratios), 3)
@@ -419,6 +438,7 @@ def main() -> None:
         "b1_append_profile": b1_profile,
         "b3_prefetch_counters": pf,
         "noise_probe_end_sec": noise_probe_end,
+        "t_offset_s": t_offsets,
     }
     with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(detail, f, indent=1)

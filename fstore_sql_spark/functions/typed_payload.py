@@ -91,9 +91,11 @@ def all_paths(schema: StructType, prefix: tuple = ()) -> "list[tuple]":
     struct fields are listed both as a path themselves and recursed
     into.  Since r8, ``array<struct<…>>`` fields also recurse into their
     ELEMENT struct (the path addresses the element field — traversal
-    through the array is implicit, mirroring ``type_at``); map values
-    are opaque (no stable per-key paths exist).  Paths are the unit of
-    the nested rename/widen machinery."""
+    through the array is implicit, mirroring ``type_at``); since r9
+    (VERDICT r8 #6) ``map<K, struct<…>>`` fields recurse into their
+    VALUE struct the same way — map KEYS stay data (no per-key paths),
+    but the value struct's FIELDS are schema and get paths.  Paths are
+    the unit of the nested rename/widen machinery."""
     out = []
     for f in schema.fields:
         p = prefix + (f.name,)
@@ -101,6 +103,8 @@ def all_paths(schema: StructType, prefix: tuple = ()) -> "list[tuple]":
         dt = f.dataType
         if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
             out.extend(all_paths(dt.elementType, p))
+        elif isinstance(dt, MapType) and isinstance(dt.valueType, StructType):
+            out.extend(all_paths(dt.valueType, p))
         elif isinstance(dt, StructType):
             out.extend(all_paths(dt, p))
     return out
@@ -111,11 +115,15 @@ def type_at(schema: StructType, path: tuple) -> "DataType | None":
     (or a non-struct is traversed into).  Traversal INTO an
     ``array<struct<…>>`` transparently unwraps to the element struct
     (r8): ``type_at(s, ("items",))`` is the ArrayType itself,
-    ``type_at(s, ("items", "price"))`` is the element field's type."""
+    ``type_at(s, ("items", "price"))`` is the element field's type.
+    ``map<K, struct<…>>`` unwraps to the value struct the same way
+    (r9)."""
     dt: DataType = schema
     for name in path:
         if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
             dt = dt.elementType
+        if isinstance(dt, MapType) and isinstance(dt.valueType, StructType):
+            dt = dt.valueType
         if not isinstance(dt, StructType):
             return None
         hit = next((f.dataType for f in dt.fields if f.name == name), None)
@@ -187,8 +195,10 @@ def upcast_struct(
     with the rename map re-rooted at the element (``validate_evolution``
     guarantees renames never cross an array boundary), NULL elements and
     NULL arrays preserved — and map values upcast via ``cast`` (scalar
-    widening) or ``F.transform_values`` (struct values; renames inside
-    maps don't exist — map keys are data, not schema).  Still pure
+    widening) or ``F.transform_values`` with the rename map re-rooted at
+    the VALUE struct (r9, VERDICT r8 #6: value-struct fields rename and
+    widen like array elements; map KEYS stay data, never schema, and are
+    passed through untouched).  Still pure
     ``struct``/``cast``/``when``/``transform`` composition — codegen,
     zero shuffle."""
     sources = {k: v for k, v in (field_sources or {}).items()}
@@ -241,9 +251,20 @@ def upcast_struct(
         if isinstance(to_dt, MapType) and isinstance(from_dt, MapType):
             to_v, from_v = to_dt.valueType, from_dt.valueType
             if isinstance(to_v, StructType) and isinstance(from_v, StructType):
+                # re-root the rename map at the map VALUE struct (r9,
+                # VERDICT r8 #6), exactly like the array-element path:
+                # keys are data and never rename, value-struct fields are
+                # schema and rename/widen like any nested struct
+                tgt_pfx = ".".join(path) + "."
+                src_pfx = ".".join(sp) + "."
+                rel = {
+                    k[len(tgt_pfx):]: v[len(src_pfx):]
+                    for k, v in sources.items()
+                    if k.startswith(tgt_pfx) and v.startswith(src_pfx)
+                }
                 return F.transform_values(
                     col_at(sp),
-                    lambda _k, v: rebuilt_element(v, from_v, to_v, {}),
+                    lambda _k, v: rebuilt_element(v, from_v, to_v, rel),
                 )
             return col_at(sp).cast(to_dt)
         return col_at(sp).cast(to_dt)
@@ -334,12 +355,16 @@ def validate_evolution(
     with identical or widened type.  Since r8 paths traverse
     ``array<struct<…>>`` elements too (``items.price`` addresses the
     element field of array ``items``), so element fields may rename,
-    widen, be added, or be dropped exactly like struct fields; map
-    values may widen but carry no paths (a rename targeting a map value
-    is rejected as an unknown field).  A rename may only move a field
-    within its own (possibly itself renamed) struct or array element —
-    a cross-struct or array-boundary move has no lossless columnar
-    rewrite.  Dropping a field (top-level
+    widen, be added, or be dropped exactly like struct fields; since r9
+    (VERDICT r8 #6) ``map<K, struct<…>>`` VALUE-struct fields carry
+    paths the same way (``m.price`` addresses the value field of map
+    ``m``) and rename/widen/add/drop like array elements — map KEYS
+    remain data (key type must stay identical; scalar map values widen
+    but carry no paths, so a rename targeting one is still rejected as
+    an unknown field).  A rename may only move a field
+    within its own (possibly itself renamed) struct, array element, or
+    map value — a cross-struct, array-, or map-boundary move has no
+    lossless columnar rewrite.  Dropping a field (top-level
     or nested) is allowed: the typed view simply omits it.  Returns a
     list of violation strings (empty = valid); silent narrowing/retyping
     is the schema-registry analogue of the log's R1-R4 immutability
@@ -373,6 +398,8 @@ def validate_evolution(
             return "array<struct>"
         if isinstance(t, ArrayType):
             return "array"
+        if isinstance(t, MapType) and isinstance(t.valueType, StructType):
+            return "map<struct>"
         if isinstance(t, MapType):
             return "map"
         return "scalar"
@@ -384,6 +411,17 @@ def validate_evolution(
             continue  # brand-new field (missing renames were caught above)
         new_t = type_at(new, p)
         ok, nk = kind(old_t), kind(new_t)
+        if ok == nk == "map<struct>":
+            # value-struct fields validate field-by-field via the nested
+            # paths, but the KEY type is data and must stay identical
+            if old_t.keyType != new_t.keyType:
+                problems.append(
+                    f"field {'.'.join(p)!r}: map key type "
+                    f"{old_t.keyType.simpleString()} -> "
+                    f"{new_t.keyType.simpleString()} must stay identical "
+                    "(map keys are data, not schema)"
+                )
+            continue
         if ok == nk and nk in ("struct", "array<struct>"):
             continue  # validated field-by-field via the nested paths
         if ok != nk:

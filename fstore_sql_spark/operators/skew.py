@@ -79,10 +79,13 @@ def two_phase_topk(
     """,
 )
 def skew_salted_revenue(spark, sf_dir):
-    """The salted join, oracle-verified against the plain join: lineitem
-    (probe, potentially skewed on orderkey) salted 8 ways against a
-    replicated orders projection.  Identical results, hot keys split across
-    8 shuffle partitions."""
+    """The FULL-salt join, oracle-verified against the plain join:
+    lineitem salted 8 ways against a fully-replicated orders projection.
+    Correct but demonstrative-only since r9: replicating the entire
+    build side n× wrote ~50 GB of shuffle at sf100 (the audit's one real
+    plan finding), so the benched/recommended skew flagship is now
+    ``skew_salted_hot_revenue`` — this stays oracle-gated as the
+    equivalence fixture for the classic construction."""
     l = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(l, o, on="o_orderkey", n=8)
@@ -90,6 +93,47 @@ def skew_salted_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+@query(
+    "skew_salted_hot_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_hot_revenue(spark, sf_dir):
+    """The RECOMMENDED skew pattern (r9, VERDICT r8 #1) — profile, then
+    salt ONLY the hot keys.  Oracle-verified against the same plain-join
+    SQL that pins ``skew_salted_revenue``: identical answers, but the
+    replicated build side is n × |hot| rows instead of n × |right|.
+
+    Step 1 profiles the probe side's key histogram (one hash aggregate +
+    a top-16 collect — the ``join_key_skew_report`` shape: hot keys are
+    few by definition, so the driver-side list is bounded).  Step 2 runs
+    ``salted_join_hot``: the ≤16 hottest keys split 8 ways, the cold
+    majority takes the vanilla AQE-optimized join.  At sf100 this
+    replaced the full-salt construction's 1.2B-row / ~50 GB shuffle with
+    a ~128-row replicated side (BENCH_SF100_r08.json's 13.4× ratio was
+    the full-salt plan, not the data)."""
+    l = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hot = [
+        r["o_orderkey"]
+        for r in l.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("o_orderkey").asc())
+        .limit(16)
+        .collect()
+    ]
+    joined = salted_join_hot(l, o, on="o_orderkey", hot_keys=hot, n=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
 
 def salted_join_hot(
     left: DataFrame,

@@ -129,14 +129,22 @@ def text_quality_filter(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint: min digest over all char 8-grams
-    (winnowing with window = whole doc).  Computed per-row as
-    array_min(transform(...)) — no explode, no shuffle: the aggregate
-    collapses inside the row before anything leaves the scan stage."""
+    (winnowing with window = whole doc).  Computed per-row as a RUNNING
+    min via ``F.aggregate`` (r9, VERDICT r8 #4) — no explode, no shuffle,
+    and O(1) live digest strings per row: the earlier
+    ``array_min(transform(...))`` form materialized one 32-hex md5 string
+    per char position (~80 B/char transient, i.e. ~80 MB for a 1 MB doc),
+    while the fold keeps only the accumulator and the current digest.
+    The per-row state is now bounded by the INDEX array alone (~8 B/char)
+    regardless of doc length — the sizing rule BASELINE.md pins.  'g'
+    sorts after every hex digest, so it is a safe fold identity."""
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 6, F.lit(1)))
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.array_min(
-            F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, 8)))
+        F.aggregate(
+            idx,
+            F.lit("g"),
+            lambda acc, i: F.least(acc, F.md5(F.substring(F.col("text"), i, 8))),
         ).alias("fingerprint"),
     )
 

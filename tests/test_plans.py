@@ -475,6 +475,21 @@ class TestCurationAnalyticsPlans:
     def test_shuffle_budget(self, spark, name, max_shuffles):
         assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
 
+    def test_skew_hot_flagship_replicates_only_hot_side(self, spark):
+        """skew_salted_hot_revenue (r9, VERDICT r8 #1): the scale-safe
+        skew plan.  The explode (salt replication) must sit above a
+        hot-key-FILTERED build side — never the full table (the full-salt
+        construction's n x |right| replication wrote ~50 GB of shuffle at
+        sf100) — with the hot-key IN list pushed to every scan, and the
+        whole query needs exactly ONE shuffle (the final group-by;
+        both joins broadcast at fixture scale)."""
+        df = q(spark, "skew_salted_hot_revenue")
+        plan = P.simple_plan(df)
+        assert P._count_nodes(df, "Generate") == 1, plan
+        assert P.shuffle_exchange_count(df) == 1, plan
+        # the hot-key membership filter reaches the parquet scans
+        assert "INSET" in plan or "In(o_orderkey" in plan, plan
+
     def test_skew_report_is_topk(self, spark):
         # the report ends in a top-10: TakeOrderedAndProject, no global sort.
         assert P.has_take_ordered(q(spark, "join_key_skew_report"))
@@ -615,5 +630,15 @@ class TestR5TypedPayload:
         expression-BUILD time, so the runtime plan stays a scan+project
         with zero exchanges."""
         df = q(spark, "payload_schema_evolution_array")
+        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
+        assert P.codegen_span_count(df) >= 1
+
+    def test_map_evolution_is_zero_shuffle_codegen_projection(self, spark):
+        """payload_schema_evolution_map (r9): the F.transform_values
+        value-struct rebuild of map payloads is still pure expression
+        work — renames re-root at the value struct at expression-BUILD
+        time, so the runtime plan stays a scan+project with zero
+        exchanges."""
+        df = q(spark, "payload_schema_evolution_map")
         assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
         assert P.codegen_span_count(df) >= 1

@@ -514,13 +514,134 @@ class TestArraySchemaEvolution:
             store.register_payload_schema("created", 2, "m MAP<INT, INT>")
 
     def test_rename_targeting_map_value_rejected(self, store):
-        """Map keys are data, not schema: no rename path can address a
-        map value — the rename target is rejected as an unknown field."""
+        """SCALAR map values carry no paths (map keys are data, not
+        schema): a rename path addressing one is rejected as an unknown
+        field.  STRUCT map values DO carry paths since r9 — see
+        TestMapValueStructEvolution."""
         store.register_payload_schema("created", 1, "m MAP<STRING, INT>")
         with pytest.raises(errors.SchemaEvolutionError, match="not a field"):
             store.register_payload_schema(
                 "created", 2, "m MAP<STRING, INT>",
                 renamed_from={"m.v2": "m.v"},
+            )
+
+
+class TestMapValueStructEvolution:
+    """r9 (VERDICT r8 #6): renames + numeric widening recurse into
+    ``map<K, struct<…>>`` VALUE structs via an F.transform_values rebuild
+    with the rename map re-rooted at the value struct — the same
+    machinery arrays got in r8.  Map KEYS stay data: they pass through
+    untouched and their type must stay identical."""
+
+    def _seed_map_chain(self, store):
+        store.register_decider_event("order", "created", "v1", 1)
+        store.register_decider_event("order", "created", "v2", 2)
+        store.register_decider_event("order", "created", "v3", 3)
+        # v1 {m map<string,{p INT}>} → v2 renames m.p→m.price + widens to
+        # BIGINT → v3 renames the MAP itself m→attrs and adds value
+        # field q STRING
+        store.register_payload_schema(
+            "created", 1, "m MAP<STRING, STRUCT<p: INT>>"
+        )
+        store.register_payload_schema(
+            "created",
+            2,
+            "m MAP<STRING, STRUCT<price: BIGINT>>",
+            renamed_from={"m.price": "m.p"},
+        )
+        store.register_payload_schema(
+            "created",
+            3,
+            "attrs MAP<STRING, STRUCT<price: BIGINT, q: STRING>>",
+            renamed_from={"attrs": "m"},
+        )
+        store.append_event(
+            "created", "m1", "order", "A",
+            '{"m": {"a": {"p": 3}, "b": {"p": 4}}}', event_version=1,
+        )
+        store.append_event(
+            "created", "m2", "order", "A",
+            '{"m": {"a": {"price": 4000000000}}}',
+            previous_id="m1", event_version=2,
+        )
+        store.append_event(
+            "created", "m3", "order", "A",
+            '{"attrs": {"a": {"price": 5, "q": "x"}, "b": {"price": 6, "q": "y"}}}',
+            previous_id="m2", event_version=3,
+        )
+
+    def test_map_value_rename_and_widen_chain_upcasts(self, store):
+        self._seed_map_chain(store)
+        t = store.events_typed("created").orderBy("offset")
+        val_t = t.schema["payload"].dataType["attrs"].dataType.valueType
+        assert [f.name for f in val_t.fields] == ["price", "q"]
+        assert val_t["price"].dataType.simpleString() == "bigint"
+        rows = t.select("event_id", F.col("payload.attrs").alias("m")).collect()
+        got = {
+            r["event_id"]: {k: (v["price"], v["q"]) for k, v in r["m"].items()}
+            for r in rows
+        }
+        assert got == {
+            "m1": {"a": (3, None), "b": (4, None)},  # v1 p → price + widened
+            "m2": {"a": (4000000000, None)},
+            "m3": {"a": (5, "x"), "b": (6, "y")},
+        }
+
+    def test_null_map_and_null_values_preserved(self, store):
+        self._seed_map_chain(store)
+        store.append_event(
+            "created", "m4", "order", "B",
+            '{"m": {"a": {"p": 1}, "b": null}}', event_version=1,
+        )
+        store.append_event(
+            "created", "m5", "order", "C", "{}", event_version=1
+        )
+        rows = (
+            store.events_typed("created")
+            .filter(F.col("event_id").isin("m4", "m5"))
+            .select("event_id", F.col("payload.attrs").alias("m"))
+            .collect()
+        )
+        got = {r["event_id"]: r["m"] for r in rows}
+        assert got["m4"]["a"]["price"] == 1
+        assert got["m4"]["b"] is None  # NULL value stays NULL, not {NULL,...}
+        assert got["m5"] is None  # missing map stays NULL, not {}
+
+    def test_rename_across_map_boundary_rejected(self, store):
+        store.register_payload_schema(
+            "created", 1, "m MAP<STRING, STRUCT<p: BIGINT>>"
+        )
+        with pytest.raises(
+            errors.SchemaEvolutionError, match="crosses struct boundaries"
+        ):
+            store.register_payload_schema(
+                "created", 2, "p2 BIGINT, m MAP<STRING, STRUCT<p: BIGINT>>",
+                renamed_from={"p2": "m.p"},
+            )
+
+    def test_map_value_struct_key_retype_rejected(self, store):
+        """Value structs validate field-by-field, but the KEY type is
+        data and may never change — the r9 map<struct> continue-branch
+        must not let a key retype slip through."""
+        store.register_payload_schema(
+            "created", 1, "m MAP<STRING, STRUCT<p: BIGINT>>"
+        )
+        with pytest.raises(
+            errors.SchemaEvolutionError, match="map key type"
+        ):
+            store.register_payload_schema(
+                "created", 2, "m MAP<INT, STRUCT<p: BIGINT>>"
+            )
+
+    def test_map_value_field_narrowing_rejected(self, store):
+        store.register_payload_schema(
+            "created", 1, "m MAP<STRING, STRUCT<p: BIGINT>>"
+        )
+        with pytest.raises(
+            errors.SchemaEvolutionError, match="not identity or a numeric widening"
+        ):
+            store.register_payload_schema(
+                "created", 2, "m MAP<STRING, STRUCT<p: INT>>"
             )
 
 

@@ -30,7 +30,7 @@ sys.path.insert(0, HERE)
 # r4 tails), b-benches excluded (measured separately below).
 TOP_QUERIES = [
     "dedup_prefix_filter_pairs",
-    "skew_salted_revenue",
+    "skew_salted_hot_revenue",  # r9: targeted-salt flagship (VERDICT r8 #1)
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
@@ -42,6 +42,17 @@ TOP_QUERIES = [
     "text_fingerprint",
     "multimodal_features",
     "top_customers_per_nation",
+    # r9 (VERDICT r8 #3): widened to ~20 — the union of the sf0.1/sf1/
+    # sf10 top-expensive lists plus one representative per previously
+    # unmeasured family (ingest mapping, sessionization, ANN, text
+    # stats) so config-scale bugs can't hide in unmeasured families.
+    "benchmark_contamination",
+    "q8_market_share",
+    "trailing_7d_active_users",
+    "vocab_top_terms",
+    "es_ingest_mapping",
+    "user_sessions",
+    "ann_blocked_topk",
 ]
 
 

@@ -44,13 +44,29 @@ def _shards_for(parts: int) -> int:
 # dedup/text/skew flagships the 100 TB posture leans on.
 TOP_QUERIES = [
     "dedup_prefix_filter_pairs",
-    "skew_salted_revenue",
+    "skew_salted_hot_revenue",  # r9: targeted-salt flagship (VERDICT r8 #1)
     "q1_pricing_summary",
     "q5_nation_revenue",
     "dedup_minhash_lsh_pairs",
     "text_fingerprint",
     "triangle_count",
     "multimodal_features",
+    # r9 (VERDICT r8 #3): widened from 8 to ~20 — the union of the
+    # sf0.1/sf1/sf10 top-expensive rankings plus one representative per
+    # previously unmeasured family.  The r8 sweep's 32-shuffle-partition
+    # lesson: unmeasured queries can hide config-scale bugs.
+    "q3_top_orders",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "dedup_simhash",
+    "top_customers_per_nation",
+    "benchmark_contamination",
+    "q8_market_share",
+    "trailing_7d_active_users",
+    "vocab_top_terms",
+    "es_ingest_mapping",
+    "user_sessions",
+    "ann_blocked_topk",
 ]
 
 

@@ -19,7 +19,8 @@ FLAGSHIP = [
     ("q5_nation_revenue", "5-way star join: all dims broadcast, one shuffle"),
     ("es_stream_next_offset", "A6 delivery kernel: broadcast locks side"),
     ("user_sessions", "sessionization: 3 windows + agg on one hash partitioning"),
-    ("skew_salted_revenue", "hot-key mitigation: salted two-phase aggregate"),
+    ("skew_salted_hot_revenue", "skew flagship (r9): profiled hot keys salted, cold majority vanilla join"),
+    ("skew_salted_revenue", "full-salt equivalence fixture: entire build side replicated (demonstrative)"),
     ("dedup_minhash_lsh_pairs", "MinHash+LSH: band-bucket join, no cross product"),
     ("shuffle_positions", "two-phase global rank (no one-task window)"),
     ("equi_depth_histogram", "two-phase global NTILE"),
@@ -40,6 +41,7 @@ FLAGSHIP = [
     ("payload_schema_evolution", "rename+widen chain: build-time rename walk, still zero-shuffle codegen (r6)"),
     ("payload_schema_evolution_nested", "nested dotted-path renames + widening: struct rebuilds at expression-build time, zero-shuffle codegen (r7)"),
     ("payload_schema_evolution_array", "array-of-struct renames + widening: F.transform elementwise rebuild, still zero-shuffle codegen (r8)"),
+    ("payload_schema_evolution_map", "map value-struct renames + widening: F.transform_values rebuild, still zero-shuffle codegen (r9)"),
 ]
 
 
