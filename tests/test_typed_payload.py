@@ -646,7 +646,8 @@ class TestMapValueStructEvolution:
 
 
 # --------------------------------------------------------------------- #
-# r8 (VERDICT r7 next-round #6): property-based evolution-chain fuzz.
+# r8 (VERDICT r7 next-round #6): property-based evolution-chain fuzz;
+# r9 extends the tree model with map<string, struct> nodes (VERDICT r8 #6).
 # Chains are generated over a TREE model where every field carries a
 # persistent uid; values are a pure function of (uid, row, element), so
 # the expected typed view is computed from field IDENTITY alone —
@@ -694,11 +695,19 @@ def _gen_struct(rng, uids, depth, n_min=2, n_max=4):
                 "uid": uid,
                 "fields": _gen_struct(rng, uids, depth + 1, 1, 3)["fields"],
             }
-        elif depth < 2 and roll < 0.4:
+        elif depth < 2 and roll < 0.35:
             fields[name] = {
                 "kind": "array",
                 "uid": uid,
                 "elem": _gen_struct(rng, uids, depth + 1, 1, 3),
+            }
+        elif depth < 2 and roll < 0.45:
+            # r9: map<string, struct> — value-struct fields evolve like
+            # array elements; keys ("ka"/"kb") are data
+            fields[name] = {
+                "kind": "map",
+                "uid": uid,
+                "val": _gen_struct(rng, uids, depth + 1, 1, 3),
             }
         else:
             fields[name] = _scalar(uid, rng.choice(_SCALARS))
@@ -717,6 +726,8 @@ def _to_spark(node):
         return _S[node["type"]]
     if node["kind"] == "array":
         return T.ArrayType(_to_spark(node["elem"]))
+    if node["kind"] == "map":
+        return T.MapType(T.StringType(), _to_spark(node["val"]))
     return T.StructType(
         [T.StructField(n, _to_spark(c)) for n, c in node["fields"].items()]
     )
@@ -734,6 +745,8 @@ def _sites(tree, prefix=()):
             out.extend(_sites(node, p))
         elif node["kind"] == "array":
             out.extend(_sites(node["elem"], p))
+        elif node["kind"] == "map":
+            out.extend(_sites(node["val"], p))
     return out
 
 
@@ -759,7 +772,8 @@ def _mutate_valid(rng, tree, uids):
         elif op == "add":
             structs = [t] + [
                 s[3] for s in sites if s[3]["kind"] == "struct"
-            ] + [s[3]["elem"] for s in sites if s[3]["kind"] == "array"]
+            ] + [s[3]["elem"] for s in sites if s[3]["kind"] == "array"
+            ] + [s[3]["val"] for s in sites if s[3]["kind"] == "map"]
             target = rng.choice(structs)
             uid = next(uids)
             target["fields"][f"f{uid}"] = _scalar(uid, rng.choice(_SCALARS))
@@ -854,6 +868,8 @@ def _row_json(tree, i):
             return _value(node["uid"], node["type"], i, j)
         if node["kind"] == "array":
             return [build(node["elem"], jj) for jj in range(2)]
+        if node["kind"] == "map":
+            return {"ka": build(node["val"], 0), "kb": build(node["val"], 1)}
         return {n: build(c, j) for n, c in node["fields"].items()}
 
     return _json.dumps(build(tree))
@@ -870,6 +886,10 @@ def _uid_types(tree):
         if node["kind"] == "array":
             out[node["uid"]] = "array"
             walk_struct(node["elem"])
+            return
+        if node["kind"] == "map":
+            out[node["uid"]] = "map"
+            walk_struct(node["val"])
             return
         out[node["uid"]] = "struct"
         walk_struct(node)
@@ -894,6 +914,11 @@ def _expected(latest, at_version_types, i):
             return float(v) if node["type"] in ("float", "double") else v
         if node["kind"] == "array":
             return [build_struct(node["elem"], jj) for jj in range(2)]
+        if node["kind"] == "map":
+            return {
+                "ka": build_struct(node["val"], 0),
+                "kb": build_struct(node["val"], 1),
+            }
         return build_struct(node, j)
 
     def build_struct(st, j=0):
