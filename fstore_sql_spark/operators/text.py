@@ -128,23 +128,32 @@ def text_quality_filter(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint: min digest over all char 8-grams
-    (winnowing with window = whole doc).  Computed per-row as a RUNNING
-    min via ``F.aggregate`` (r9, VERDICT r8 #4) — no explode, no shuffle,
-    and O(1) live digest strings per row: the earlier
-    ``array_min(transform(...))`` form materialized one 32-hex md5 string
-    per char position (~80 B/char transient, i.e. ~80 MB for a 1 MB doc),
-    while the fold keeps only the accumulator and the current digest.
-    The per-row state is now bounded by the INDEX array alone (~8 B/char)
-    regardless of doc length — the sizing rule BASELINE.md pins.  'g'
-    sorts after every hex digest, so it is a safe fold identity."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 6, F.lit(1)))
+    """Rolling-hash document fingerprint: min digest over all 8-gram
+    shingles (winnowing with window = whole doc).  Two r9 changes
+    (VERDICT r8 #4), both pinned by `tools/bench_fingerprint_state.py`
+    in BASELINE.md:
+
+    - RUNNING min via ``F.aggregate`` instead of
+      ``array_min(transform(...))`` — O(1) live digest strings per row
+      (the array form materialized one 32-hex md5 per position).
+    - BYTE-indexed slicing (``cast("binary")``) instead of char-indexed
+      ``substring(text, i, 8)`` — char indexing into a UTF8 string scans
+      from the start to locate char i (variable-width encoding), making
+      the whole fingerprint O(len²) per doc: measured 170 s for ONE
+      250k-char doc vs 0.75 s byte-indexed (226×), 3.3 s at 4M chars.
+      On ASCII corpora byte 8-grams ≡ char 8-grams (the oracle pins
+      this); multi-byte text yields byte shingles — still a valid,
+      deterministic fingerprint, documented trade.
+
+    'g' sorts after every hex digest, so it is a safe fold identity."""
+    b = F.col("text").cast("binary")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(b) - 6, F.lit(1)))
     return load(spark, sf_dir, "documents").select(
         "doc_id",
         F.aggregate(
             idx,
             F.lit("g"),
-            lambda acc, i: F.least(acc, F.md5(F.substring(F.col("text"), i, 8))),
+            lambda acc, i: F.least(acc, F.md5(F.substring(b, i, 8))),
         ).alias("fingerprint"),
     )
 

@@ -6,21 +6,24 @@ document LENGTH — the quantity that also explains the query's cross-decade
 ratios (the synthetic corpus's avg doc grows 297 → 453 → 508 chars across
 sf1 → sf10 → sf100, so sf10 → sf100 total chars is 11.2x, not 10x).
 
-Two candidate plans, identical results (oracle-gated):
+Three candidate plans, identical results on ASCII corpora (oracle-gated):
 
-- ``array_min(transform(idx, i -> md5(...)))`` — materializes ONE 32-hex
-  digest string per char position before taking the min: ~80 B/char of
-  transient per row (UTF8String + array overhead), i.e. ~80 MB for a
-  single 1 MB document, held live inside one task.
-- ``aggregate(idx, 'g', (acc, i) -> least(acc, md5(...)))`` — the shipped
-  r9 form: a running fold, O(1) digest strings live; the transient is the
-  INDEX array alone (~4-8 B/char).
+- ``digest_array`` — ``array_min(transform(idx, i -> md5(substring(text,
+  i, 8))))``: materializes one 32-hex digest per char position AND pays
+  char-indexed substring.
+- ``char_fold`` — running ``aggregate`` min over char-indexed substrings:
+  O(1) live digests, but ``substring(text, i, 8)`` on a UTF8 string must
+  SCAN from the start to locate char i (variable-width encoding), so the
+  whole fingerprint is O(len²) per doc — the measured wall: ~170 s for a
+  single 250k-char doc, regardless of heap.
+- ``byte_fold`` — the SHIPPED r9 form: running min over BYTE-indexed
+  slices of ``text.cast("binary")`` (O(1) slicing).  O(len) total,
+  O(1) live digests: 0.75 s at 250k chars, 3.3 s at 4M (226x/linear).
 
-This tool measures both on single synthetic documents of growing length
-inside a FIXED small JVM heap, sampling JVM used-heap from a polling
-thread.  The digest-array form's peak grows ~10x faster per char and hits
-the heap wall an order of magnitude earlier — the measurement behind
-BASELINE.md's "text_fingerprint per-row state" sizing rule.
+This tool measures all three on single synthetic documents of growing
+length inside a FIXED small JVM heap, sampling JVM used-heap from a
+polling thread — the measurement behind BASELINE.md's "text_fingerprint
+per-row cost" section.
 
 Usage: python tools/bench_fingerprint_state.py [--heap 1g]
          [--chars 250000,1000000,4000000] [--timeout 300]
@@ -76,10 +79,17 @@ if form == "digest_array":
     fp = F.array_min(
         F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, 8)))
     )
-else:
+elif form == "char_fold":
     fp = F.aggregate(
         idx, F.lit("g"),
         lambda acc, i: F.least(acc, F.md5(F.substring(F.col("text"), i, 8))),
+    )
+else:  # byte_fold — the shipped form
+    b = F.col("text").cast("binary")
+    idx_b = F.sequence(F.lit(1), F.greatest(F.length(b) - 6, F.lit(1)))
+    fp = F.aggregate(
+        idx_b, F.lit("g"),
+        lambda acc, i: F.least(acc, F.md5(F.substring(b, i, 8))),
     )
 t0 = time.time()
 try:
@@ -101,10 +111,13 @@ def main() -> None:
     ap.add_argument("--heap", default="1g")
     ap.add_argument("--chars", default="250000,1000000,4000000")
     ap.add_argument("--timeout", type=int, default=300)
+    ap.add_argument(
+        "--forms", default="digest_array,char_fold,byte_fold"
+    )
     args = ap.parse_args()
     lengths = [int(c) for c in args.chars.split(",")]
     results = []
-    for form in ("digest_array", "running_fold"):
+    for form in args.forms.split(","):
         for n in lengths:
             code = _CHILD.format(here=HERE, form=form, n_chars=n, heap=args.heap)
             env = dict(os.environ)
