@@ -117,6 +117,11 @@ PINNED_R01 = {
     "scd2_state_at_cutoff": 0.584, "weekly_revenue_growth": 0.564,
     "b1_append_validate": 4.805, "b4_backfill_register_view": 1.735,
     "b2_replay_partition": 0.352,
+    # r9 addition — first stable measurement of the new skew flagship
+    # (BENCH_DETAIL_r09.json, same box/method as the other pins; it
+    # replaced skew_salted_revenue in HEADLINE, whose pin is kept for
+    # the historical composition record):
+    "skew_salted_hot_revenue": 1.94,
 }
 
 
