@@ -110,19 +110,25 @@ def skew_salted_hot_revenue(spark, sf_dir):
     SQL that pins ``skew_salted_revenue``: identical answers, but the
     replicated build side is n × |hot| rows instead of n × |right|.
 
-    Step 1 profiles the probe side's key histogram (one hash aggregate +
-    a top-16 collect — the ``join_key_skew_report`` shape: hot keys are
-    few by definition, so the driver-side list is bounded).  Step 2 runs
-    ``salted_join_hot``: the ≤16 hottest keys split 8 ways, the cold
-    majority takes the vanilla AQE-optimized join.  At sf100 this
-    replaced the full-salt construction's 1.2B-row / ~50 GB shuffle with
-    a ~128-row replicated side (BENCH_SF100_r08.json's 13.4× ratio was
-    the full-salt plan, not the data)."""
+    Step 1 profiles the probe side's key histogram on a seeded 2%
+    SAMPLE (r9: a truly hot key appears thousands of times, so a sample
+    finds it with near-certainty — exact counts over the full probe side
+    would cost a full-table shuffle just to pick 16 keys; the sampled
+    aggregate shuffles 2% of (key, count) pairs).  The result is
+    IDENTICAL whichever keys the sample nominates (the construction is
+    correct for any hot set — the oracle gate pins that), so sampling
+    costs nothing semantically.  Step 2 runs ``salted_join_hot``: the
+    ≤16 hottest keys split 8 ways, the cold majority takes the vanilla
+    AQE-optimized join.  At sf100 this replaced the full-salt
+    construction's 1.2B-row / ~50 GB shuffle with a ~128-row replicated
+    side (BENCH_SF100_r08.json's 13.4× ratio was the full-salt plan,
+    not the data)."""
     l = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     hot = [
         r["o_orderkey"]
-        for r in l.groupBy("o_orderkey")
+        for r in l.sample(fraction=0.02, seed=9)
+        .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("o_orderkey").asc())
         .limit(16)
