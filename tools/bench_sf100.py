@@ -75,6 +75,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/repo/testdata_sf100")
     ap.add_argument("--b3c-parts", type=int, default=2_000_000)
     ap.add_argument("--skip-b1", action="store_true")
+    ap.add_argument("--skip-b3c", action="store_true")
     ap.add_argument("--queries", default=None, help="comma-separated subset")
     args = ap.parse_args()
 
@@ -96,7 +97,16 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    names = args.queries.split(",") if args.queries else TOP_QUERIES
+    # --queries "" runs NO analytics queries (b-benches only): the box
+    # has ~45-60 GB of free disk and the 20-query sweep plus B1's own
+    # shuffle volume (validation joins + offset numbering over 100M
+    # rows) no longer fit one session's spill budget — passes compose
+    # into one artifact via the merge below.
+    names = (
+        [n for n in args.queries.split(",") if n]
+        if args.queries is not None
+        else TOP_QUERIES
+    )
     timings: dict[str, float] = {}
     # Warm pass: full-column read of every table the query set touches.
     # This decade's working set (~16 GB) fits the box's RAM, and the
@@ -113,6 +123,15 @@ def main() -> None:
         force(QUERIES[name](spark, args.sf))
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]}s", flush=True)
+        # Free finished-query shuffle files NOW (r9): Spark's
+        # ContextCleaner only deletes them when the JVM garbage-collects
+        # the shuffle dependency, and a 48g heap running 20 sf100
+        # queries can fill the box's ~60 GB free disk with dead spill
+        # before a natural GC happens (measured: the first widened sweep
+        # died on ENOSPC with 18 GB of orphaned blockmgr files).  On a
+        # real cluster the external shuffle service + per-app dirs make
+        # this a non-issue; single-box decades need the nudge.
+        spark.sparkContext._jvm.System.gc()
 
     # B1 — bulk append with full validation (the sf100 events table:
     # 100M events).  expected_partitions declares scale, so the store
@@ -155,17 +174,19 @@ def main() -> None:
     # the first non-floor layout ever measured under load.  per_part=1
     # (2M-event pool); the dimension under test is the 64-shard routing +
     # per-shard claim-scan cost, not pool depth.
-    from tests._ledger_worker import run_claim_ack_harness
+    b3c1_eps = b3c_eps = None
+    if not args.skip_b3c:
+        from tests._ledger_worker import run_claim_ack_harness
 
-    b3c1_eps, b3c1_el = run_claim_ack_harness(
-        1, args.b3c_parts, 1, size_by_parts=True, join_timeout_s=1800
-    )
-    print(f"b3c single: {b3c1_eps} ev/s ({b3c1_el:.0f}s)", flush=True)
-    b3c_eps, b3c_elapsed = run_claim_ack_harness(
-        4, args.b3c_parts, 1, size_by_parts=True, join_timeout_s=1800
-    )
-    timings["b3c_concurrent_deliver_ack"] = round(b3c_elapsed, 3)
-    print(f"b3c: {b3c_eps} ev/s agg vs {b3c1_eps} single", flush=True)
+        b3c1_eps, b3c1_el = run_claim_ack_harness(
+            1, args.b3c_parts, 1, size_by_parts=True, join_timeout_s=1800
+        )
+        print(f"b3c single: {b3c1_eps} ev/s ({b3c1_el:.0f}s)", flush=True)
+        b3c_eps, b3c_elapsed = run_claim_ack_harness(
+            4, args.b3c_parts, 1, size_by_parts=True, join_timeout_s=1800
+        )
+        timings["b3c_concurrent_deliver_ack"] = round(b3c_elapsed, 3)
+        print(f"b3c: {b3c_eps} ev/s agg vs {b3c1_eps} single", flush=True)
 
     # ratios vs the newest sf10 measurement of the same query set
     sf10 = {}
@@ -211,6 +232,25 @@ def main() -> None:
         },
     }
     path = os.path.join(HERE, f"BENCH_SF100_r{rnd:02d}.json")
+    # Compose multi-pass runs (query sweep / b-benches in separate
+    # sessions for disk headroom) into ONE artifact: merge timings and
+    # keep any field this pass did not measure.
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            prev = json.load(f)
+        merged_q = {**prev.get("queries", {}), **out["queries"]}
+        for k, v in out.items():
+            if v in (None, {}, []) and k in prev:
+                out[k] = prev[k]
+        out["queries"] = merged_q
+        out["ratio_vs_sf10"] = {
+            k: round(v / sf10[k], 2)
+            for k, v in merged_q.items() if sf10.get(k)
+        }
+        out["superlinear"] = {
+            k: r for k, r in out["ratio_vs_sf10"].items() if r > 15.0
+        }
+        out["value"] = round(sum(merged_q.values()), 3)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
