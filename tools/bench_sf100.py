@@ -7,9 +7,10 @@ the sizing rule, the paged high-watermark, and the sticky-shard claim
 path run under REAL load for the first time rather than by design
 argument.  Scope (driver-box budget: one run ~30-60 min):
 
-- the top-8 most expensive analytics queries from the sf10 ranking
-  (dedup/text/skew flagships) with ratios vs the same round family's
-  sf10 measurement — linear scaling reads ~10x; >15x flags superlinear;
+- ~20 analytics queries (r9: the union of the sf0.1/sf1/sf10
+  top-expensive rankings plus one representative per previously
+  unmeasured family) with ratios vs the same round family's sf10
+  measurement — linear scaling reads ~10x; >15x flags superlinear;
 - B1: bulk append of the FULL 100M-event table through validation +
   offset assignment;
 - B3c: the concurrent claim/ack harness at 2M partitions under the
