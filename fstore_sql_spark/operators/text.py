@@ -121,14 +121,16 @@ def text_quality_filter(spark, sf_dir):
            MIN(md5(sub)) AS fingerprint
     FROM (
         SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(text) - 6, 1) + 1),
-                                     i -> substr(text, CAST(i AS INT), 8))) AS sub
+               unnest(list_transform(
+                   range(1, greatest(octet_length(encode(text)) - 6, 1) + 1),
+                   i -> substring(to_hex(encode(text)),
+                                  CAST(2 * i - 1 AS INT), 16))) AS sub
         FROM documents
     ) GROUP BY doc_id
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint: min digest over all 8-gram
+    """Rolling-hash document fingerprint: min digest over all 8-gram BYTE
     shingles (winnowing with window = whole doc).  Two r9 changes
     (VERDICT r8 #4), both pinned by `tools/bench_fingerprint_state.py`
     in BASELINE.md:
@@ -141,20 +143,37 @@ def text_fingerprint(spark, sf_dir):
       from the start to locate char i (variable-width encoding), making
       the whole fingerprint O(len²) per doc: measured 170 s for ONE
       250k-char doc vs 0.75 s byte-indexed (226×), 3.3 s at 4M chars.
-      On ASCII corpora byte 8-grams ≡ char 8-grams (the oracle pins
-      this); multi-byte text yields byte shingles — still a valid,
-      deterministic fingerprint, documented trade.
+
+    Two r10 changes (ADVICE r9), both exercised by the adversarial
+    non-ASCII fixture (`tests/test_text_adversarial.py`):
+
+    - The digested unit is the HEX encoding of the byte slice
+      (``md5(hex(bytes))``), not the raw bytes: DuckDB's ``md5`` only
+      accepts VARCHAR, and a mid-codepoint byte slice of multi-byte text
+      is not valid UTF-8 — hex is always ASCII, so BOTH engines hash the
+      identical string and the oracle pins byte semantics on ANY corpus,
+      not just ASCII ones (Spark ``hex`` and DuckDB ``to_hex`` both emit
+      uppercase).  Still O(1) per position, still a deterministic
+      16-byte-keyed fingerprint.
+    - NULL text keeps a NULL fingerprint: the fold's identity ``'g'``
+      would otherwise surface as a real-looking shared fingerprint for
+      every NULL doc, colliding them in downstream dedup (the oracle's
+      NULL list unnests to one NULL row, so DuckDB already returned
+      NULL).
 
     'g' sorts after every hex digest, so it is a safe fold identity."""
     b = F.col("text").cast("binary")
     idx = F.sequence(F.lit(1), F.greatest(F.length(b) - 6, F.lit(1)))
+    fold = F.aggregate(
+        idx,
+        F.lit("g"),
+        lambda acc, i: F.least(acc, F.md5(F.hex(F.substring(b, i, 8)))),
+    )
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.aggregate(
-            idx,
-            F.lit("g"),
-            lambda acc, i: F.least(acc, F.md5(F.substring(b, i, 8))),
-        ).alias("fingerprint"),
+        F.when(F.col("text").isNotNull(), fold)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("fingerprint"),
     )
 
 

@@ -16,9 +16,12 @@ Three candidate plans, identical results on ASCII corpora (oracle-gated):
   SCAN from the start to locate char i (variable-width encoding), so the
   whole fingerprint is O(len²) per doc — the measured wall: ~170 s for a
   single 250k-char doc, regardless of heap.
-- ``byte_fold`` — the SHIPPED r9 form: running min over BYTE-indexed
+- ``byte_fold`` — the SHIPPED form: running min over BYTE-indexed
   slices of ``text.cast("binary")`` (O(1) slicing).  O(len) total,
   O(1) live digests: 0.75 s at 250k chars, 3.3 s at 4M (226x/linear).
+  r10 digests ``md5(hex(slice))`` instead of ``md5(slice)`` (ADVICE r9
+  — hex is always-ASCII so the DuckDB oracle can hash the identical
+  string on non-ASCII corpora); same O(1)-per-position shape.
 
 This tool measures all three on single synthetic documents of growing
 length inside a FIXED small JVM heap, sampling JVM used-heap from a
@@ -87,9 +90,12 @@ elif form == "char_fold":
 else:  # byte_fold — the shipped form
     b = F.col("text").cast("binary")
     idx_b = F.sequence(F.lit(1), F.greatest(F.length(b) - 6, F.lit(1)))
+    # r10: md5 over the HEX of the slice — the shipped form (ADVICE r9:
+    # hex is always-ASCII, so the DuckDB oracle can hash the identical
+    # string on non-ASCII corpora); still O(1) per position.
     fp = F.aggregate(
         idx_b, F.lit("g"),
-        lambda acc, i: F.least(acc, F.md5(F.substring(b, i, 8))),
+        lambda acc, i: F.least(acc, F.md5(F.hex(F.substring(b, i, 8)))),
     )
 t0 = time.time()
 try:

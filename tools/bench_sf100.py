@@ -191,11 +191,13 @@ def main() -> None:
 
     # ratios vs the newest sf10 measurement of the same query set
     sf10 = {}
+    sf10_file = None
     sf10_files = sorted(
         fn for fn in os.listdir(HERE) if re.match(r"BENCH_SF10_r\d+\.json$", fn)
     )
     if sf10_files:
-        with open(os.path.join(HERE, sf10_files[-1]), encoding="utf-8") as f:
+        sf10_file = sf10_files[-1]
+        with open(os.path.join(HERE, sf10_file), encoding="utf-8") as f:
             sf10 = json.load(f).get("queries", {})
     ratios = {
         k: round(v / sf10[k], 2) for k, v in timings.items() if sf10.get(k)
@@ -214,6 +216,10 @@ def main() -> None:
         "sf": "100",
         "queries": timings,
         "ratio_vs_sf10": ratios,
+        # the sf10 artifact the ratios were computed against (ADVICE r9:
+        # without this, a composed multi-pass run could silently rebase
+        # earlier passes' ratios onto a newer sf10 file at merge time)
+        "sf10_baseline_file": sf10_file,
         "superlinear": {k: r for k, r in ratios.items() if r > 15.0},
         "b1_events_per_sec": b1_eps,
         "b1_append_profile": b1_profile,
@@ -244,6 +250,16 @@ def main() -> None:
             if v in (None, {}, []) and k in prev:
                 out[k] = prev[k]
         out["queries"] = merged_q
+        # Composed passes must share ONE declared baseline (ADVICE r9):
+        # if a newer sf10 artifact landed between passes, re-load the one
+        # the FIRST pass recorded instead of silently rebasing its ratios.
+        prev_base = prev.get("sf10_baseline_file")
+        if prev_base and prev_base != sf10_file:
+            prev_path = os.path.join(HERE, prev_base)
+            if os.path.exists(prev_path):
+                with open(prev_path, encoding="utf-8") as f:
+                    sf10 = json.load(f).get("queries", {})
+                out["sf10_baseline_file"] = prev_base
         out["ratio_vs_sf10"] = {
             k: round(v / sf10[k], 2)
             for k, v in merged_q.items() if sf10.get(k)
