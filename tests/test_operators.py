@@ -199,6 +199,32 @@ class TestSkewOperators:
         null_rows = out.filter(F.col("k").isNull()).collect()
         assert len(null_rows) == 2 and all(r["v"] is None for r in null_rows)
 
+    def test_profile_hot_keys_verdict(self, spark):
+        """r10 (VERDICT r9 #2): the profile step DECIDES — it returns
+        only keys whose estimated full-table row count exceeds the
+        shuffle-task budget, and an empty list on uniform data (so the
+        flagship recipe degenerates to the vanilla join instead of
+        salting 16 arbitrary keys)."""
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators.skew import profile_hot_keys
+
+        # uniform: 5k keys x 2 rows — nothing remotely near any budget
+        uniform = spark.range(10_000).select(
+            (F.col("id") % 5_000).alias("k")
+        )
+        assert profile_hot_keys(uniform, "k", hot_rows_budget=1_000) == []
+
+        # planted skew: key 7 carries 50k rows, 1k cold keys carry 10 each
+        hot = spark.range(50_000).select(F.lit(7).alias("k"))
+        cold = spark.range(10_000).select((F.col("id") % 1_000 + 100).alias("k"))
+        skewed = hot.unionByName(cold)
+        # budget 10k rows/key: only key 7's estimate (~50k) qualifies
+        got = profile_hot_keys(skewed, "k", hot_rows_budget=10_000)
+        assert got == [7], got
+        # a budget above the hot key's size nominates nothing
+        assert profile_hot_keys(skewed, "k", hot_rows_budget=200_000) == []
+
     def test_salted_join_hot_replicates_only_hot_rows(self, spark):
         """The point of the targeted form: the replicated build side is
         n x |hot ∩ right| rows, not n x |right|."""

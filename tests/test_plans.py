@@ -475,20 +475,68 @@ class TestCurationAnalyticsPlans:
     def test_shuffle_budget(self, spark, name, max_shuffles):
         assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
 
-    def test_skew_hot_flagship_replicates_only_hot_side(self, spark):
-        """skew_salted_hot_revenue (r9, VERDICT r8 #1): the scale-safe
-        skew plan.  The explode (salt replication) must sit above a
-        hot-key-FILTERED build side — never the full table (the full-salt
-        construction's n x |right| replication wrote ~50 GB of shuffle at
-        sf100) — with the hot-key IN list pushed to every scan, and the
-        whole query needs exactly ONE shuffle (the final group-by;
-        both joins broadcast at fixture scale)."""
+    def test_skew_hot_flagship_decides_vanilla_on_uniform(self, spark):
+        """skew_salted_hot_revenue (r10, VERDICT r9 #2): the profile
+        step now emits a hotness VERDICT (estimated rows-per-key > one
+        shuffle task's budget) instead of always salting.  TPC-H
+        ``l_orderkey`` is near-uniform (≤7 lineitems/order), so on the
+        fixture the verdict is "no skew" and the flagship must take the
+        SINGLE vanilla join: no Generate (no salt replication), no
+        two-branch union, exactly one shuffle (the final group-by —
+        the join broadcasts at fixture scale)."""
         df = q(spark, "skew_salted_hot_revenue")
+        plan = P.simple_plan(df)
+        assert P._count_nodes(df, "Generate") == 0, plan
+        assert "Union" not in plan, plan
+        assert P.shuffle_exchange_count(df) == 1, plan
+
+    def test_skew_hot_construction_replicates_only_hot_side(self, spark):
+        """The targeted construction itself (hot keys forced, the plan
+        the flagship takes when the verdict IS hot — r9's pin, kept on
+        an explicit hot list): the explode (salt replication) must sit
+        above a hot-key-FILTERED build side — never the full table (the
+        full-salt construction's n x |right| replication wrote ~50 GB of
+        shuffle at sf100) — with the hot-key IN list pushed to every
+        scan, and the whole query needs exactly ONE shuffle (the final
+        group-by; both branch joins broadcast at fixture scale)."""
+        from pyspark.sql import functions as F
+
+        from fstore_sql_spark.operators import skew as S
+        from fstore_sql_spark.queries import load
+
+        l = load(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        o = load(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+        hot = [r["o_orderkey"] for r in S.profile_frame(l, "o_orderkey").collect()]
+        df = (
+            S.salted_join_hot(l, o, on="o_orderkey", hot_keys=hot, n=8)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
         plan = P.simple_plan(df)
         assert P._count_nodes(df, "Generate") == 1, plan
         assert P.shuffle_exchange_count(df) == 1, plan
         # the hot-key membership filter reaches the parquet scans
         assert "INSET" in plan or "In(o_orderkey" in plan, plan
+
+    def test_skew_profile_step_plan(self, spark):
+        """The profile step (r10, VERDICT r9 #6 — the flagship's one
+        previously unpinned stage): sampled scan → partial agg → ONE
+        exchange → TakeOrderedAndProject(16).  The sample must be
+        scan-side (only 2% of (key, count) pairs shuffle) and the top-k
+        must never global-sort."""
+        from fstore_sql_spark.operators import skew as S
+        from fstore_sql_spark.queries import load
+
+        l = load(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        df = S.profile_frame(l, "o_orderkey")
+        plan = P.simple_plan(df)
+        assert "Sample" in plan, plan
+        assert P.shuffle_exchange_count(df) == 1, plan
+        assert P.has_take_ordered(df), plan
 
     def test_skew_report_is_topk(self, spark):
         # the report ends in a top-10: TakeOrderedAndProject, no global sort.
