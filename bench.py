@@ -187,11 +187,11 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-# Pinned on the r10 box (median of 5 quiet-box draws, see BASELINE.md
-# "Engine noise probe").  The probe itself is CODE-FROZEN: it imports no
-# engine code, so its wall time moves only with the box (or with a visible
-# edit to this file).
-ENGINE_PROBE_PIN_R10 = None  # set after first measurement below
+# Pinned on the r10 box (median of 5 quiet-box draws: 1.281/1.172/1.304/
+# 1.204/1.255 — see BASELINE.md "Engine noise probe").  The probe itself
+# is CODE-FROZEN: it imports no engine code, so its wall time moves only
+# with the box (or with a visible edit to this file).
+ENGINE_PROBE_PIN_R10 = 1.255
 
 
 def _engine_probe_child() -> None:  # pragma: no cover - spawned child

@@ -109,6 +109,11 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band")
     )
+    # drop NULL bands (r10, adversarial fixture): a NULL-text doc has a
+    # NULL signature, and groupBy — unlike the equi-join formulation of
+    # LSH — groups NULLs TOGETHER, silently pairing every unhashable doc
+    # with every other.  No signature ⇒ no candidacy.
+    banded = banded.filter(F.col("band").isNotNull())
     buckets = (
         banded.groupBy("band_idx", "band")
         .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
@@ -518,7 +523,15 @@ def dedup_levenshtein_pairs(spark, sf_dir):
     restricted to the same (source, length-bucket) block before the O(L²)
     levenshtein runs — the blocked-comparison pattern that keeps pairwise
     metrics tractable (cost Σ|block|², never |corpus|²).  Distance is
-    computed on an 80-char prefix: a cheap upper-bound screen."""
+    computed on an 80-char prefix: a cheap upper-bound screen.
+
+    Semantics pin (r10, adversarial fixture): distance is over CODE
+    POINTS (Spark's levenshtein), the standard definition — one
+    substitution turns 'é' into '中'.  DuckDB's levenshtein counts BYTES
+    (that substitution costs 3), so the SQL oracle is exact only on
+    ASCII corpora like the driver's; the multi-byte behavior is pinned
+    with explicit expected values in tests/test_text_adversarial.py
+    instead."""
     blocked = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)

@@ -52,11 +52,15 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_DIM = 4
 
+# n_bytes/feature nullable (r10, adversarial fixture): a NULL payload —
+# e.g. media synthesized from a NULL text column — must surface as a NULL
+# feature row, not crash the Arrow batch ("len(None)"), matching what any
+# SQL oracle computes for NULL input.
 FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), nullable=False),
-        StructField("n_bytes", LongType(), nullable=False),
-        StructField("feature", ArrayType(DoubleType()), nullable=False),
+        StructField("n_bytes", LongType(), nullable=True),
+        StructField("feature", ArrayType(DoubleType()), nullable=True),
     ]
 )
 
@@ -85,11 +89,20 @@ def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads pass through as NULL rows (r10): bytes-typed
+            # pipelines meet NULLs whenever media is joined/derived from
+            # nullable columns, and a crash here kills the whole batch.
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len),
-                    "feature": payloads.map(lambda p: _feature_vector(decoder(bytes(p)))),
+                    "n_bytes": payloads.map(
+                        lambda p: None if p is None else len(p)
+                    ),
+                    "feature": payloads.map(
+                        lambda p: None
+                        if p is None
+                        else _feature_vector(decoder(bytes(p)))
+                    ),
                 }
             )
 
@@ -589,6 +602,8 @@ def audio_windows(media: DataFrame, window_ms: int = 100) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in AUDIO_WINDOWS_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload → no windows (r10)
+                    continue
                 b = bytes(payload)
                 for i in range(math.ceil(len(b) / window_ms)):
                     chunk = b[i * window_ms : (i + 1) * window_ms]
@@ -596,7 +611,16 @@ def audio_windows(media: DataFrame, window_ms: int = 100) -> DataFrame:
                     out["window_idx"].append(i)
                     out["start_ms"].append(i * window_ms)
                     out["n_window_bytes"].append(len(chunk))
-                    out["window_hash"].append(hashlib.md5(chunk).hexdigest())
+                    # digest the UPPERCASE HEX of the window, not the raw
+                    # bytes (r10, adversarial fixture): hex is always
+                    # ASCII, so a SQL oracle (DuckDB md5 only accepts
+                    # VARCHAR) can compute the identical digest for ANY
+                    # byte window — including mid-codepoint slices of
+                    # multi-byte text, where no valid-UTF8 string of the
+                    # raw bytes exists.
+                    out["window_hash"].append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
@@ -610,19 +634,25 @@ def audio_windows(media: DataFrame, window_ms: int = 100) -> DataFrame:
     SELECT doc_id AS media_id,
            CAST(i AS BIGINT) AS window_idx,
            CAST(i * 100 AS BIGINT) AS start_ms,
-           CAST(least(100, n_chars - i * 100) AS BIGINT) AS n_window_bytes,
-           md5(substr(text, CAST(i * 100 + 1 AS INT), 100)) AS window_hash
+           CAST(least(100, octet_length(encode(text)) - i * 100) AS BIGINT)
+               AS n_window_bytes,
+           md5(substring(to_hex(encode(text)),
+                         CAST(i * 200 + 1 AS INT), 200)) AS window_hash
     FROM (
-        SELECT doc_id, n_chars, text,
-               unnest(range(0, CAST(ceil(n_chars / 100.0) AS BIGINT))) AS i
+        SELECT doc_id, text,
+               unnest(range(0, CAST(
+                   ceil(octet_length(encode(text)) / 100.0) AS BIGINT))) AS i
         FROM documents WHERE doc_id < 50
     )
     """,
 )
 def multimodal_audio_windows(spark, sf_dir):
     """The audio-windowing path verified end-to-end: document text bytes
-    stand in for PCM payloads (ASCII ⇒ byte offsets == char offsets, so
-    substr is an exact oracle for the byte slices the Pandas UDF hashes)."""
+    stand in for PCM payloads.  r10 (adversarial fixture): the oracle is
+    BYTE-indexed (octet_length + hex slicing — the old char-indexed
+    substr over n_chars silently assumed ASCII and miscounted windows on
+    multi-byte text), and the shared digest is md5 over the window's
+    uppercase hex, computable identically in both engines for any bytes."""
     media = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)

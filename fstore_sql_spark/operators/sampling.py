@@ -328,7 +328,9 @@ def packed_bin_stats(spark, sf_dir):
     FROM (
         SELECT doc_id, source, n_chars,
                ROW_NUMBER() OVER (ORDER BY
-                   -ln({_hash_frac_sql('doc_id')} + 1e-12) / n_chars,
+                   CASE WHEN n_chars > 0
+                        THEN -ln({_hash_frac_sql('doc_id')} + 1e-12) / n_chars
+                        ELSE CAST('infinity' AS DOUBLE) END,
                    doc_id) AS rn
         FROM documents
     ) WHERE rn <= 25
@@ -342,7 +344,15 @@ def weighted_reservoir_sample(spark, sf_dir):
     key is a TakeOrderedAndProject (per-partition heaps + driver merge of
     k·P rows), never a global sort."""
     d = load(spark, sf_dir, "documents")
-    key = -F.log(_hash_frac("doc_id") + F.lit(1e-12)) / F.col("n_chars")
+    # weight ≤ 0 / NULL → +inf key, i.e. never sampled while any
+    # positive-weight doc remains (r10, adversarial fixture: an empty doc
+    # has n_chars 0, which was an ANSI divide-by-zero on Spark and an
+    # engine-dependent ±inf/NULL sort on DuckDB; a NULL weight would
+    # additionally hit the engines' opposite NULL-ordering defaults).
+    key = F.when(
+        F.col("n_chars") > 0,
+        -F.log(_hash_frac("doc_id") + F.lit(1e-12)) / F.col("n_chars"),
+    ).otherwise(F.lit(float("inf")))
     return (
         d.select("doc_id", "source", "n_chars", key.alias("_k"))
         .orderBy("_k", "doc_id")

@@ -1508,7 +1508,7 @@ def snapshot_diff_users(spark, sf_dir):
     WITH ranked AS (
         SELECT source, n_chars,
                NTILE(10) OVER (PARTITION BY source
-                               ORDER BY n_chars, doc_id) AS decile
+                               ORDER BY n_chars NULLS LAST, doc_id) AS decile
         FROM documents
     )
     SELECT source, CAST(decile AS BIGINT) AS decile,
@@ -1529,7 +1529,12 @@ def source_decile_profile(spark, sf_dir):
     the rollup's keys are a superset of the window key, so the whole query
     is one shuffle."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # NULLS LAST pinned on both sides (r10, adversarial fixture): Spark's
+    # ascending default is NULLS FIRST, DuckDB's is NULLS LAST, so docs
+    # with NULL n_chars silently landed in opposite deciles.
+    w = Window.partitionBy("source").orderBy(
+        F.asc_nulls_last("n_chars"), "doc_id"
+    )
     ranked = d.select(
         "source", "n_chars", F.ntile(10).over(w).alias("decile")
     )

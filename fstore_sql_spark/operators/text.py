@@ -196,8 +196,12 @@ def _make_langid_udf():
     @pandas_udf("string")
     def _langid_udf(texts: pd.Series) -> pd.Series:
         # Marker-word heuristic, vectorized per Arrow batch; ties break
-        # alphabetically so output is deterministic.
+        # alphabetically so output is deterministic.  NULL text → NULL
+        # prediction (r10, adversarial fixture: .map(len-style) lambdas
+        # crash whole Arrow batches on None, and "no text" is not "de").
         def ident(t: str) -> str:
+            if t is None:
+                return None
             words = set(t.split(" "))
             best = ("", -1)
             for lang in sorted(_LANG_PROFILES):
@@ -215,9 +219,11 @@ def _make_langid_udf():
     "text_langid",
     """
     WITH w AS (
-        SELECT lang, string_split(text, ' ') AS ws FROM documents
+        SELECT lang, string_split(text, ' ') AS ws,
+               text IS NULL AS tnull
+        FROM documents
     ), sc AS (
-        SELECT lang,
+        SELECT lang, tnull,
             len(list_filter(['der','die','und','das','ist'], m -> list_contains(ws, m))) AS s_de,
             len(list_filter(['the','and','of','to','is'],   m -> list_contains(ws, m))) AS s_en,
             len(list_filter(['el','la','de','que','es'],    m -> list_contains(ws, m))) AS s_es,
@@ -227,6 +233,7 @@ def _make_langid_udf():
     ), p AS (
         SELECT lang,
             CASE
+                WHEN tnull THEN NULL
                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
@@ -285,7 +292,13 @@ def text_bpe_token_counts(spark, sf_dir):
     subword-style pretokenization via regexp_extract_all — JVM-side regex,
     no Python in the loop; the per-word ratio approximates tokens-per-word
     for budget planning."""
-    bpe_n = F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)"))
+    # F.lit(pattern), NOT an f-stringed F.expr (r10, adversarial fixture):
+    # inside a Spark SQL string literal '\s' collapses to 's', so the JVM
+    # silently ran [^A-Za-z0-9s] — whitespace NOT excluded from the
+    # punctuation class.  On the single-spaced ASCII driver corpus the
+    # token COUNTS happened to agree with the oracle (contents differed),
+    # so only a corpus with consecutive-space/RTL/tab text exposed it.
+    bpe_n = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
     ws_n = F.size(F.split(F.col("text"), " "))
     return (
         load(spark, sf_dir, "documents")
@@ -344,9 +357,15 @@ def bigram_counts(spark, sf_dir):
     """Adjacent-pair n-gram frequencies (language-model count-table shape): the
     n-gram expansion happens array-side with a codegen'd transform over
     index sequences — no self-join, no Python — then one count shuffle."""
+    # size < 2 guard (r10, adversarial fixture): Spark's sequence(1, 0)
+    # DESCENDS to [1, 0] (step defaults to -1 when start > stop), so the
+    # old greatest(size-1, 0) bound made single-word and empty docs index
+    # element_at(_w, 2) on a 1-element array — an ANSI out-of-bounds
+    # error.  DuckDB's range(1, 0) is empty, so only the Spark side broke.
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(_w) - 1, 0)),"
-        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+        "CASE WHEN size(_w) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(_w) - 1),"
+        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) END"
     )
     return (
         load(spark, sf_dir, "documents")
@@ -661,7 +680,8 @@ def tfidf_top_terms(spark, sf_dir):
 @query(
     "doc_chunks_sliding",
     f"""
-    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents
+               WHERE len({_WORDS}) >= 1),
     s AS (SELECT doc_id, l,
                  unnest(range(0, greatest(len(l) - 1, 0) + 1, 8)) AS start
           FROM w)
@@ -670,6 +690,7 @@ def tfidf_top_terms(spark, sf_dir):
            CAST(least(16, len(l) - start) AS BIGINT) AS n_chunk_tokens,
            md5(array_to_string(l[start + 1 : start + 16], ' ')) AS chunk_hash
     FROM s
+    WHERE least(16, len(l) - start) >= 1
     """,
 )
 def doc_chunks_sliding(spark, sf_dir):
@@ -680,7 +701,16 @@ def doc_chunks_sliding(spark, sf_dir):
     oracle verify chunk CONTENT, not just counts.  A pure narrow map:
     zero shuffles at any corpus size; output rows ≈ corpus_tokens /
     stride."""
-    d = load(spark, sf_dir, "documents").select("doc_id", words_col().alias("_w"))
+    # zero/NULL-token docs produce NO chunks, filtered BEFORE the window
+    # expansion (r10, adversarial fixture): both engines' least() skips
+    # NULL args, so a NULL-text doc otherwise flowed through as one
+    # phantom "16-token" chunk with a NULL hash on BOTH sides — a
+    # consistent wrong answer the oracle alone could never catch.
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", words_col().alias("_w"))
+        .filter(F.size("_w") >= 1)
+    )
     n = F.size("_w")
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(8))
     return (
@@ -695,6 +725,11 @@ def doc_chunks_sliding(spark, sf_dir):
                 F.array_join(F.slice("_w", F.col("_start") + 1, 16), " ")
             ).alias("chunk_hash"),
         )
+        # zero-token docs produce NO chunks (r10, adversarial fixture:
+        # Spark hashed the empty join '' while DuckDB's
+        # array_to_string([]) is NULL — neither "chunk" is real work, so
+        # both sides now drop it; NULL-text docs fall out the same way)
+        .filter(F.col("n_chunk_tokens") >= 1)
     )
 
 

@@ -35,64 +35,74 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # engine code under it.
 _CHILD = r"""
 import json, os, shutil, sys, tempfile, time
-tree, sf_dir, b3c_parts = sys.argv[1], sys.argv[2], int(sys.argv[3])
-sys.path.insert(0, tree)
-import fstore_sql_spark.operators  # noqa: F401
-from fstore_sql_spark import EventStore, get_spark
-from fstore_sql_spark.queries import QUERIES, load
-from pyspark.sql import functions as F
 
-spark = get_spark(app_name="ab-engine")
-spark.sparkContext.setLogLevel("ERROR")
-load(spark, sf_dir, "lineitem").count()  # warm JVM + listing
+# Everything under a __main__ guard: run_claim_ack_harness spawns worker
+# processes with the spawn context, which re-imports this script as
+# __mp_main__ — unguarded top-level code would re-run the whole bench in
+# every worker.
+def _ab_main():
+    tree, sf_dir, b3c_parts = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    sys.path.insert(0, tree)
+    import fstore_sql_spark.operators  # noqa: F401
+    from fstore_sql_spark import EventStore, get_spark
+    from fstore_sql_spark.queries import QUERIES, load
+    from pyspark.sql import functions as F
 
-out = {}
-tmp = tempfile.mkdtemp(prefix="ab_store_")
-try:
-    src0 = QUERIES["es_ingest_mapping"](spark, sf_dir)
-    n_parts_hint = src0.select("decider_id").distinct().count()
-    store = EventStore(spark, tmp, expected_partitions=n_parts_hint)
-    for ev in ("click", "view", "purchase", "signup", "error"):
-        store.register_decider_event("user", ev, f"testdata event {ev}")
-    batch = src0.select(
-        "event", F.col("event_uuid").alias("event_id"), "event_version",
-        "decider", "decider_id", F.lit("{}").alias("data"),
-        F.col("event_uuid").alias("command_id"), "previous_id",
-        F.col("offset").alias("seq"),
-    )
-    n = batch.count()
-    t0 = time.time()
-    store.append_batch(batch)
-    b1 = time.time() - t0
-    out["b1_s"] = round(b1, 3)
-    out["b1_eps"] = round(n / b1, 1)
+    spark = get_spark(app_name="ab-engine")
+    spark.sparkContext.setLogLevel("ERROR")
+    load(spark, sf_dir, "lineitem").count()  # warm JVM + listing
 
-    store.register_view("ab_view", start_at="1990-01-01 00:00:00")
-    delivered, round_times = 0, []
-    t0 = time.time()
-    for _ in range(EventStore.PREFETCH_DEPTH):
-        t1 = time.time()
-        rows = store.stream_events("ab_view", limit=100).collect()
-        store.ack_events(
-            "ab_view",
-            [(r["decider_id"], r["offset"]) for r in rows],
-            returning=False,
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="ab_store_")
+    try:
+        src0 = QUERIES["es_ingest_mapping"](spark, sf_dir)
+        n_parts_hint = src0.select("decider_id").distinct().count()
+        store = EventStore(spark, tmp, expected_partitions=n_parts_hint)
+        for ev in ("click", "view", "purchase", "signup", "error"):
+            store.register_decider_event("user", ev, f"testdata event {ev}")
+        batch = src0.select(
+            "event", F.col("event_uuid").alias("event_id"), "event_version",
+            "decider", "decider_id", F.lit("{}").alias("data"),
+            F.col("event_uuid").alias("command_id"), "previous_id",
+            F.col("offset").alias("seq"),
         )
-        round_times.append(time.time() - t1)
-        delivered += len(rows)
-    b3 = time.time() - t0
-    out["b3_s"] = round(b3, 3)
-    out["b3_eps"] = round(delivered / b3, 1) if b3 else 0.0
-    out["b3_p50_s"] = round(sorted(round_times)[len(round_times) // 2], 4)
-finally:
-    shutil.rmtree(tmp, ignore_errors=True)
-spark.stop()
+        n = batch.count()
+        t0 = time.time()
+        store.append_batch(batch)
+        b1 = time.time() - t0
+        out["b1_s"] = round(b1, 3)
+        out["b1_eps"] = round(n / b1, 1)
 
-sys.path.insert(0, os.path.join(tree))
-from tests._ledger_worker import run_claim_ack_harness
-out["b3c1_eps"], _ = run_claim_ack_harness(1, b3c_parts, 8)
-out["b3c4_eps"], _ = run_claim_ack_harness(4, b3c_parts, 8)
-print("RESULT " + json.dumps(out))
+        store.register_view("ab_view", start_at="1990-01-01 00:00:00")
+        delivered, round_times = 0, []
+        t0 = time.time()
+        for _ in range(EventStore.PREFETCH_DEPTH):
+            t1 = time.time()
+            rows = store.stream_events("ab_view", limit=100).collect()
+            store.ack_events(
+                "ab_view",
+                [(r["decider_id"], r["offset"]) for r in rows],
+                returning=False,
+            )
+            round_times.append(time.time() - t1)
+            delivered += len(rows)
+        b3 = time.time() - t0
+        out["b3_s"] = round(b3, 3)
+        out["b3_eps"] = round(delivered / b3, 1) if b3 else 0.0
+        out["b3_p50_s"] = round(sorted(round_times)[len(round_times) // 2], 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+    sys.path.insert(0, os.path.join(tree))
+    from tests._ledger_worker import run_claim_ack_harness
+    out["b3c1_eps"], _ = run_claim_ack_harness(1, b3c_parts, 8)
+    out["b3c4_eps"], _ = run_claim_ack_harness(4, b3c_parts, 8)
+    print("RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    _ab_main()
 """
 
 METRICS = ("b1_eps", "b3_eps", "b3_p50_s", "b3c1_eps", "b3c4_eps")
