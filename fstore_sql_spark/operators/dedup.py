@@ -709,7 +709,28 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     Pipeline: distinct (doc, shingle) explode → shingle doc-frequency →
     per-doc 2 rarest (window over the doc's own tokens) → equi-join on the
     rare shingle → exact-count verify on candidates only."""
-    tok = with_shingles(_corpus(spark, sf_dir)).distinct()
+    return prefix_filter_pairs(_corpus(spark, sf_dir))
+
+
+def prefix_filter_pairs(
+    corpus: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """The PPJoin body behind ``dedup_prefix_filter_pairs`` (refactored
+    r10 so the stop-list lever is callable; the oracle-gated registry
+    query keeps ``max_df=None``, i.e. exact semantics).
+
+    ``max_df`` is the standard PPJoin STOP-LIST: shingles whose document
+    frequency exceeds the bound are excluded from the candidate-generating
+    prefix join.  It exists for the degenerate-corpus case where even a
+    doc's 2 RAREST shingles are shared by thousands of documents (boiler-
+    plate, templated text): those buckets drive the join's quadratic term
+    — at sf100 ppjoin's ~25 GB spill (the r9 sweep's page-cache churn
+    mechanism) is exactly Σ|bucket∩prefix|² over the largest buckets.
+    Trade disclosed, not hidden: a pair whose ONLY shared prefix shingle
+    is stop-listed is MISSED, so with ``max_df`` set the operator is a
+    high-recall screen, not the exact join; the before/after pair counts
+    and spill bytes are recorded in BASELINE.md ("PPJoin stop-list")."""
+    tok = with_shingles(corpus).distinct()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     df_ = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
     from pyspark.sql import Window
@@ -721,8 +742,10 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
         tok.join(df_, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
-        .select("doc_id", "shingle")
     )
+    if max_df is not None:
+        rare = rare.filter(F.col("doc_freq") <= max_df)
+    rare = rare.select("doc_id", "shingle")
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
@@ -747,7 +770,7 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     return (
         shared.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
