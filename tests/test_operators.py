@@ -27,6 +27,40 @@ def test_minhash_lsh_finds_planted_dups(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_prefix_filter_max_df_stoplist(spark):
+    """r10: the PPJoin stop-list lever.  With max_df=None the planted
+    dup pairs; with a bound below its prefix shingles' document
+    frequency, the pair whose ONLY shared prefix shingle is stop-listed
+    is missed (the documented recall trade), and the survivor set is a
+    subset of the exact result."""
+    # 6 identical docs: every shingle has df=6, so max_df=5 stop-lists
+    # ALL prefix shingles and no candidates form; max_df=None finds all
+    # 15 pairs.  Two unique docs never pair either way.
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(6)]
+    rows += [(10, "one two three four five"), (11, "unrelated text entirely here now")]
+    docs6 = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.prefix_filter_pairs(docs6).collect()}
+    assert len(exact) == 15  # C(6,2) identical-doc pairs
+    pruned = {(r["doc_a"], r["doc_b"])
+              for r in dedup.prefix_filter_pairs(docs6, max_df=5).collect()}
+    assert pruned == set()  # every prefix shingle exceeded the bound
+    # a bound ABOVE every prefix df changes nothing
+    same = {(r["doc_a"], r["doc_b"])
+            for r in dedup.prefix_filter_pairs(docs6, max_df=6).collect()}
+    assert same == exact
+
+
+def test_engine_noise_probe_shape():
+    """r10: the code-frozen engine probe must be runnable standalone and
+    return a positive wall-clock (it backs engine_noise_index)."""
+    import bench
+
+    assert bench.ENGINE_PROBE_PIN_R10 and bench.ENGINE_PROBE_PIN_R10 > 0
+    t = bench.engine_noise_probe()
+    assert isinstance(t, float) and t > 0
+
+
 def test_jaccard_verify_scores(docs):
     cands = docs.sparkSession.createDataFrame(
         [(1, 2), (1, 4)], ["doc_a", "doc_b"]
