@@ -1262,18 +1262,18 @@ def running_distinct_types(spark, sf_dir):
         FROM lineitem
     )
     SELECT n_rows,
-           ((s11 * s22 - s12 * s12) * sy + (s2 * s12 - s1 * s22) * s1y
+           ROUND(((s11 * s22 - s12 * s12) * sy + (s2 * s12 - s1 * s22) * s1y
             + (s1 * s12 - s2 * s11) * s2y)
            / NULLIF((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
-              + (s1 * s12 - s2 * s11) * s2, 0) AS beta0,
-           ((s2 * s12 - s1 * s22) * sy + (n * s22 - s2 * s2) * s1y
+              + (s1 * s12 - s2 * s11) * s2, 0), 6) AS beta0,
+           ROUND(((s2 * s12 - s1 * s22) * sy + (n * s22 - s2 * s2) * s1y
             + (s1 * s2 - n * s12) * s2y)
            / NULLIF((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
-              + (s1 * s12 - s2 * s11) * s2, 0) AS beta1,
-           ((s1 * s12 - s2 * s11) * sy + (s1 * s2 - n * s12) * s1y
+              + (s1 * s12 - s2 * s11) * s2, 0), 6) AS beta1,
+           ROUND(((s1 * s12 - s2 * s11) * sy + (s1 * s2 - n * s12) * s1y
             + (n * s11 - s1 * s1) * s2y)
            / NULLIF((s11 * s22 - s12 * s12) * n + (s2 * s12 - s1 * s22) * s1
-              + (s1 * s12 - s2 * s11) * s2, 0) AS beta2
+              + (s1 * s12 - s2 * s11) * s2, 0), 6) AS beta2
     FROM s
     """,
 )
@@ -1314,11 +1314,18 @@ def ols_price_model(spark, sf_dir):
     # NULLIF det (review r4): collinear features make det exactly 0 —
     # ANSI division aborts; NULL betas match the oracle's NULLIF
     det = F.nullif(c00 * n + c01 * s1 + c02 * s2, F.lit(0.0))
+    # ROUND(β, 6) on BOTH sides (r10, the sf10 correctness decade): the
+    # co-moments are exact decimals, but once a sum's unscaled value
+    # exceeds 2^53 the decimal→double conversion itself rounds, and the
+    # two engines land ±1 ULP apart — at 60M rows the betas differed in
+    # the 10th significant digit and straddled canon()'s 9-dp rounding.
+    # Six decimals of a regression coefficient is the meaningful part;
+    # the gate stops being luck-based above ~10M rows.
     return s.select(
         "n_rows",
-        F.try_divide(c00 * sy + c01 * s1y + c02 * s2y, det).alias("beta0"),
-        F.try_divide(c01 * sy + c11 * s1y + c12 * s2y, det).alias("beta1"),
-        F.try_divide(c02 * sy + c12 * s1y + c22 * s2y, det).alias("beta2"),
+        F.round(F.try_divide(c00 * sy + c01 * s1y + c02 * s2y, det), 6).alias("beta0"),
+        F.round(F.try_divide(c01 * sy + c11 * s1y + c12 * s2y, det), 6).alias("beta1"),
+        F.round(F.try_divide(c02 * sy + c12 * s1y + c22 * s2y, det), 6).alias("beta2"),
     )
 
 
