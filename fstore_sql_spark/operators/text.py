@@ -436,9 +436,18 @@ def benchmark_contamination(spark, sf_dir):
     shingles; per-source contaminated-doc counts come from one distinct
     aggregate.  At 100 TB the benchmark side stays broadcastable (real
     eval sets are tiny) so the train side is a single scan + semi-join."""
+    # <5-word guard (r11, sf1 adversarial slice): Spark's sequence(1, 0)
+    # DESCENDS ([1, 0]) and slice(_w, 0, 5) throws — the same class as the
+    # r10 bigram_counts fix.  The r10 fixture could not catch this one:
+    # its SOURCES had no 'src0', so the benchmark side was empty and AQE
+    # empty-relation propagation skipped the train scan entirely (the
+    # parity pass was vacuous).  Fixed fixture sources + the multi-byte
+    # sf1 slice both exercise it now.  DuckDB's range(1, len-3) is
+    # already empty for len < 5, so only the Spark side changes.
     fivegrams = F.expr(
-        "transform(sequence(1, greatest(size(_w) - 4, 0)),"
+        "CASE WHEN size(_w) >= 5 THEN transform(sequence(1, size(_w) - 4),"
         " i -> concat_ws(' ', slice(_w, i, 5)))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", words_col().alias("_w")

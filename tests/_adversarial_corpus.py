@@ -23,7 +23,13 @@ from __future__ import annotations
 import os
 
 LANGS = ["en", "es", "de", "fr", "zh"]
-SOURCES = ["web", "wiki", "books", "code", "news"]
+# r11: source names follow the driver's src{N} convention.  The r10 list
+# ("web", "wiki", ...) made every src0-keyed query VACUOUS on this corpus:
+# benchmark_contamination's benchmark side (source = 'src0') was empty, so
+# AQE empty-relation propagation erased the train scan and its <5-word
+# five-gram crash sat green for a round (fixed in operators/text.py).
+# weighted_mix_counts' web bucket (src0-2) was likewise empty.
+SOURCES = ["src0", "src1", "src2", "src3", "src4"]
 
 _BASE_TEXTS = [
     # plain ASCII controls (the family must still work on normal text)
@@ -63,6 +69,28 @@ _DEGENERATE = [
     "word",        # single token
     "a b",         # two minimal tokens
 ]
+
+
+def multibyte_slice_texts() -> list[str]:
+    """The multi-byte texts that seed the sf1/sf10 ADVERSARIAL SLICE
+    (VERDICT r10 #6): ``tools/make_sf1.py`` rewrites 5% of source
+    documents with these, so the full-registry gate decades carry
+    non-ASCII text instead of quarantining it in the 58-query fixture.
+
+    Deliberately excludes the NULL/empty/whitespace degenerates (those
+    stay fixture-only: a NULL-text slice would change every rowcount in
+    the decade bench history for no extra oracle signal) and keeps only
+    texts whose oracle parity the r10 fixture proved.  The slice is
+    injected at ``doc_id >= 150`` only, keeping multi-byte text out of
+    ``dedup_levenshtein_pairs`` (doc_id < 150), the one operator whose
+    DuckDB oracle counts BYTES, not code points."""
+    long_docs = [
+        "αβγδεζηθ" * 400,
+        "中文字符串测试" * 300,
+        ("the fox " * 200) + "🚀",
+        "é" * 500,
+    ]
+    return _BASE_TEXTS[2:] + long_docs
 
 
 def build_rows() -> list[dict]:

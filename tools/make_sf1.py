@@ -76,6 +76,20 @@ def main() -> None:
         default=None,
         help="comma-separated subset of tables to (re)generate",
     )
+    ap.add_argument(
+        "--no-adversarial-slice",
+        action="store_true",
+        help="skip the r11 multi-byte document slice (VERDICT r10 #6): by "
+        "default 5%% of SOURCE documents (doc_id >= 150 AND doc_id %% 20 "
+        "== 7) have their text replaced by the adversarial multi-byte "
+        "corpus (tests/_adversarial_corpus.multibyte_slice_texts) before "
+        "replication, so every generated decade carries UTF-8/CJK/emoji/"
+        "RTL text through the FULL 186-query registry.  doc_id, lang and "
+        "source are untouched (group keys stay stable); n_chars is "
+        "recomputed.  doc_id >= 150 keeps the slice out of "
+        "dedup_levenshtein_pairs, the one byte-vs-codepoint-divergent "
+        "oracle.",
+    )
     args = ap.parse_args()
     only = set(args.tables.split(",")) if args.tables else None
     REPLICAS = args.replicas
@@ -210,10 +224,37 @@ def main() -> None:
             F.when(F.col("_rep") == 0, F.col("text")).otherwise(F.expr(expr)),
         ).withColumn("n_chars", F.length("text").cast("long"))
 
+    docs_src = read("documents")
+    if not args.no_adversarial_slice:
+        # r11 multi-byte slice (VERDICT r10 #6): rewrite 5% of SOURCE
+        # docs with the adversarial texts whose oracle parity the r10
+        # fixture proved, BEFORE replication — replica 0 keeps the slice
+        # verbatim, replicas >= 1 permute/tag it like any other text.
+        # The pick is deterministic (doc_id % |texts|), so regeneration
+        # is byte-stable.
+        from tests._adversarial_corpus import multibyte_slice_texts
+
+        adv = multibyte_slice_texts()
+        arr = F.array(*[F.lit(t) for t in adv])
+        # a per-doc token suffix keeps every slice doc's text UNIQUE:
+        # without it every 20th source doc with equal doc_id % len(adv)
+        # would be an EXACT copy (~15-doc planted clusters per text —
+        # a workload-shape change, not a slice).  Same-base-text docs
+        # remain NEAR-dups (differ in one trailing token), so the dedup
+        # family gets genuine multi-byte near-dup structure.
+        pick = F.concat(
+            F.element_at(arr, (F.col("doc_id") % len(adv)).cast("int") + 1),
+            F.lit(" §"),
+            F.col("doc_id").cast("string"),
+        )
+        in_slice = (F.col("doc_id") >= 150) & (F.col("doc_id") % 20 == 7)
+        docs_src = docs_src.withColumn(
+            "text", F.when(in_slice, pick).otherwise(F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("long"))
     write(
         "documents",
         replicate(
-            read("documents"),
+            docs_src,
             {"doc_id": OFF["doc_id"]},
             extra=permute_text,
             parts=nf(8),
