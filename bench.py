@@ -370,6 +370,44 @@ def main() -> None:
         assert b3_hit_rate >= 0.8, (
             f"prefetch hit rate collapsed: {pf} (warm-order regression?)"
         )
+
+        # B3 TAIL (r11, VERDICT r10 #4): delivery SLOs are set at p95/p99,
+        # and the tail lives on the prefetch-miss path (~6% of ticks pay a
+        # refill Spark job).  The pinned gate loop above has only
+        # PREFETCH_DEPTH samples and ONE refill, so the tail is measured
+        # in a separate window OUTSIDE the b3 timing: 3 more amortization
+        # cycles (3×PREFETCH_DEPTH rounds), each round classified
+        # hit/refill by the refill-counter delta.  Quantiles are over the
+        # 48-round window (p99 there = max — sample count disclosed via
+        # b3_tail_samples); the refill path additionally gets its own
+        # median so the ~6% regime has a number, not just a tail echo.
+        _mark("b3_tail_window")
+        tail: list[tuple[float, bool]] = []
+        for _ in range(3 * EventStore.PREFETCH_DEPTH):
+            r0 = store.prefetch_counters["refills"]
+            t1 = time.time()
+            rows = store.stream_events("bench_view", limit=100).collect()
+            store.ack_events(
+                "bench_view",
+                [(r["decider_id"], r["offset"]) for r in rows],
+                returning=False,
+            )
+            tail.append(
+                (time.time() - t1, store.prefetch_counters["refills"] > r0)
+            )
+        _tsorted = sorted(d for d, _ in tail)
+
+        def _q(p: float) -> float:
+            return round(_tsorted[min(len(_tsorted) - 1, int(round(p * (len(_tsorted) - 1))))], 4)
+
+        b3_p95 = _q(0.95)
+        b3_p99 = _q(0.99)
+        _refills = sorted(d for d, m in tail if m)
+        _hits = sorted(d for d, m in tail if not m)
+        b3_refill_p50 = round(_refills[len(_refills) // 2], 4) if _refills else None
+        b3_hit_p50 = round(_hits[len(_hits) // 2], 4) if _hits else None
+        b3_tail_samples = len(tail)
+        b3_tail_refills = len(_refills)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -494,6 +532,12 @@ def main() -> None:
         "b1_events_per_sec": b1_eps,
         "b3_deliver_events_per_sec": b3_eps,
         "b3_p50_round_trip_s": b3_p50,
+        "b3_p95_round_trip_s": b3_p95,
+        "b3_p99_round_trip_s": b3_p99,
+        "b3_tail_samples": b3_tail_samples,
+        "b3_tail_refills": b3_tail_refills,
+        "b3_refill_round_trip_p50_s": b3_refill_p50,
+        "b3_hit_round_trip_p50_s": b3_hit_p50,
         "b3_prefetch_hit_rate": b3_hit_rate,
         "b3_concurrent_events_per_sec": b3c_eps,
         "b3_concurrent_workers": 4,

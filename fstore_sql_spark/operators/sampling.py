@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fstore_sql_spark.queries import load, query
+from fstore_sql_spark.queries import hash32, hash32_sql, load, query
 
 _DENOM = float(16**8)  # 8 hex digits
 
@@ -68,7 +68,8 @@ def weighted_mix(sources: list[tuple[DataFrame, str, float]], id_col: str) -> Da
 @query(
     "sample_deterministic_counts",
     f"""
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS id_digest
     FROM documents
     WHERE {_hash_frac_sql("doc_id")} < 0.1
     GROUP BY lang
@@ -81,7 +82,12 @@ def sample_deterministic_counts(spark, sf_dir):
     return (
         deterministic_sample(d, "doc_id", 0.1)
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            # r11 membership digest (VERDICT r10 #5): pins WHICH ids were
+            # sampled, not just how many per stratum
+            F.sum(hash32(F.col("doc_id").cast("string"))).alias("id_digest"),
+        )
     )
 
 
@@ -89,10 +95,11 @@ def sample_deterministic_counts(spark, sf_dir):
     "train_test_split_counts",
     f"""
     SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS id_digest
     FROM (
         SELECT CASE WHEN {_hash_frac_sql("doc_id")} < 0.2 THEN 'test'
-                    ELSE 'train' END AS split, n_chars
+                    ELSE 'train' END AS split, n_chars, doc_id
         FROM documents
     ) GROUP BY split
     """,
@@ -109,6 +116,8 @@ def train_test_split_counts(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
+            # r11 membership digest (VERDICT r10 #5)
+            F.sum(hash32(F.col("doc_id").cast("string"))).alias("id_digest"),
         )
     )
 
@@ -116,11 +125,13 @@ def train_test_split_counts(spark, sf_dir):
 @query(
     "weighted_mix_counts",
     f"""
-    SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
-        SELECT 'web' AS mix_source FROM documents
+    SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS id_digest
+    FROM (
+        SELECT 'web' AS mix_source, doc_id FROM documents
         WHERE source IN ('src0', 'src1', 'src2') AND {_hash_frac_sql("doc_id")} < 0.5
         UNION ALL
-        SELECT 'curated' FROM documents
+        SELECT 'curated', doc_id FROM documents
         WHERE source NOT IN ('src0', 'src1', 'src2') AND {_hash_frac_sql("doc_id")} < 0.9
     ) GROUP BY mix_source
     """,
@@ -134,7 +145,11 @@ def weighted_mix_counts(spark, sf_dir):
     mixed = weighted_mix(
         [(web, "web", 0.5), (curated, "curated", 0.9)], id_col="doc_id"
     )
-    return mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return mixed.groupBy("mix_source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # r11 membership digest (VERDICT r10 #5)
+        F.sum(hash32(F.col("doc_id").cast("string"))).alias("id_digest"),
+    )
 
 
 def stratified_sample(df: DataFrame, strata_col: str, id_col: str, k: int) -> DataFrame:
@@ -283,6 +298,8 @@ def pack_positions(
     )
     SELECT CAST(start // 512 AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)) AS id_digest,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(COUNT(*) FILTER (WHERE n_tokens > 0
                AND start // 512 <> (start + n_tokens - 1) // 512) AS BIGINT)
@@ -306,6 +323,9 @@ def packed_bin_stats(spark, sf_dir):
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            # r11 membership digest (VERDICT r10 #5): pins which docs
+            # landed in each 512-token chunk, not just the counts
+            F.sum(hash32(F.col("doc_id").cast("string"))).alias("id_digest"),
             F.sum("n_tokens").alias("bin_tokens"),
             F.sum(
                 F.when(

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from fstore_sql_spark.queries import load, query
+from fstore_sql_spark.queries import hash32, hash32_sql, load, query
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -24,19 +24,31 @@ def tokens_col(text_col: str = "text") -> Column:
 
 @query(
     "text_token_stats",
-    """
+    f"""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
-           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           SUM({hash32_sql("array_to_string(string_split(text, ' '), chr(31))")})
+               AS tok_digest
     FROM documents GROUP BY lang
     """,
 )
 def text_token_stats(spark, sf_dir):
     """Whitespace token counting, aggregated per language — the token-budget
-    accounting query of a training-data pipeline."""
+    accounting query of a training-data pipeline.
+
+    ``tok_digest`` (r11, VERDICT r10 #5): an order-insensitive 32-bit-sum
+    digest of the token CONTENTS, so a tokenizer bug that preserves
+    per-doc counts (the r10 BPE regex class) cannot keep this gate green.
+    NULL text must stay NULL on the Spark side: ``concat_ws`` treats a
+    NULL array as empty (''), while DuckDB's array_to_string propagates
+    NULL — both engines then skip the doc in SUM."""
     n = F.size(tokens_col())
+    doc_digest = F.when(
+        F.col("text").isNull(), F.lit(None)
+    ).otherwise(hash32(F.concat_ws("\x1f", tokens_col())))
     return (
         load(spark, sf_dir, "documents")
         .groupBy("lang")
@@ -45,6 +57,7 @@ def text_token_stats(spark, sf_dir):
             F.sum(n).alias("total_tokens"),
             (F.sum(n).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
             F.max(n).alias("max_tokens"),
+            F.sum(doc_digest).alias("tok_digest"),
         )
     )
 
@@ -283,7 +296,12 @@ BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
            CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
                AS total_bpe_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
-               / SUM(len(string_split(text, ' '))) AS bpe_per_word
+               / SUM(len(string_split(text, ' '))) AS bpe_per_word,
+           SUM({hash32_sql(
+               "array_to_string(regexp_extract_all(text, '"
+               + BPE_ISH_PATTERN
+               + "'), chr(31))"
+           )}) AS bpe_digest
     FROM documents GROUP BY source
     """,
 )
@@ -300,6 +318,25 @@ def text_bpe_token_counts(spark, sf_dir):
     # so only a corpus with consecutive-space/RTL/tab text exposed it.
     bpe_n = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
     ws_n = F.size(F.split(F.col("text"), " "))
+    # bpe_digest (r11, VERDICT r10 #5): token CONTENTS, not just counts —
+    # the r10 '\s'-collapse bug kept counts equal on ASCII while contents
+    # were wrong; this column makes that class impossible to miss.  NULL
+    # and ZERO-TOKEN docs both digest to NULL: DuckDB's array_to_string
+    # of an EMPTY list is NULL (not ''), while Spark's concat_ws is ''
+    # for both empty and NULL arrays — found by this very digest on the
+    # adversarial corpus's whitespace-only docs, so the convention is
+    # pinned here rather than left to engine defaults.  (The raw-split
+    # digest in text_token_stats never hits this: string_split always
+    # returns >= 1 element.)
+    doc_digest = F.when(
+        F.col("text").isNull() | (bpe_n == 0), F.lit(None)
+    ).otherwise(
+        hash32(
+            F.concat_ws(
+                "\x1f", F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+            )
+        )
+    )
     return (
         load(spark, sf_dir, "documents")
         .groupBy("source")
@@ -307,6 +344,7 @@ def text_bpe_token_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(bpe_n).alias("total_bpe_tokens"),
             (F.sum(bpe_n).cast("double") / F.sum(ws_n)).alias("bpe_per_word"),
+            F.sum(doc_digest).alias("bpe_digest"),
         )
     )
 
@@ -565,13 +603,20 @@ def corpus_curation_funnel(spark, sf_dir):
     bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
     bstat AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
                   AS top_bigram_frac
-              FROM bc GROUP BY 1)
+              FROM bc GROUP BY 1),
+    bdg AS (SELECT doc_id,
+                   md5(array_to_string(list_sort(
+                       list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])),
+                       chr(31))) AS bigram_digest
+            FROM w WHERE len(l) >= 2)
     SELECT base.doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
                AS dup_word_frac,
-           bstat.top_bigram_frac
+           bstat.top_bigram_frac,
+           bdg.bigram_digest
     FROM base JOIN bstat ON base.doc_id = bstat.doc_id
+    JOIN bdg ON base.doc_id = bdg.doc_id
     """,
 )
 def doc_repetition_stats(spark, sf_dir):
@@ -618,6 +663,11 @@ def doc_repetition_stats(spark, sf_dir):
             (max_run.cast("double") / F.size("_sb").cast("double")).alias(
                 "top_bigram_frac"
             ),
+            # r11 content digest (VERDICT r10 #5): the fractions above
+            # could collide under a wrong-bigram bug; the sorted bigram
+            # array's md5 pins the contents per doc (the _sb sort makes
+            # it order-insensitive by construction).
+            F.md5(F.concat_ws("\x1f", F.col("_sb"))).alias("bigram_digest"),
         )
     )
 
@@ -838,7 +888,8 @@ def bigram_lm_source_scores(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(COUNT(DISTINCT ng.g) AS BIGINT) AS n_distinct,
            ROUND(AVG(CASE WHEN gs.n_docs_with > 1 THEN 1.0 ELSE 0.0 END), 6)
-               AS crossdoc_share
+               AS crossdoc_share,
+           SUM({hash32_sql("ng.g")}) AS gram_digest
     FROM ng JOIN gstats gs ON ng.g = gs.g
     GROUP BY ng.source
     """,
@@ -883,6 +934,9 @@ def repeated_ngram_stats(spark, sf_dir):
             F.round(
                 F.avg(F.when(F.col("n_docs_with") > 1, 1.0).otherwise(0.0)), 6
             ).alias("crossdoc_share"),
+            # r11 content digest (VERDICT r10 #5): the n-gram OCCURRENCE
+            # multiset, not just its counts
+            F.sum(hash32(F.col("g"))).alias("gram_digest"),
         )
     )
 
@@ -1009,7 +1063,8 @@ def _md5_sig(col: Column) -> Column:
            CAST(SUM(len(regexp_extract_all(aug, '{_PII_IP}')))    AS BIGINT) AS ips,
            CAST(SUM(len(aug) - len(red)) AS BIGINT)          AS chars_removed,
            MIN(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS min_red_sig,
-           MAX(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS max_red_sig
+           MAX(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS max_red_sig,
+           SUM({hash32_sql("red")}) AS sum_red_sig
     FROM (
         SELECT source,
                'contact ' || source || '.' || doc_id || '@example.com ph 555-'
@@ -1068,6 +1123,9 @@ def pii_redaction_stats(spark, sf_dir):
             # SortAggregate fallback — the cheap plan at corpus scale.
             F.min(_md5_sig(F.col("red"))).alias("min_red_sig"),
             F.max(_md5_sig(F.col("red"))).alias("max_red_sig"),
+            # r11 (VERDICT r10 #5): min/max pin only two rows per group;
+            # the 32-bit SUM pins every redacted doc's contents.
+            F.sum(hash32(F.col("red"))).alias("sum_red_sig"),
         )
     )
 

@@ -72,6 +72,22 @@ def _norm_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def hash32(col) -> F.Column:
+    """First 8 md5 hex chars as BIGINT — the cross-engine 32-bit content
+    hash (identical in Spark and DuckDB via ``hash32_sql``).  Used by the
+    r11 CONTENT-DIGEST columns (VERDICT r10 #5): count-shaped gate
+    queries sum this over their pre-aggregation rows so a wrong-contents/
+    right-counts bug (the r10 BPE regex class) flips the value hash
+    instead of sitting green.  32 bits keeps a SUM over 2^30 rows far
+    from BIGINT overflow (2^62)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str) -> str:
+    """DuckDB spelling of ``hash32`` (same digest, bit-identical)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn

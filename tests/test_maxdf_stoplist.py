@@ -1,0 +1,96 @@
+"""PPJoin ``max_df`` stop-list recall pins (r11, VERDICT r10 #2).
+
+The measured dial markings live in BASELINE.md ("PPJoin stop-list — where
+it bites", tools/bench_maxdf.py).  This module pins the recall semantics
+on a corpus small enough that every count is derivable BY HAND, so the
+lever's contract — output is a strict subset of the exact join, and the
+loss is exactly the pairs whose every prefix shingle exceeds the bound —
+can never drift silently.
+
+Fixture anatomy (210 boilerplate + 90 organic docs):
+- 10-word template ⇒ each boilerplate doc has 9 shingles: 8 pure-template
+  (doc_freq = 210, shared by ALL boilerplate docs) + 1 suffix-straddle.
+- group X: 60 identical docs  (straddle doc_freq = 60)
+- group Y: 150 identical docs (straddle doc_freq = 150)
+- organic docs use globally unique words ⇒ no shared shingles, no pairs.
+
+Every boilerplate doc's 2 rarest shingles are [its straddle, the
+lexicographically-first template shingle], so:
+- exact (max_df=None): the template bucket alone pairs all 210 docs:
+  C(210,2) = 21,945 pairs, all genuine (cross-group Jaccard = 8/10).
+- max_df=180: template bucket (210) pruned, both straddles kept ⇒
+  within-group pairs only: C(60,2) + C(150,2) = 12,945 (recall 0.59).
+- max_df=100: only group X's straddle (60) survives ⇒ C(60,2) = 1,770
+  (recall 0.081).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fstore_sql_spark.operators.dedup import prefix_filter_pairs
+
+TPL = " ".join(f"tpl{i}" for i in range(10))
+
+N_X, N_Y, N_ORGANIC = 60, 150, 90
+EXACT = (N_X + N_Y) * (N_X + N_Y - 1) // 2          # 21,945
+WITHIN = N_X * (N_X - 1) // 2 + N_Y * (N_Y - 1) // 2  # 12,945
+X_ONLY = N_X * (N_X - 1) // 2                        # 1,770
+
+
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    n = N_X + N_Y + N_ORGANIC
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < N_X, F.lit(TPL + " sfxX"))
+        .when(F.col("id") < N_X + N_Y, F.lit(TPL + " sfxY"))
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, 4),"
+                " j -> concat('u', cast(id * 5 + j as string))))"
+            )
+        )
+        .alias("text"),
+    )
+
+
+def _pairs(corpus, max_df):
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(corpus, max_df=max_df).collect()
+    }
+
+
+class TestMaxDfStopList:
+    def test_exact_join_is_the_full_clique(self, spark, boiler_corpus):
+        got = _pairs(boiler_corpus, None)
+        assert len(got) == EXACT
+        # organic docs never pair (unique vocabulary)
+        assert all(a < N_X + N_Y and b < N_X + N_Y for a, b in got)
+
+    def test_stoplist_outputs_are_nested_subsets(self, spark, boiler_corpus):
+        exact = _pairs(boiler_corpus, None)
+        at180 = _pairs(boiler_corpus, 180)
+        at100 = _pairs(boiler_corpus, 100)
+        assert at100 < at180 < exact
+
+    def test_recall_at_each_dial_position(self, spark, boiler_corpus):
+        exact = len(_pairs(boiler_corpus, None))
+        at180 = len(_pairs(boiler_corpus, 180))
+        at100 = len(_pairs(boiler_corpus, 100))
+        assert at180 == WITHIN
+        assert at100 == X_ONLY
+        # the documented bounds (BASELINE.md dial markings)
+        assert at180 / exact >= 0.58
+        assert at100 / exact >= 0.08
+
+    def test_loss_is_exactly_the_cross_group_pairs(self, spark, boiler_corpus):
+        """What max_df=180 drops is precisely the template-bucket-only
+        pairs: every lost pair crosses the X/Y group boundary, and every
+        within-group pair is kept — the fragmentation semantics a user
+        tuning the lever needs (clusters split, members never vanish)."""
+        lost = _pairs(boiler_corpus, None) - _pairs(boiler_corpus, 180)
+        assert len(lost) == EXACT - WITHIN
+        assert all((a < N_X) != (b < N_X) for a, b in lost)

@@ -57,11 +57,66 @@ def value_hash(rows: list[tuple], col_order: list[int]) -> str:
     return h.hexdigest()
 
 
+def build_doc_subcorpus(sf_dir: str, mod: int) -> str:
+    """Materialize a deterministically SAMPLED copy of ``sf_dir`` for the
+    dedup-family sf10 oracle (r11, VERDICT r10 #1): documents are filtered
+    to ``doc_id % mod == 0 OR doc_id % 1_000_000 < 25`` and written once;
+    every other table is symlinked.  Both engines then read the SAME
+    physical subset, so no cross-engine hash predicate has to agree.
+
+    The predicate preserves the planted-duplicate structure by
+    construction: the dedup gates plant pairs at query time by re-keying
+    docs with ``doc_id < 25`` to ``doc_id + 100_000`` (operators/dedup.py
+    ``_corpus``), so keeping every replica's 25 lowest per-replica ids
+    (replica offset is 1_000_000 in make_sf1.py) keeps the planted
+    sources, and the ``% mod`` slice carries the corpus bulk — including
+    the within-replica multi-byte near-dup families the r11 adversarial
+    slice plants (the slice lives at ``doc_id % 20 == 7``, and same-base-
+    text family members are 20·k ids apart, so residue 7 keeps whole
+    families and the sampled subcorpus carries multi-byte text through
+    the dedup oracle too)."""
+    import duckdb
+
+    out = os.path.normpath(sf_dir) + f"_docsample{mod}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    dst = os.path.join(out, "documents.parquet")
+    if not os.path.exists(dst):
+        src = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(src):
+            src = os.path.join(src, "*.parquet")
+        duckdb.connect().execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') "
+            f"WHERE doc_id % {mod} IN (0, 7) OR doc_id % 1000000 < 25 "
+            f"ORDER BY doc_id) TO '{dst}' (FORMAT PARQUET)"
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--doc-sample-mod",
+        type=int,
+        default=None,
+        help="run on a deterministic documents subcorpus (doc_id %% N == 0 "
+        "plus each replica's 25 planted-pair sources) materialized next to "
+        "--sf; gives DuckDB a tractable shingle workload at sf10 while "
+        "both engines read the same physical subset (VERDICT r10 #1)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.doc_sample_mod:
+        args.sf = build_doc_subcorpus(args.sf, args.doc_sample_mod)
+        print(f"subcorpus: {args.sf}")
 
     import duckdb
 
