@@ -713,7 +713,10 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
 
 
 def prefix_filter_pairs(
-    corpus: DataFrame, threshold: float = 0.5, max_df: int | None = None
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    persist_tok: bool = False,
 ) -> DataFrame:
     """The PPJoin body behind ``dedup_prefix_filter_pairs`` (refactored
     r10 so the stop-list lever is callable; the oracle-gated registry
@@ -731,6 +734,17 @@ def prefix_filter_pairs(
     high-recall screen, not the exact join; the before/after pair counts
     and spill bytes are recorded in BASELINE.md ("PPJoin stop-list")."""
     tok = with_shingles(corpus).distinct()
+    if persist_tok:
+        # r11 lever (VERDICT r10 #7): ``tok`` feeds THREE subplans (the
+        # doc-frequency aggregate + both sides of the verify join), so
+        # without a persist each use re-explodes the corpus.  DISK_ONLY
+        # (not MEMORY) because at sf100 the exploded table is tens of GB
+        # per draw — memory caching would evict the shuffle pages the
+        # join needs.  Measured A/B in BASELINE.md ("PPJoin tok persist");
+        # caller owns the cache lifetime (spark.catalog.clearCache()).
+        from pyspark import StorageLevel
+
+        tok = tok.persist(StorageLevel.DISK_ONLY)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     df_ = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
     from pyspark.sql import Window

@@ -145,6 +145,7 @@ def run_claim_ack_harness(
     claim_limit: int = 50,
     size_by_parts: bool = False,
     join_timeout_s: float = 300.0,
+    n_shards: int | None = None,
 ) -> tuple[float, float]:
     """The shared b3c harness (bench.py B3c + tools/bench_b3c.py): seed a
     fresh ledger-only store with ``n_parts`` partitions x ``per_part``
@@ -170,10 +171,17 @@ def run_claim_ack_harness(
         # rule's layout for n_parts — the workers adopt the pinned marker
         # (n_shards=None), so this is exactly the production posture of a
         # scale-declaring store.  Default False keeps the historical
-        # 8-shard pools comparable across rounds.
+        # 8-shard pools comparable across rounds.  n_shards (r11, knee
+        # sweep): explicit override so the shard-convoy mechanism can be
+        # isolated — workers beyond the shard count serialize on shard
+        # flocks regardless of CPU headroom (BASELINE.md "consumer
+        # scaling knee").
         ledger = ShardedLocksLedger(
             ParquetStore(None, mp_root),
-            expected_partitions=n_parts if size_by_parts else None,
+            n_shards=n_shards,
+            expected_partitions=(
+                n_parts if size_by_parts and n_shards is None else None
+            ),
         )
         seed = _pd.DataFrame(
             {
