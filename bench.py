@@ -436,6 +436,15 @@ def main() -> None:
     # (b3_concurrent_scaling_8k) so the noise-dominated regime stays
     # visible without carrying the gate.
     b3c_parts = 20_000
+    # Worker count chosen from evidence, not convention (VERDICT r10 #3):
+    # the r11 knee sweep (BASELINE.md "consumer-scaling knee") measured
+    # aggregate throughput ~linear in min(workers, shards) — 4.30x at 4
+    # workers on the 8-shard layout, 7.27x at 8 (exactly ON the knee,
+    # where draw noise is widest), collapse at 16.  The gate stays at 4:
+    # safely inside the linear regime (so the >=2.5x bar tests claim-path
+    # contention, not shard-provisioning), and comparable with every
+    # prior round's artifact.  The knee itself and the shards~=workers
+    # provisioning rule live in BASELINE.md + tools/bench_b3c_knee.py.
     # Best-of-N for both arms: the harness metric divides by the SLOWEST
     # worker's clock, so tail imbalance + VM-host noise swing single runs
     # by ~2x (measured spread at identical code: 11k-24k aggregate).

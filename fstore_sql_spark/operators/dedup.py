@@ -716,7 +716,7 @@ def prefix_filter_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,
     max_df: int | None = None,
-    persist_tok: bool = False,
+    persist_tok: bool = True,
 ) -> DataFrame:
     """The PPJoin body behind ``dedup_prefix_filter_pairs`` (refactored
     r10 so the stop-list lever is callable; the oracle-gated registry
@@ -735,13 +735,19 @@ def prefix_filter_pairs(
     and spill bytes are recorded in BASELINE.md ("PPJoin stop-list")."""
     tok = with_shingles(corpus).distinct()
     if persist_tok:
-        # r11 lever (VERDICT r10 #7): ``tok`` feeds THREE subplans (the
-        # doc-frequency aggregate + both sides of the verify join), so
-        # without a persist each use re-explodes the corpus.  DISK_ONLY
-        # (not MEMORY) because at sf100 the exploded table is tens of GB
-        # per draw — memory caching would evict the shuffle pages the
-        # join needs.  Measured A/B in BASELINE.md ("PPJoin tok persist");
-        # caller owns the cache lifetime (spark.catalog.clearCache()).
+        # Default ON since r11 (VERDICT r10 #7): ``tok`` feeds THREE
+        # subplans (the doc-frequency aggregate + both sides of the
+        # verify join), so without a persist each use re-explodes the
+        # corpus.  The interleaved A/B (tools/bench_ppjoin_persist.py,
+        # BASELINE.md "PPJoin tok persist") measured the persist arm
+        # never slower and winning where it matters: sf10 median
+        # 39.6→36.7 s (1.08x), sf100 379→330 s (1.15x, every adjacent
+        # draw pair favoring persist), sf0.1 a draw-noise wash.
+        # DISK_ONLY (not MEMORY) because at sf100 the exploded table is
+        # tens of GB per draw — memory caching would evict the shuffle
+        # pages the join needs.  Caller owns the cache lifetime
+        # (spark.catalog.clearCache()); pass persist_tok=False for
+        # one-shot plans that must stay side-effect-free.
         from pyspark import StorageLevel
 
         tok = tok.persist(StorageLevel.DISK_ONLY)
