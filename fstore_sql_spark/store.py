@@ -1696,6 +1696,20 @@ class EventStore:
         served, missing, drained = [], [], []
         for decider_id, last_offset in claimed:
             win = self._prefetch.get((view, decider_id))
+            if win is not None:
+                # True-LRU touch: move the accessed window to the END of
+                # the insertion-ordered dict the evictor pops from the
+                # front of.  Without this (r11 tail-window find), a
+                # re-warmed window KEPT its original dict position —
+                # Python dict assignment to an existing key does not
+                # move it — so the evictor preferentially killed the
+                # hottest (stickiest-claimed) partitions the moment the
+                # row cap tripped: at sf1 (>2000-partition view) every
+                # post-cap tick missed, refilled, and was evicted again
+                # (48/48 tail refills, 1.16 s/tick vs 39 ms on a hit).
+                self._prefetch[(view, decider_id)] = self._prefetch.pop(
+                    (view, decider_id)
+                )
             row = None
             if win is not None and last_offset >= win["lo"]:
                 # prune rows at or below the committed position
@@ -1795,6 +1809,8 @@ class EventStore:
             by_part.setdefault(r["decider_id"], []).append(r)
         for decider_id, last_offset in pairs:
             rows = sorted(by_part.get(decider_id, []), key=lambda r: r["offset"])
+            # move-to-end on re-warm (true LRU; see _serve_from_prefetch)
+            self._prefetch.pop((view, decider_id), None)
             self._prefetch[(view, decider_id)] = {
                 "lo": last_offset,
                 "rows": rows,
@@ -1807,7 +1823,8 @@ class EventStore:
         total = sum(len(w["rows"]) for w in self._prefetch.values())
         if total <= self.PREFETCH_MAX_ROWS:
             return
-        for key in list(self._prefetch):  # dict order = insertion = LRU-ish
+        for key in list(self._prefetch):  # dict order = true LRU (touch on
+            # serve + move-to-end on re-warm), so the front IS the coldest
             total -= len(self._prefetch.pop(key)["rows"])
             if total <= self.PREFETCH_MAX_ROWS:
                 return

@@ -260,3 +260,36 @@ def test_prefetch_hit_rate_steady_state(store):
     assert pf["refills"] == 1, pf
     # 4 first-round misses, everything after from cache
     assert pf["hits"] / (pf["hits"] + pf["misses"]) >= 0.75, pf
+
+
+def test_prefetch_eviction_is_true_lru(store):
+    """r11 (found by the b3 tail window at sf1): the evictor pops from
+    the FRONT of the insertion-ordered dict, but plain dict assignment
+    to an existing key keeps its original position — so a re-warmed or
+    just-served window stayed at the front and the evictor killed the
+    hottest (stickiest-claimed) partitions first.  Past the row cap
+    every tick missed → refilled → was evicted again: 48/48 tail
+    refills at sf1, 1.16 s/tick vs 39 ms on a hit.  The serve path must
+    therefore TOUCH (move-to-end) windows it reads, making eviction
+    order true LRU."""
+    store._prefetch.clear()
+
+    def mk(n):
+        return {
+            "lo": 0,
+            "rows": [{"offset": i + 1} for i in range(n)],
+            "complete": False,
+        }
+
+    store._prefetch[("v", "hot")] = mk(2)
+    store._prefetch[("v", "cold1")] = mk(2)
+    store._prefetch[("v", "cold2")] = mk(2)
+    served, missing, drained = store._serve_from_prefetch("v", [("hot", 0)])
+    assert [r["offset"] for r in served] == [1] and not missing
+    # the served window moved behind the untouched ones
+    assert list(store._prefetch) == [("v", "cold1"), ("v", "cold2"), ("v", "hot")]
+    store.PREFETCH_MAX_ROWS = 4  # instance shadow; forces one eviction
+    store._evict_prefetch()
+    assert ("v", "hot") in store._prefetch          # survived: hottest
+    assert ("v", "cold1") not in store._prefetch    # evicted: coldest
+    assert ("v", "cold2") in store._prefetch
