@@ -98,7 +98,17 @@ class EventStore:
     PREFETCH_DEPTH = 16
     # Total cached event rows across (view, partition) windows before LRU
     # eviction — bounds driver memory like any client-side cursor buffer.
-    PREFETCH_MAX_ROWS = 50_000
+    # Sized to hold TWO refill generations (2 × PREFETCH_PARTITIONS ×
+    # PREFETCH_DEPTH = 64k rows), so the cap can never FORCE eviction of
+    # live windows mid-cycle (the old 50k was smaller than two
+    # generations).  Measured honestly at sf1 (BASELINE.md r11 tail
+    # section): the residual ~9/48 tail refills are UNCHANGED by this —
+    # they are claim-rotation drift past the warmed set (fairness slowly
+    # rotates claims through >PREFETCH_PARTITIONS partitions), not
+    # eviction churn; the invariant just removes the one eviction mode
+    # that WOULD bite under true LRU.  ~10s of MB of driver dicts at
+    # worst — the same order as one collected delivery batch.
+    PREFETCH_MAX_ROWS = 2 * 2000 * 16
 
     # Auto paging budget (r7, VERDICT r6 #4): with ``expected_partitions``
     # given and no explicit residency choice, cap driver-resident consumer
