@@ -712,11 +712,21 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     return prefix_filter_pairs(_corpus(spark, sf_dir))
 
 
+#: Auto-persist gate for ``prefix_filter_pairs``: persist the exploded
+#: shingle table only when the corpus has at least this many documents.
+#: The interleaved A/B (tools/bench_ppjoin_persist.py, BASELINE.md "PPJoin
+#: tok persist") won at sf10 (500k docs, 1.08x) and sf100 (5M docs,
+#: 1.15x) but TAXED the sf0.1 gate query 64% (5k docs, r11 driver
+#: artifact, VERDICT r11 #4) — the threshold sits a decade below the
+#: smallest measured win and a decade above the measured tax.
+PERSIST_TOK_MIN_DOCS = 100_000
+
+
 def prefix_filter_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,
     max_df: int | None = None,
-    persist_tok: bool = True,
+    persist_tok: bool | None = None,
 ) -> DataFrame:
     """The PPJoin body behind ``dedup_prefix_filter_pairs`` (refactored
     r10 so the stop-list lever is callable; the oracle-gated registry
@@ -734,15 +744,22 @@ def prefix_filter_pairs(
     high-recall screen, not the exact join; the before/after pair counts
     and spill bytes are recorded in BASELINE.md ("PPJoin stop-list")."""
     tok = with_shingles(corpus).distinct()
+    if persist_tok is None:
+        # Size-gated auto default (r12, VERDICT r11 #4 + ADVICE r11):
+        # the unconditional r11 default taxed the 5k-doc sf0.1 gate
+        # query 64% to benefit corpora 100x larger, and leaked one
+        # DISK_ONLY cache per call in every no-arg sweep caller.  The
+        # one extra count() job here is a single-column scan, cheap at
+        # every tier relative to the join it gates.
+        persist_tok = corpus.count() >= PERSIST_TOK_MIN_DOCS
     if persist_tok:
-        # Default ON since r11 (VERDICT r10 #7): ``tok`` feeds THREE
-        # subplans (the doc-frequency aggregate + both sides of the
-        # verify join), so without a persist each use re-explodes the
-        # corpus.  The interleaved A/B (tools/bench_ppjoin_persist.py,
-        # BASELINE.md "PPJoin tok persist") measured the persist arm
-        # never slower and winning where it matters: sf10 median
-        # 39.6→36.7 s (1.08x), sf100 379→330 s (1.15x, every adjacent
-        # draw pair favoring persist), sf0.1 a draw-noise wash.
+        # ``tok`` feeds THREE subplans (the doc-frequency aggregate +
+        # both sides of the verify join), so without a persist each use
+        # re-explodes the corpus.  The interleaved A/B
+        # (tools/bench_ppjoin_persist.py, BASELINE.md "PPJoin tok
+        # persist") measured the persist arm winning where it matters:
+        # sf10 median 39.6→36.7 s (1.08x), sf100 379→330 s (1.15x,
+        # every adjacent draw pair favoring persist).
         # DISK_ONLY (not MEMORY) because at sf100 the exploded table is
         # tens of GB per draw — memory caching would evict the shuffle
         # pages the join needs.  Caller owns the cache lifetime

@@ -69,7 +69,8 @@ def weighted_mix(sources: list[tuple[DataFrame, str, float]], id_col: str) -> Da
     "sample_deterministic_counts",
     f"""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
-           SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS id_digest
+           CAST(SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+               AS id_digest
     FROM documents
     WHERE {_hash_frac_sql("doc_id")} < 0.1
     GROUP BY lang
@@ -96,7 +97,8 @@ def sample_deterministic_counts(spark, sf_dir):
     f"""
     SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS id_digest
+           CAST(SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+               AS id_digest
     FROM (
         SELECT CASE WHEN {_hash_frac_sql("doc_id")} < 0.2 THEN 'test'
                     ELSE 'train' END AS split, n_chars, doc_id
@@ -126,7 +128,8 @@ def train_test_split_counts(spark, sf_dir):
     "weighted_mix_counts",
     f"""
     SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS id_digest
+           CAST(SUM({hash32_sql("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+               AS id_digest
     FROM (
         SELECT 'web' AS mix_source, doc_id FROM documents
         WHERE source IN ('src0', 'src1', 'src2') AND {_hash_frac_sql("doc_id")} < 0.5
@@ -298,8 +301,8 @@ def pack_positions(
     )
     SELECT CAST(start // 512 AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-               AS BIGINT)) AS id_digest,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)) AS BIGINT) AS id_digest,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(COUNT(*) FILTER (WHERE n_tokens > 0
                AND start // 512 <> (start + n_tokens - 1) // 512) AS BIGINT)

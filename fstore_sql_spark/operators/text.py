@@ -30,8 +30,8 @@ def tokens_col(text_col: str = "text") -> Column:
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
-           SUM({hash32_sql("array_to_string(string_split(text, ' '), chr(31))")})
-               AS tok_digest
+           CAST(SUM({hash32_sql("array_to_string(string_split(text, ' '), chr(31))")})
+               AS BIGINT) AS tok_digest
     FROM documents GROUP BY lang
     """,
 )
@@ -297,11 +297,11 @@ BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
                AS total_bpe_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
                / SUM(len(string_split(text, ' '))) AS bpe_per_word,
-           SUM({hash32_sql(
+           CAST(SUM({hash32_sql(
                "array_to_string(regexp_extract_all(text, '"
                + BPE_ISH_PATTERN
                + "'), chr(31))"
-           )}) AS bpe_digest
+           )}) AS BIGINT) AS bpe_digest
     FROM documents GROUP BY source
     """,
 )
@@ -889,7 +889,7 @@ def bigram_lm_source_scores(spark, sf_dir):
            CAST(COUNT(DISTINCT ng.g) AS BIGINT) AS n_distinct,
            ROUND(AVG(CASE WHEN gs.n_docs_with > 1 THEN 1.0 ELSE 0.0 END), 6)
                AS crossdoc_share,
-           SUM({hash32_sql("ng.g")}) AS gram_digest
+           CAST(SUM({hash32_sql("ng.g")}) AS BIGINT) AS gram_digest
     FROM ng JOIN gstats gs ON ng.g = gs.g
     GROUP BY ng.source
     """,
@@ -1064,7 +1064,7 @@ def _md5_sig(col: Column) -> Column:
            CAST(SUM(len(aug) - len(red)) AS BIGINT)          AS chars_removed,
            MIN(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS min_red_sig,
            MAX(CAST(('0x' || substr(md5(red), 1, 15)) AS BIGINT)) AS max_red_sig,
-           SUM({hash32_sql("red")}) AS sum_red_sig
+           CAST(SUM({hash32_sql("red")}) AS BIGINT) AS sum_red_sig
     FROM (
         SELECT source,
                'contact ' || source || '.' || doc_id || '@example.com ph 555-'

@@ -96,19 +96,23 @@ class EventStore:
     # the next K unread events per claimed partition; the following K-1
     # claims of that partition are served driver-side (see stream_events).
     PREFETCH_DEPTH = 16
+    # Partitions covered per refill job: bounds the windows fetched to
+    # PREFETCH_PARTITIONS * PREFETCH_DEPTH rows per job.
+    PREFETCH_PARTITIONS = 2000
     # Total cached event rows across (view, partition) windows before LRU
     # eviction — bounds driver memory like any client-side cursor buffer.
-    # Sized to hold TWO refill generations (2 × PREFETCH_PARTITIONS ×
-    # PREFETCH_DEPTH = 64k rows), so the cap can never FORCE eviction of
-    # live windows mid-cycle (the old 50k was smaller than two
-    # generations).  Measured honestly at sf1 (BASELINE.md r11 tail
+    # Sized to hold TWO refill generations (64k rows at the defaults), so
+    # the cap can never FORCE eviction of live windows mid-cycle (the old
+    # 50k was smaller than two generations).  Computed, not hardcoded
+    # (ADVICE r11): retuning either constant keeps the two-generation
+    # invariant.  Measured honestly at sf1 (BASELINE.md r11 tail
     # section): the residual ~9/48 tail refills are UNCHANGED by this —
     # they are claim-rotation drift past the warmed set (fairness slowly
     # rotates claims through >PREFETCH_PARTITIONS partitions), not
     # eviction churn; the invariant just removes the one eviction mode
     # that WOULD bite under true LRU.  ~10s of MB of driver dicts at
     # worst — the same order as one collected delivery batch.
-    PREFETCH_MAX_ROWS = 2 * 2000 * 16
+    PREFETCH_MAX_ROWS = 2 * PREFETCH_PARTITIONS * PREFETCH_DEPTH
 
     # Auto paging budget (r7, VERDICT r6 #4): with ``expected_partitions``
     # given and no explicit residency choice, cap driver-resident consumer
@@ -1705,21 +1709,8 @@ class EventStore:
         only FIRST-attempt serves — the cache's steady-state hit rate."""
         served, missing, drained = [], [], []
         for decider_id, last_offset in claimed:
-            win = self._prefetch.get((view, decider_id))
-            if win is not None:
-                # True-LRU touch: move the accessed window to the END of
-                # the insertion-ordered dict the evictor pops from the
-                # front of.  Without this (r11 tail-window find), a
-                # re-warmed window KEPT its original dict position —
-                # Python dict assignment to an existing key does not
-                # move it — so the evictor preferentially killed the
-                # hottest (stickiest-claimed) partitions the moment the
-                # row cap tripped: at sf1 (>2000-partition view) every
-                # post-cap tick missed, refilled, and was evicted again
-                # (48/48 tail refills, 1.16 s/tick vs 39 ms on a hit).
-                self._prefetch[(view, decider_id)] = self._prefetch.pop(
-                    (view, decider_id)
-                )
+            key = (view, decider_id)
+            win = self._prefetch.get(key)
             row = None
             if win is not None and last_offset >= win["lo"]:
                 # prune rows at or below the committed position
@@ -1732,10 +1723,33 @@ class EventStore:
                 elif win["complete"]:
                     row = False  # definitively drained (hwm-stale claim)
             if row is None:
+                if win is not None and last_offset < win["lo"]:
+                    # Stale window (claim regressed below the fetched
+                    # range, e.g. a nack rewound the consumer): it can
+                    # never serve this consumer again — drop it rather
+                    # than let the miss path leave it parked in the LRU
+                    # (ADVICE r11: a promoted-on-miss stale window read
+                    # as hot and shielded itself from eviction).
+                    del self._prefetch[key]
                 missing.append((decider_id, last_offset))
                 if count:
                     self.prefetch_counters["misses"] += 1
             else:
+                # True-LRU touch ON HIT ONLY: move the window that just
+                # served to the END of the insertion-ordered dict the
+                # evictor pops from the front of.  Without any touch
+                # (r11 tail-window find), a re-warmed window KEPT its
+                # original dict position — Python dict assignment to an
+                # existing key does not move it — so the evictor
+                # preferentially killed the hottest (stickiest-claimed)
+                # partitions the moment the row cap tripped: at sf1
+                # (>2000-partition view) every post-cap tick missed,
+                # refilled, and was evicted again (48/48 tail refills,
+                # 1.16 s/tick vs 39 ms on a hit).  Touching BEFORE the
+                # serveability check (the r11 form) promoted misses too,
+                # making "the front is the coldest" false for stale or
+                # drained windows (ADVICE r11) — now only serves promote.
+                self._prefetch[key] = self._prefetch.pop(key)
                 if count:
                     self.prefetch_counters["hits"] += 1
                 if row is not False:
@@ -1743,10 +1757,6 @@ class EventStore:
                 else:
                     drained.append((decider_id, last_offset))
         return served, missing, drained
-
-    # Partitions covered per refill job: bounds the windows fetched to
-    # PREFETCH_PARTITIONS * PREFETCH_DEPTH rows per job.
-    PREFETCH_PARTITIONS = 2000
 
     def _union_eligible_pairs(
         self,

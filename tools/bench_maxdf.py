@@ -143,6 +143,11 @@ def main() -> None:
             cnt = prefix_filter_pairs(corpus, max_df=md).count()
             wall = round(time.time() - t0, 2)
             io = _stage_window_bytes(spark, mark)
+            # Drop the auto-persisted DISK_ONLY tok cache between arms
+            # (ADVICE r11): plan-level cache matching would otherwise let
+            # later arms silently reuse the first arm's cache, skewing
+            # exactly the wall/spill numbers this sweep exists to measure.
+            spark.catalog.clearCache()
             if md is None:
                 exact_pairs = cnt
             row = {

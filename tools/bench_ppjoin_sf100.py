@@ -111,6 +111,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         wall = round(time.time() - t0, 3)
         io = _stage_totals(spark, mark)
+        # Each draw must pay its own explode: drop the auto-persisted
+        # DISK_ONLY tok cache (tens of GB at sf100) so arms stay
+        # independent and the disk doesn't accumulate one cache per draw
+        # (ADVICE r11).
+        spark.catalog.clearCache()
         return {"wall_s": wall, "n_pairs": n,
                 "spill_disk_gb": round(io["diskBytesSpilled"] / 2**30, 2),
                 "spill_mem_gb": round(io["memoryBytesSpilled"] / 2**30, 2),

@@ -82,6 +82,10 @@ def main() -> None:
         force(QUERIES[name](spark, args.sf))
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]}s", flush=True)
+        # ppjoin auto-persists its tok table at this tier (r12 size
+        # gate); drop it so each sweep entry pays its own cost and the
+        # DISK_ONLY cache doesn't shadow later queries' disk budget.
+        spark.catalog.clearCache()
 
     # B1 — bulk append with full validation (the sf10 events table).
     tmp = tempfile.mkdtemp(prefix="bench_sf10_store_")

@@ -124,6 +124,10 @@ def main() -> None:
         force(QUERIES[name](spark, args.sf))
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]}s", flush=True)
+        # ppjoin auto-persists its tok table at this tier (r12 size
+        # gate, tens of GB DISK_ONLY at sf100); drop it before the
+        # disk-budget-sensitive queries that follow.
+        spark.catalog.clearCache()
         # Free finished-query shuffle files NOW (r9): Spark's
         # ContextCleaner only deletes them when the JVM garbage-collects
         # the shuffle dependency, and a 48g heap running 20 sf100

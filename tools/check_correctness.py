@@ -6,6 +6,25 @@ row count, sorted-by-name column list, and an order-insensitive value hash.
 Floats are canonicalized via repr of float64; query authors should make
 aggregates deterministic (decimal casts) so engines agree bit-for-bit.
 
+TYPE-FAITHFUL since r12 (VERDICT r11 #2): the r11 driver-gate failures were
+a pure DuckDB-type artifact (``SUM(BIGINT)`` returns HUGEINT = int128) that
+this harness could not see because ``canon()`` stringified Python values —
+``Decimal(5)`` and ``5`` both became ``"5"``.  The fix is two-fold:
+
+1. DuckDB results are fetched via **Arrow** (``cur.arrow().to_pylist()``),
+   the same path the driver uses, so HUGEINT surfaces as
+   ``decimal128(38,0)`` -> Python ``Decimal`` instead of being silently
+   widened to Python ``int`` by the native fetchall path.
+2. ``canon()`` **type-tags** every value (``i:`` int, ``d:`` Decimal,
+   ``f:`` float, ...), so a cross-engine divergence in the value's Python
+   type after the engines' own client conversions fails the hash even when
+   the string forms agree.
+
+Verified against the r11 regression: with the operator-side CAST fixes
+stashed, this harness fails exactly the three queries the driver failed
+(``sample_deterministic_counts``, ``packed_bin_stats``,
+``text_bpe_token_counts``) and no others.
+
 Usage: python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
 """
 
@@ -27,23 +46,36 @@ TABLES = [
 
 
 def canon(v) -> str:
+    """Canonical string for one value, TYPE-TAGGED by the value's Python
+    type after the engine's own client conversion.  ``Decimal(5)`` canons
+    to ``d:5`` while ``5`` canons to ``i:5`` — the r11 HUGEINT-vs-BIGINT
+    driver failure class is a hash mismatch here, not a silent pass."""
     import datetime
+    import decimal
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "b:" + str(v).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return str(v).lower()
+            return "f:NaN"
+        return "f:" + repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return "d:" + str(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, datetime.datetime):
+        return "ts:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "dt:" + v.isoformat()
     if isinstance(v, bytes):
-        return v.hex()
+        return "x:" + v.hex()
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, dict):  # Arrow struct / map rows surface as dicts
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    return "s:" + str(v)
 
 
 def value_hash(rows: list[tuple], col_order: list[int]) -> str:
@@ -157,9 +189,18 @@ def main() -> int:
             skipped += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            drows = cur.fetchall()
-            dcols = [d[0].lower() for d in cur.description]
+            # Arrow fetch (r12, VERDICT r11 #2): the driver's path.  The
+            # native fetchall() widens HUGEINT to Python int and hides the
+            # exact type class that broke the r11 gate; Arrow surfaces it
+            # as decimal128(38,0) -> Decimal, which canon() type-tags.
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = [c.lower() for c in tbl.column_names]
+            dtypes = [str(t) for t in tbl.schema.types]
+            drows = [
+                tuple(col[i] for col in cols_py)
+                for cols_py in [[c.to_pylist() for c in tbl.columns]]
+                for i in range(tbl.num_rows)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             fail += 1
@@ -176,6 +217,8 @@ def main() -> int:
             dh = value_hash(drows, d_order)
             if sh != dh:
                 problems.append("value-hash mismatch")
+                print(f"        duckdb arrow types: {dict(zip(dcols, dtypes))}")
+                print(f"        spark schema:       {sdf.schema.simpleString()[:300]}")
                 # show a few differing lines to debug
                 sset = {
                     "\x1f".join(canon(r[i]) for i in s_order) for r in srows
