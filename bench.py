@@ -198,6 +198,62 @@ def _engine_probe_child() -> None:  # pragma: no cover - spawned child
     pass
 
 
+# The three pinned, code-frozen analytics probes (see NOISE_PROBES use in
+# main) and the tier their pins were measured at.  Shared with the scale
+# benches (tools/bench_sf10.py / bench_sf100.py) since r12 (VERDICT r11
+# #5): the sf10/sf100 artifacts carried no noise fields, so the r11 sf10
+# sweep's +45% wall vs r10 was undecidable box-vs-code from the artifact.
+NOISE_PROBE_QUERIES = ("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue")
+NOISE_PROBE_SF_DIR = "/root/testdata/sf0.1"
+
+
+def noise_probe_draw(spark) -> dict[str, float]:
+    """One draw of the pinned sf0.1 analytics probes on the CALLER's
+    session.  Scale benches run this at sweep start and end and ratio
+    against PINNED_R01 — the same thermometer bench.py emits, usable at
+    any sf tier because the probe data is always the sf0.1 pin corpus.
+    Caveat disclosed: the caller's session config (e.g. 256 shuffle
+    partitions at sf100) adds a small constant bias vs bench.py's
+    session, so compare these fields ACROSS ROUNDS of the same tool, not
+    against bench.py's noise_index to the third decimal."""
+    from fstore_sql_spark.queries import QUERIES
+
+    out = {}
+    for p in NOISE_PROBE_QUERIES:
+        t0 = time.time()
+        force(QUERIES[p](spark, NOISE_PROBE_SF_DIR))
+        out[p] = round(time.time() - t0, 3)
+    return out
+
+
+def scale_noise_fields(spark, probes_start: dict, eng_start: float) -> dict:
+    """End-of-sweep noise summary for a scale-bench artifact: re-draw
+    both probe families and fold start+end ratios into the two medians
+    bench.py emits (noise_index ~1.0 = box runs like the pin box)."""
+    import statistics
+
+    probes_end = noise_probe_draw(spark)
+    eng_end = engine_noise_probe()
+    ratios = [
+        draw[p] / PINNED_R01[p]
+        for draw in (probes_start, probes_end)
+        for p in NOISE_PROBE_QUERIES
+    ]
+    return {
+        "noise_index": round(statistics.median(ratios), 3),
+        "noise_probe_start": probes_start,
+        "noise_probe_end": probes_end,
+        "engine_noise_index": round(
+            statistics.median(
+                [eng_start / ENGINE_PROBE_PIN_R10, eng_end / ENGINE_PROBE_PIN_R10]
+            ),
+            3,
+        ),
+        "engine_probe_start_sec": eng_start,
+        "engine_probe_end_sec": eng_end,
+    }
+
+
 def engine_noise_probe() -> float:
     """Spark-free, code-frozen micro-probe of the resources the engine
     b-benches (b1/b3/b3c) spend their time on: small-parquet

@@ -96,23 +96,39 @@ class EventStore:
     # the next K unread events per claimed partition; the following K-1
     # claims of that partition are served driver-side (see stream_events).
     PREFETCH_DEPTH = 16
+    # Demand-aware window depth (r12, VERDICT r11 #3): the r11 "claim-
+    # rotation drift" hypothesis was WRONG — instrumentation (BASELINE.md
+    # r12 tail section) showed the residual sf1 tail refills are
+    # SYNCHRONIZED WINDOW EXHAUSTION: the claim re-picks the same ~limit
+    # hot partitions every tick (lowest (hwm, last_offset) of the sticky
+    # shard until drained), each tick consumes exactly one event per
+    # partition, so all ~100 windows exhaust together every
+    # PREFETCH_DEPTH ticks — a mass miss at ticks 16/32/48, plus phase-
+    # shifted stragglers.  Partitions that MISS have demonstrated demand:
+    # they get 4x-deep windows on refill, stretching the mass cadence to
+    # PREFETCH_DEPTH_HOT ticks, while the speculative top-up (most of
+    # which is never claimed before the next commit clears the cache)
+    # stays shallow.  DEEP_CAP bounds the extra rows per refill so the
+    # two-generation cap invariant stays computable.
+    PREFETCH_DEPTH_HOT = 64
+    PREFETCH_DEEP_CAP = 512
     # Partitions covered per refill job: bounds the windows fetched to
-    # PREFETCH_PARTITIONS * PREFETCH_DEPTH rows per job.
+    # PREFETCH_PARTITIONS * PREFETCH_DEPTH (+ the deep-window surplus)
+    # rows per job.
     PREFETCH_PARTITIONS = 2000
     # Total cached event rows across (view, partition) windows before LRU
     # eviction — bounds driver memory like any client-side cursor buffer.
-    # Sized to hold TWO refill generations (64k rows at the defaults), so
-    # the cap can never FORCE eviction of live windows mid-cycle (the old
-    # 50k was smaller than two generations).  Computed, not hardcoded
-    # (ADVICE r11): retuning either constant keeps the two-generation
-    # invariant.  Measured honestly at sf1 (BASELINE.md r11 tail
-    # section): the residual ~9/48 tail refills are UNCHANGED by this —
-    # they are claim-rotation drift past the warmed set (fairness slowly
-    # rotates claims through >PREFETCH_PARTITIONS partitions), not
-    # eviction churn; the invariant just removes the one eviction mode
-    # that WOULD bite under true LRU.  ~10s of MB of driver dicts at
-    # worst — the same order as one collected delivery batch.
-    PREFETCH_MAX_ROWS = 2 * PREFETCH_PARTITIONS * PREFETCH_DEPTH
+    # Sized to hold TWO refill generations (one generation = the shallow
+    # budget plus the deep-window surplus), so the cap can never FORCE
+    # eviction of live windows mid-cycle (the old 50k was smaller than
+    # two generations).  Computed, not hardcoded (ADVICE r11): retuning
+    # any constant keeps the two-generation invariant.  ~10s of MB of
+    # driver dicts at worst — the same order as one collected delivery
+    # batch.
+    PREFETCH_MAX_ROWS = 2 * (
+        PREFETCH_PARTITIONS * PREFETCH_DEPTH
+        + PREFETCH_DEEP_CAP * (PREFETCH_DEPTH_HOT - PREFETCH_DEPTH)
+    )
 
     # Auto paging budget (r7, VERDICT r6 #4): with ``expected_partitions``
     # given and no explicit residency choice, cap driver-resident consumer
@@ -1668,7 +1684,9 @@ class EventStore:
                 # whole eligible set makes the cache hit regardless of
                 # which partitions the sharded claim rotation picks next.
                 self._refill_prefetch(
-                    view, self._union_eligible_pairs(view, missing, hwm)
+                    view,
+                    self._union_eligible_pairs(view, missing, hwm),
+                    hot=[d for d, _ in missing],
                 )
                 more, _, drained2 = self._serve_from_prefetch(
                     view, missing, count=False
@@ -1765,52 +1783,94 @@ class EventStore:
         hwm: ShardedHwm,
     ) -> list[tuple[str, int]]:
         """The round's missing pairs plus (up to the cap) the view's other
-        unread partitions with the LOWEST watermark offsets — the same
-        order the sharded claim prefers, so the warmed set is the set the
-        next rounds will actually claim (index-order selection was
-        measured to miss at sf1's ~100k partitions: every round paid a
-        refill job, 15x slower delivery).  Leased partitions are
-        included — their windows are wanted as soon as the ack lands.
-        Driver-frame scan only; no Spark work.  Per-shard watermark
-        frames (r6): ledger shard k's candidates only need hwm shard k,
-        and non-resident ledger shards are skipped outright — a paged
-        store's refill never faults in the whole table."""
+        unread partitions, ordered the way the LEDGER WALK will actually
+        claim them (r12, VERDICT r11 #3): shards in upcoming walk order
+        (sticky first), within a shard by (hwm offset, last_offset) — the
+        shard claim's own sort key.  The r11 form sorted candidates
+        GLOBALLY by hwm offset, which spreads the warm budget evenly
+        across all shards while the walk drains the sticky shard in
+        full first — so every ~PREFETCH_DEPTH ticks the walk crossed
+        into an unwarmed batch of its own shard and paid a refill (the
+        sf1 residual 9/48 tail refills; hit p50 35 ms vs refill p50
+        1.23 s).  Before the walk stream, each foreign shard's single
+        HEAD candidate is warmed in fairness-rotor order: the every-8th-
+        tick fairness probe claims exactly that partition, and 6 of 48
+        tail ticks are probe ticks — n_shards slots buy those too.
+        Leased partitions are included — their windows are wanted as
+        soon as the ack lands.  Driver-frame scan only; no Spark work.
+        Per-shard watermark frames (r6): ledger shard k's candidates
+        only need hwm shard k, and non-resident ledger shards are
+        skipped outright — a paged store's refill never faults in the
+        whole table."""
         pairs = dict(missing)
         budget = self.PREFETCH_PARTITIONS - len(pairs)
-        if budget > 0:
-            cands: list[tuple[int, str, int]] = []
-            for k, s in enumerate(self.ledger.shards):
-                df = s._df
-                if df.empty or view not in df.index.get_level_values(0):
-                    continue
-                sub = df.xs(view, level=0, drop_level=True)
-                hk = hwm.for_shard(k)
-                offs = hk["offset"].reindex(sub.index)
-                el = sub[offs.notna() & (sub["last_offset"] < offs)]
-                cands.extend(
-                    (int(o), str(d), int(lo))
-                    for o, d, lo in zip(
-                        offs.loc[el.index], el.index, el["last_offset"]
-                    )
+        if budget <= 0:
+            return list(pairs.items())
+        per_shard: dict[int, list[tuple[int, int, str]]] = {}
+        for k, s in enumerate(self.ledger.shards):
+            df = s._df
+            if df.empty or view not in df.index.get_level_values(0):
+                continue
+            sub = df.xs(view, level=0, drop_level=True)
+            hk = hwm.for_shard(k)
+            offs = hk["offset"].reindex(sub.index)
+            el = sub[offs.notna() & (sub["last_offset"] < offs)]
+            cands = sorted(
+                (int(o), int(lo), str(d))
+                for o, d, lo in zip(
+                    offs.loc[el.index], el.index, el["last_offset"]
                 )
-            cands.sort()
-            for _, d, lo in cands:
+            )
+            if cands:
+                per_shard[k] = cands
+
+        def take(cand: tuple[int, int, str]) -> None:
+            nonlocal budget
+            _, lo, d = cand
+            if d not in pairs and (view, d) not in self._prefetch:
+                pairs[d] = lo
+                budget -= 1
+
+        for k in self.ledger.upcoming_probe_order():  # fairness heads
+            if budget <= 0:
+                break
+            if k in per_shard:
+                take(per_shard[k][0])
+        for k in self.ledger.upcoming_walk_order():  # the claim stream
+            for cand in per_shard.get(k, ()):
                 if budget <= 0:
-                    break
-                if d not in pairs and (view, d) not in self._prefetch:
-                    pairs[d] = lo
-                    budget -= 1
+                    return list(pairs.items())
+                take(cand)
         return list(pairs.items())
 
-    def _refill_prefetch(self, view: str, pairs: list[tuple[str, int]]) -> None:
+    def _refill_prefetch(
+        self,
+        view: str,
+        pairs: list[tuple[str, int]],
+        hot: list[str] | None = None,
+    ) -> None:
         """ONE Spark job: next K unread events for every partition in
         ``pairs``.  Broadcast join + per-partition topK — the batched
-        index-probe analogue of schema.sql:418-423."""
+        index-probe analogue of schema.sql:418-423.
+
+        ``hot`` partitions (this round's actual MISSES — demonstrated
+        demand, see PREFETCH_DEPTH_HOT) get a PREFETCH_DEPTH_HOT-deep
+        window, capped at PREFETCH_DEEP_CAP partitions; the speculative
+        remainder stays PREFETCH_DEPTH-shallow.  The per-partition depth
+        rides the broadcast pairs frame, so the job shape is unchanged:
+        one scan, one broadcast join, one windowed topK."""
         self.prefetch_counters["refills"] += 1
         k = self.PREFETCH_DEPTH
+        deep = set(list(hot or ())[: self.PREFETCH_DEEP_CAP])
+        depth_of = {
+            d: (self.PREFETCH_DEPTH_HOT if d in deep else k) for d, _ in pairs
+        }
         events = self.events()
         pairs_df = F.broadcast(
-            self.spark.createDataFrame(pairs, "decider_id string, last_offset long")
+            self.spark.createDataFrame(
+                [(d, lo, depth_of[d]) for d, lo in pairs],
+                "decider_id string, last_offset long, __depth int",
+            )
         )
         min_last = min(lo for _, lo in pairs)
         w = Window.partitionBy("decider_id").orderBy("offset")
@@ -1820,7 +1880,7 @@ class EventStore:
             .join(pairs_df, "decider_id")
             .filter(F.col("offset") > F.col("last_offset"))
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
+            .filter(F.col("__rn") <= F.col("__depth"))
             .select(*cols)
             .toPandas()  # Arrow transfer; rows cached as plain dicts
         )
@@ -1834,8 +1894,8 @@ class EventStore:
             self._prefetch[(view, decider_id)] = {
                 "lo": last_offset,
                 "rows": rows,
-                # fewer than K rows ⇒ the window reached the watermark
-                "complete": len(rows) < k,
+                # fewer rows than asked ⇒ the window reached the watermark
+                "complete": len(rows) < depth_of[decider_id],
             }
         self._evict_prefetch()
 

@@ -262,6 +262,107 @@ def test_prefetch_hit_rate_steady_state(store):
     assert pf["hits"] / (pf["hits"] + pf["misses"]) >= 0.75, pf
 
 
+def test_prefetch_deep_windows_for_missed_partitions(store):
+    """r12 (VERDICT r11 #3, the real mechanism): the residual sf1 tail
+    refills were SYNCHRONIZED WINDOW EXHAUSTION — the claim re-picks the
+    same ~limit partitions every tick, one event each, so all their
+    16-deep windows exhaust together every 16 ticks.  Partitions that
+    MISS have demonstrated demand and must get PREFETCH_DEPTH_HOT-deep
+    windows on refill; a 20-event partition then fits ONE window (20 <=
+    64) and the whole drain pays exactly one refill job, where the
+    shallow depth would exhaust at 16 and pay a second."""
+    seed(store, n_partitions=2, events_per=20)
+    store.register_view("v1", start_at=now_utc() - timedelta(hours=1))
+    rows = store.stream_events("v1", limit=2).collect()
+    assert len(rows) == 2
+    for part in ("p0", "p1"):
+        win = store._prefetch[("v1", part)]
+        assert win["complete"], win  # whole history fetched in one window
+        assert len(win["rows"]) == 20, (part, len(win["rows"]))
+    drained = 2
+    while True:
+        store.ack_events(
+            "v1", [(r["decider_id"], r["offset"]) for r in rows]
+        )
+        rows = store.stream_events("v1", limit=2).collect()
+        if not rows:
+            break
+        drained += len(rows)
+    assert drained == 40
+    assert store.prefetch_counters["refills"] == 1, store.prefetch_counters
+
+
+def test_union_eligible_pairs_warms_in_walk_order():
+    """r12 (VERDICT r11 #3, the named prefetch drift lever): the warm
+    set must follow the LEDGER's upcoming claim order — shards in walk
+    order from the sticky shard, (hwm offset, last_offset) within a
+    shard, with each foreign shard's HEAD candidate first in fairness-
+    rotor order.  The r11 form sorted candidates GLOBALLY by hwm
+    offset, spreading the budget evenly over all shards while the walk
+    drained the sticky shard in full first — so the walk crossed into
+    unwarmed batches of its own shard every ~PREFETCH_DEPTH ticks (the
+    sf1 residual 9/48 tail refills).  Spark-free: synthetic ledger
+    frames, unbound call."""
+    import pandas as pd
+
+    from fstore_sql_spark.ledger import ShardedLocksLedger
+    from fstore_sql_spark.store import EventStore
+
+    class Shard:
+        def __init__(self, ids, hwm_base):
+            self._df = pd.DataFrame(
+                {"last_offset": [0] * len(ids)},
+                index=pd.MultiIndex.from_tuples(
+                    [("v", d) for d in ids], names=["view", "decider_id"]
+                ),
+            )
+            self.hwm = pd.DataFrame(
+                {"offset": range(hwm_base, hwm_base + len(ids))}, index=ids
+            )
+
+    # shard 0 holds the GLOBALLY lowest hwm offsets — the r11 global
+    # sort would spend the whole budget there; the walk starts at 1.
+    shards = [
+        Shard(["a0", "a1", "a2", "a3"], hwm_base=1),
+        Shard(["b0", "b1", "b2", "b3"], hwm_base=100),
+        Shard(["c0", "c1", "c2", "c3"], hwm_base=200),
+    ]
+
+    class Ledger:
+        n_shards = 3
+        _sticky = 1
+        _rotor = 2
+        upcoming_walk_order = ShardedLocksLedger.upcoming_walk_order
+        upcoming_probe_order = ShardedLocksLedger.upcoming_probe_order
+
+        def __init__(self):
+            self.shards = shards
+
+    class Hwm:
+        def for_shard(self, k):
+            return shards[k].hwm
+
+    class Fake:
+        PREFETCH_PARTITIONS = 7
+        ledger = Ledger()
+        _prefetch = {}
+
+    got = [d for d, _ in EventStore._union_eligible_pairs(Fake(), "v", [], Hwm())]
+    # probe heads first (rotor order 2,0 — sticky 1 skipped), then the
+    # walk stream (shard 1 in full, then shard 2 minus the taken head)
+    assert got == ["c0", "a0", "b0", "b1", "b2", "b3", "c1"], got
+
+    # missing pairs are mandatory and already-warm partitions skipped
+    Fake._prefetch = {("v", "b1"): {}}
+    got = [
+        d
+        for d, _ in EventStore._union_eligible_pairs(
+            Fake(), "v", [("c3", 0)], Hwm()
+        )
+    ]
+    assert got[0] == "c3" and "b1" not in got and len(got) == 7, got
+
+
 def test_prefetch_eviction_is_true_lru(store):
     """r11 (found by the b3 tail window at sf1): the evictor pops from
     the FRONT of the insertion-ordered dict, but plain dict assignment

@@ -109,6 +109,14 @@ def main() -> None:
         else TOP_QUERIES
     )
     timings: dict[str, float] = {}
+    # Noise attribution (r12, VERDICT r11 #5): bracket the sweep with the
+    # pinned sf0.1 analytics probes + the Spark-free engine probe so a
+    # cross-round sf100 delta is classifiable box-vs-code from the
+    # artifact alone.
+    from bench import engine_noise_probe, noise_probe_draw, scale_noise_fields
+
+    probes_start = noise_probe_draw(spark)
+    eng_start = engine_noise_probe()
     # Warm pass: full-column read of every table the query set touches.
     # This decade's working set (~16 GB) fits the box's RAM, and the
     # dimension under test is the ENGINE's scaling (plan + shuffle +
@@ -241,6 +249,7 @@ def main() -> None:
             "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
             "warm_page_cache": True,
         },
+        **scale_noise_fields(spark, probes_start, eng_start),
     }
     path = os.path.join(HERE, f"BENCH_SF100_r{rnd:02d}.json")
     # Compose multi-pass runs (query sweep / b-benches in separate
