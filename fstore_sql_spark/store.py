@@ -1655,11 +1655,12 @@ class EventStore:
         Cost model (the b3 hot path): the claim+lease is driver-side
         (pandas over the ledger + hwm frames, one pyarrow snapshot flush)
         — no Spark job.  Delivery reads through a READ-AHEAD cache: one
-        refill Spark job fetches the next ``PREFETCH_DEPTH`` unread
-        events per claimed partition (broadcast the claimed pairs against
-        one scan of the cached log, per-partition row_number ≤ K); the
-        next K−1 claims of those partitions are then served from the
-        driver buffer with no cluster work.  The delivered result is
+        refill Spark job fetches the next ``PREFETCH_DEPTH_HOT`` unread
+        events per MISSED partition and ``PREFETCH_DEPTH`` per
+        speculatively-warmed one (broadcast the claimed pairs + depths
+        against one scan of the cached log, per-partition row_number ≤
+        depth); the next K−1 claims of those partitions are then served
+        from the driver buffer with no cluster work.  The delivered result is
         driver-bound by contract anyway (the consumer collects ≤limit
         single events), so buffering it driver-side is exactly a DB
         cursor's read-ahead, not a scale compromise; the buffer is LRU
