@@ -721,6 +721,32 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
 #: smallest measured win and a decade above the measured tax.
 PERSIST_TOK_MIN_DOCS = 100_000
 
+#: Coarse per-document estimate of the DISK_ONLY tok cache's on-disk
+#: size (serialized (doc_id, shingle) rows: ~60 shingles/doc at the
+#: testdata document shape; BASELINE.md's "tens of GB at sf100" / 5M
+#: docs).  A DISK_ONLY cache has NO graceful degradation — blocks that
+#: don't fit fill the volume until tasks die on ENOSPC (measured: the
+#: first persist-enabled sf100 sweep killed the box at 46 GB of
+#: blockmgr, BASELINE.md r12) — so the auto gate only persists when the
+#: estimate fits in HALF the free space of the Spark local dir, leaving
+#: the other half for the join's own shuffle spill, which peaks
+#: CONCURRENTLY with the cache.  Explicit ``persist_tok=True`` skips
+#: the check (cluster executors have their own disks).
+PERSIST_TOK_EST_BYTES_PER_DOC = 8192
+
+
+def _persist_tok_fits_disk(corpus: DataFrame, n_docs: int) -> bool:
+    import shutil
+
+    local_dir = corpus.sparkSession.conf.get(
+        "spark.local.dir", "/tmp"
+    ).split(",")[0]
+    try:
+        free = shutil.disk_usage(local_dir).free
+    except OSError:
+        return False
+    return n_docs * PERSIST_TOK_EST_BYTES_PER_DOC <= free // 2
+
 
 def prefix_filter_pairs(
     corpus: DataFrame,
@@ -750,8 +776,14 @@ def prefix_filter_pairs(
         # query 64% to benefit corpora 100x larger, and leaked one
         # DISK_ONLY cache per call in every no-arg sweep caller.  The
         # one extra count() job here is a single-column scan, cheap at
-        # every tier relative to the join it gates.
-        persist_tok = corpus.count() >= PERSIST_TOK_MIN_DOCS
+        # every tier relative to the join it gates.  Disk-awareness
+        # (see PERSIST_TOK_EST_BYTES_PER_DOC): a cache the local volume
+        # cannot hold alongside the join's spill is strictly worse than
+        # recomputing the explode.
+        n_docs = corpus.count()
+        persist_tok = n_docs >= PERSIST_TOK_MIN_DOCS and _persist_tok_fits_disk(
+            corpus, n_docs
+        )
     if persist_tok:
         # ``tok`` feeds THREE subplans (the doc-frequency aggregate +
         # both sides of the verify join), so without a persist each use
