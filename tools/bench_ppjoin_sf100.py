@@ -78,6 +78,9 @@ def main() -> None:
     import re
 
     import fstore_sql_spark.operators  # noqa: F401
+    # 48g is this tool's documented methodology (docstring) — default it
+    # rather than trusting the caller's environment (see bench_sf100.py).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     from fstore_sql_spark import get_spark
     from fstore_sql_spark.operators.dedup import _corpus, prefix_filter_pairs
 

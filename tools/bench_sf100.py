@@ -80,6 +80,13 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="comma-separated subset")
     args = ap.parse_args()
 
+    # The sf100 methodology is a 48g heap (BASELINE.md r8-r10: every
+    # decade artifact; b1's 100M-event columnar build OOMs a default-8g
+    # driver, measured r12).  Default it HERE rather than trusting the
+    # caller's environment — an unset var silently produced a
+    # differently-configured, incomparable artifact once.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
     import fstore_sql_spark.operators  # noqa: F401  (registers queries)
     from pyspark.sql import functions as F
 
