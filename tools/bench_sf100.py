@@ -270,6 +270,21 @@ def main() -> None:
             if v in (None, {}, []) and k in prev:
                 out[k] = prev[k]
         out["queries"] = merged_q
+        # Per-pass noise context must SURVIVE composition (r12: the b-
+        # bench pass's mild probes overwrote the query pass's 1.84x
+        # engine reading, orphaning the sweep's attribution): each
+        # pass's probe fields are appended to noise_passes verbatim.
+        out["noise_passes"] = prev.get("noise_passes", []) + [
+            {
+                k: prev[k]
+                for k in (
+                    "noise_index", "noise_probe_start", "noise_probe_end",
+                    "engine_noise_index", "engine_probe_start_sec",
+                    "engine_probe_end_sec",
+                )
+                if k in prev
+            }
+        ]
         # Composed passes must share ONE declared baseline (ADVICE r9):
         # if a newer sf10 artifact landed between passes, re-load the one
         # the FIRST pass recorded instead of silently rebasing its ratios.
