@@ -94,3 +94,58 @@ class TestMaxDfStopList:
         lost = _pairs(boiler_corpus, None) - _pairs(boiler_corpus, 180)
         assert len(lost) == EXACT - WITHIN
         assert all((a < N_X) != (b < N_X) for a, b in lost)
+
+
+class TestPersistAutoGate:
+    """r12 (VERDICT r11 #4 + ADVICE r11): ``persist_tok=None`` decides by
+    corpus size AND local-disk headroom.  The r11 always-on default taxed
+    the 5k-doc sf0.1 gate query 64%, leaked one DISK_ONLY cache per
+    no-arg sweep call, and — first persist-enabled sf100 sweep — filled
+    the volume (46 GB cache concurrent with the join's own spill) and
+    died on ENOSPC.  These pins make the three gate clauses behavioral:
+    small corpora never persist; the doc threshold opens the gate; a
+    cache estimate that cannot fit half the free local-dir space closes
+    it again."""
+
+    def _cache_mgr_empty(self, spark) -> bool:
+        return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    def test_small_corpus_never_persists(self, spark, boiler_corpus):
+        spark.catalog.clearCache()
+        prefix_filter_pairs(boiler_corpus).count()
+        assert self._cache_mgr_empty(spark)
+
+    def test_doc_threshold_opens_the_gate(self, spark, boiler_corpus, monkeypatch):
+        import fstore_sql_spark.operators.dedup as dd
+
+        monkeypatch.setattr(dd, "PERSIST_TOK_MIN_DOCS", 10)
+        spark.catalog.clearCache()
+        try:
+            prefix_filter_pairs(boiler_corpus).count()
+            assert not self._cache_mgr_empty(spark)
+        finally:
+            spark.catalog.clearCache()
+
+    def test_disk_headroom_closes_the_gate(self, spark, boiler_corpus, monkeypatch):
+        import fstore_sql_spark.operators.dedup as dd
+
+        monkeypatch.setattr(dd, "PERSIST_TOK_MIN_DOCS", 10)
+        # a cache estimate no volume can hold: the gate must close even
+        # above the doc threshold (the sf100 ENOSPC class)
+        monkeypatch.setattr(dd, "PERSIST_TOK_EST_BYTES_PER_DOC", 10**18)
+        spark.catalog.clearCache()
+        prefix_filter_pairs(boiler_corpus).count()
+        assert self._cache_mgr_empty(spark)
+
+    def test_explicit_true_bypasses_the_disk_check(
+        self, spark, boiler_corpus, monkeypatch
+    ):
+        import fstore_sql_spark.operators.dedup as dd
+
+        monkeypatch.setattr(dd, "PERSIST_TOK_EST_BYTES_PER_DOC", 10**18)
+        spark.catalog.clearCache()
+        try:
+            prefix_filter_pairs(boiler_corpus, persist_tok=True).count()
+            assert not self._cache_mgr_empty(spark)  # cluster escape hatch
+        finally:
+            spark.catalog.clearCache()
