@@ -215,8 +215,24 @@ def noise_probe_draw(spark) -> dict[str, float]:
     Caveat disclosed: the caller's session config (e.g. 256 shuffle
     partitions at sf100) adds a small constant bias vs bench.py's
     session, so compare these fields ACROSS ROUNDS of the same tool, not
-    against bench.py's noise_index to the third decimal."""
+    against bench.py's noise_index to the third decimal.
+
+    Returns ``{}`` (disclosed, not fatal) when the pinned sf0.1 probe
+    corpus is absent: the probes are a thermometer for the sweep, and a
+    box without the driver's testdata tier must still be able to run the
+    sf10/sf100 sweeps — with null noise fields and a recorded reason —
+    rather than crash at sweep start (ADVICE r12)."""
+    import os
+
     from fstore_sql_spark.queries import QUERIES
+
+    if not os.path.isdir(NOISE_PROBE_SF_DIR):
+        print(
+            f"noise probe skipped: {NOISE_PROBE_SF_DIR} absent "
+            "(noise fields will be null)",
+            file=sys.stderr,
+        )
+        return {}
 
     out = {}
     for p in NOISE_PROBE_QUERIES:
@@ -234,6 +250,26 @@ def scale_noise_fields(spark, probes_start: dict, eng_start: float) -> dict:
 
     probes_end = noise_probe_draw(spark)
     eng_end = engine_noise_probe()
+    if not probes_start or not probes_end:
+        # Probe corpus absent on this box (see noise_probe_draw): emit
+        # null analytics-noise fields with the reason on record instead
+        # of crashing the sweep; the Spark-free engine probe still runs.
+        return {
+            "noise_index": None,
+            "noise_probe_start": probes_start or None,
+            "noise_probe_end": probes_end or None,
+            "noise_probe_skipped_reason": f"{NOISE_PROBE_SF_DIR} absent",
+            "engine_noise_index": round(
+                statistics.median(
+                    [eng_start / ENGINE_PROBE_PIN_R10,
+                     eng_end / ENGINE_PROBE_PIN_R10]
+                ),
+                3,
+            ),
+            "engine_probe_start_sec": eng_start,
+            "engine_probe_end_sec": eng_end,
+            "env": env_fingerprint(),
+        }
     ratios = [
         draw[p] / PINNED_R01[p]
         for draw in (probes_start, probes_end)
@@ -251,6 +287,41 @@ def scale_noise_fields(spark, probes_start: dict, eng_start: float) -> dict:
         ),
         "engine_probe_start_sec": eng_start,
         "engine_probe_end_sec": eng_end,
+    }
+
+
+def env_fingerprint() -> dict:
+    """Environment identity fields for bench artifacts (r13, sf100-b1
+    attribution): the r10→r12 halving of b1 at sf100 took a session to
+    attribute because no artifact recorded WHICH environment epoch it was
+    measured in — the box had silently rebooted at the exact r10/r11
+    boundary (same code, same plan, same corpus, same packages; see
+    BASELINE.md 'sf100 b1 attribution').  These fields make an epoch
+    change visible from any two artifacts: package versions catch a
+    container rebuild, boot time catches a reboot/VM migration, kernel
+    catches a host change."""
+    import platform
+
+    try:
+        import pyspark
+
+        spark_ver = pyspark.__version__
+    except Exception:
+        spark_ver = None
+    boot = None
+    try:
+        with open("/proc/stat", encoding="ascii") as f:
+            for ln in f:
+                if ln.startswith("btime "):
+                    boot = int(ln.split()[1])
+                    break
+    except OSError:
+        pass
+    return {
+        "pyspark_version": spark_ver,
+        "python_version": platform.python_version(),
+        "kernel": platform.release(),
+        "boot_epoch_utc": boot,
     }
 
 
@@ -649,6 +720,9 @@ def main() -> None:
         "b3_prefetch_counters": pf,
         "noise_probe_end_sec": noise_probe_end,
         "t_offset_s": t_offsets,
+        # environment epoch identity (r13) — detail file only, the
+        # headline stdout line must stay compact
+        "env": env_fingerprint(),
     }
     with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(detail, f, indent=1)

@@ -937,6 +937,25 @@ class ShardedLocksLedger:
             n *= 2
         return n
 
+    @classmethod
+    def shards_for_consumers(cls, expected_consumers: int) -> int:
+        """Shard floor for a declared concurrent-consumer count: next
+        power of two >= N, clamped to [DEFAULT_SHARDS, MAX_SHARDS].
+
+        This encodes the measured r11 scaling knee (BASELINE.md
+        "consumer-scaling knee"): disjoint cross-process claims hand each
+        consumer a sticky shard, so once workers outnumber shards the
+        extra workers CONTEND instead of scaling — measured ~5x/worker
+        throughput LOSS past the knee at 200k partitions / 8 shards,
+        where the partition-based rule alone under-shards for
+        concurrency.  The layout wants shards >= workers; the
+        partition-based ``shards_for`` remains the row-scan bound, and
+        the creation-time hint takes the max of the two."""
+        n = cls.DEFAULT_SHARDS
+        while n < cls.MAX_SHARDS and n < int(expected_consumers):
+            n *= 2
+        return n
+
     def __init__(
         self,
         storage,
@@ -944,16 +963,28 @@ class ShardedLocksLedger:
         n_shards: int | None = None,
         max_resident: int | None = None,
         expected_partitions: int | None = None,
+        expected_consumers: int | None = None,
     ):
         self.table = table
         hint = None
-        if n_shards is None and expected_partitions is not None:
+        if n_shards is None and (
+            expected_partitions is not None or expected_consumers is not None
+        ):
             # a HINT, not a pin: only consulted when this open CREATES
             # the layout; an existing marker wins (and, unlike an
             # explicit n_shards, a mismatching hint is not an error —
             # two racing first-openers with different hints just adopt
-            # the winner's count)
-            hint = self.shards_for(int(expected_partitions))
+            # the winner's count).  The count is the max of the two
+            # sizing rules: rows/shard (tick latency) and shards >=
+            # consumers (the r11 knee — see shards_for_consumers).
+            hint = max(
+                self.shards_for(int(expected_partitions))
+                if expected_partitions is not None
+                else self.DEFAULT_SHARDS,
+                self.shards_for_consumers(int(expected_consumers))
+                if expected_consumers is not None
+                else self.DEFAULT_SHARDS,
+            )
         self.n_shards = self._pin_shard_count(storage, table, n_shards, hint)
         # LRU shard paging (VERDICT r4 #2): with ``max_resident`` set,
         # at most that many shard frames stay loaded on the driver —
@@ -1514,7 +1545,10 @@ class ShardedLocksLedger:
             "rows/shard): the store has outgrown its %d-shard layout "
             "(claim scans are O(partitions/shard)); during a maintenance "
             "window run `python tools/resize_shards.py --store <store_path> "
-            "--shards %d` (see BASELINE.md sizing rule)",
+            "--shards %d` — and if you run concurrent consumers, size "
+            "shards >= next_pow2(workers) too (the scaling knee; declare "
+            "it at creation with EventStore(expected_consumers=N)) "
+            "(see BASELINE.md sizing rule)",
             p95 * 1000,
             len(lat),
             self.TICK_P95_WARN_S * 1000,

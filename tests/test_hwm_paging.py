@@ -502,6 +502,21 @@ class TestAutoPagingPosture:
         assert store.ledger.n_shards == 8
         assert store.ledger.max_resident == 8
 
+    def test_expected_consumers_lifts_shard_count(self, spark, path):
+        # r13 (VERDICT r12 #3): the consumer-provisioning rule at the API —
+        # 2M partitions alone lay out 64 shards; declaring 100 concurrent
+        # consumers lifts the fresh layout to next_pow2(100) = 128 so
+        # workers never outnumber shards (the r11 scaling knee)
+        store = EventStore(
+            spark,
+            path,
+            expected_partitions=2_000_000,
+            expected_consumers=100,
+        )
+        assert store.ledger.n_shards == 128
+        # hwm sharding follows the ledger layout
+        assert store._hwm_shards.n_shards == 128
+
     def test_opt_out_all_keeps_everything_resident(self, spark, path):
         store = EventStore(
             spark, path, expected_partitions=2_000_000, max_resident_shards="all"

@@ -1114,6 +1114,45 @@ class TestShardSizing:
         assert f(100_000_000) == 4096
         assert f(10**12) == 4096  # clamped
 
+    def test_shards_for_consumers_rule(self):
+        # the r11 knee rule (VERDICT r12 #3): shards >= next_pow2(workers),
+        # clamped to [DEFAULT_SHARDS, MAX_SHARDS]
+        f = ShardedLocksLedger.shards_for_consumers
+        assert f(1) == 8
+        assert f(8) == 8
+        assert f(9) == 16
+        assert f(24) == 32
+        assert f(64) == 64
+        assert f(10**9) == 4096  # clamped
+
+    def test_expected_consumers_sizes_fresh_store(self, root):
+        # consumers alone lift the count off the 8-shard floor
+        a = ShardedLocksLedger(ParquetStore(None, root), expected_consumers=24)
+        assert a.n_shards == 32
+        # marker wins on reopen, hint or not (same contract as
+        # expected_partitions)
+        b = ShardedLocksLedger(ParquetStore(None, root), expected_consumers=100)
+        assert b.n_shards == 32
+
+    def test_expected_consumers_max_with_partition_rule(self, root):
+        # both hints: the layout takes the max of the two rules —
+        # 2M partitions alone says 64; 100 consumers say 128
+        a = ShardedLocksLedger(
+            ParquetStore(None, root),
+            expected_partitions=2_000_000,
+            expected_consumers=100,
+        )
+        assert a.n_shards == 128
+        shutil.rmtree(root)
+        os.makedirs(root)
+        # partition rule dominates when consumers are few
+        b = ShardedLocksLedger(
+            ParquetStore(None, root),
+            expected_partitions=2_000_000,
+            expected_consumers=4,
+        )
+        assert b.n_shards == 64
+
     def test_hint_sizes_fresh_store_and_marker_wins_later(self, root):
         a = ShardedLocksLedger(
             ParquetStore(None, root), expected_partitions=2_000_000

@@ -41,6 +41,18 @@ def _shards_for(parts: int) -> int:
 
     return ShardedLocksLedger.shards_for(parts)
 
+
+#: Probe fields copied verbatim into each ``noise_passes`` entry so the
+#: per-pass box context survives multi-pass composition (ADVICE r12).
+_NOISE_PASS_KEYS = (
+    "noise_index", "noise_probe_start", "noise_probe_end",
+    "engine_noise_index", "engine_probe_start_sec", "engine_probe_end_sec",
+)
+
+
+def _noise_pass_entry(artifact: dict) -> dict:
+    return {k: artifact[k] for k in _NOISE_PASS_KEYS if k in artifact}
+
 # Top-8 of the sf10 per-query ranking (BENCH_SF10_r07.json), the
 # dedup/text/skew flagships the 100 TB posture leans on.
 TOP_QUERIES = [
@@ -272,19 +284,18 @@ def main() -> None:
         out["queries"] = merged_q
         # Per-pass noise context must SURVIVE composition (r12: the b-
         # bench pass's mild probes overwrote the query pass's 1.84x
-        # engine reading, orphaning the sweep's attribution): each
-        # pass's probe fields are appended to noise_passes verbatim.
-        out["noise_passes"] = prev.get("noise_passes", []) + [
-            {
-                k: prev[k]
-                for k in (
-                    "noise_index", "noise_probe_start", "noise_probe_end",
-                    "engine_noise_index", "engine_probe_start_sec",
-                    "engine_probe_end_sec",
-                )
-                if k in prev
-            }
-        ]
+        # engine reading, orphaning the sweep's attribution).
+        # noise_passes holds EVERY pass's probe fields INCLUDING the
+        # current one (ADVICE r12: the old append-prev-only scheme left
+        # the final pass's context only in the top-level fields, so a
+        # consumer iterating noise_passes silently missed it).  The
+        # prev entry is skipped when prev already recorded itself —
+        # pre-r13 artifacts carried only their predecessors.
+        prev_entry = _noise_pass_entry(prev)
+        passes = list(prev.get("noise_passes", []))
+        if prev_entry and (not passes or passes[-1] != prev_entry):
+            passes.append(prev_entry)
+        out["noise_passes"] = passes + [_noise_pass_entry(out)]
         # Composed passes must share ONE declared baseline (ADVICE r9):
         # if a newer sf10 artifact landed between passes, re-load the one
         # the FIRST pass recorded instead of silently rebasing its ratios.
@@ -303,6 +314,8 @@ def main() -> None:
             k: r for k, r in out["ratio_vs_sf10"].items() if r > 15.0
         }
         out["value"] = round(sum(merged_q.values()), 3)
+    else:
+        out["noise_passes"] = [_noise_pass_entry(out)]
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))

@@ -141,7 +141,17 @@ def main() -> int:
         help="run on a deterministic documents subcorpus (doc_id %% N == 0 "
         "plus each replica's 25 planted-pair sources) materialized next to "
         "--sf; gives DuckDB a tractable shingle workload at sf10 while "
-        "both engines read the same physical subset (VERDICT r10 #1)",
+        "both engines read the same physical subset (VERDICT r10 #1). "
+        "This is the general recipe for ORACLE-BOUND families above sf1: "
+        "the engine scales but single-threaded DuckDB does not, so instead "
+        "of dropping to a rows-only check, shrink the INPUT once and keep "
+        "the full three-way compare. Precedent: the dedup family "
+        "(minhash/jaccard/ppjoin/clusters) runs 4/4 at sf10 via "
+        "--doc-sample-mod 20 (~125k docs); the same flag unlocks any "
+        "documents-driven family (text_*, vocab, contamination), and the "
+        "build_doc_subcorpus pattern (filter one table, symlink the rest) "
+        "extends to lineitem/orders-bound families if a scale-wrongness "
+        "hunt ever needs it (see BASELINE.md 'Subcorpus oracle recipe')",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
