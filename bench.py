@@ -268,6 +268,7 @@ def scale_noise_fields(spark, probes_start: dict, eng_start: float) -> dict:
             ),
             "engine_probe_start_sec": eng_start,
             "engine_probe_end_sec": eng_end,
+            "pagefault_us_per_4k": memory_fault_probe(),
             "env": env_fingerprint(),
         }
     ratios = [
@@ -287,6 +288,12 @@ def scale_noise_fields(spark, probes_start: dict, eng_start: float) -> dict:
         ),
         "engine_probe_start_sec": eng_start,
         "engine_probe_end_sec": eng_end,
+        # the first-touch fault regime (r13): the one resource whose
+        # degradation the other probes can't see — see memory_fault_probe
+        "pagefault_us_per_4k": memory_fault_probe(),
+        # environment epoch identity (r13, sf100-b1 attribution): a
+        # reboot/rebuild between rounds is visible from the artifact
+        "env": env_fingerprint(),
     }
 
 
@@ -323,6 +330,35 @@ def env_fingerprint() -> dict:
         "kernel": platform.release(),
         "boot_epoch_utc": boot,
     }
+
+
+def memory_fault_probe(mb: int = 64) -> float:
+    """Median-free single-shot probe of anonymous FIRST-TOUCH page-fault
+    latency, in µs per 4 KB page (r13, sf100-b1 attribution).
+
+    Why it exists: the r10→r12 halving of sf100 b1 was an environment
+    epoch — after a host reboot the box serviced anonymous first-touch
+    faults at ~10 µs/page (healthy: ~0.5-2), a ~10-30x tax that lands
+    almost entirely on workloads faulting fresh multi-GB working sets
+    (a new 48 g JVM's shuffle buffers + columnar cache = the b1 phases)
+    while leaving direct disk IO, steady-state memory bandwidth, and
+    small-working-set analytics near-normal — which is exactly why the
+    existing probes read neutral while b1 halved.  This probe makes that
+    regime visible in every scale artifact.  Code-frozen like
+    engine_noise_probe: touches one byte per page of a fresh anonymous
+    mmap, no engine imports."""
+    import mmap
+
+    size = mb * 1024 * 1024
+    m = mmap.mmap(-1, size)
+    try:
+        t0 = time.perf_counter()
+        for off in range(0, size, 4096):
+            m[off] = 1
+        dt = time.perf_counter() - t0
+    finally:
+        m.close()
+    return round(dt / (size // 4096) * 1e6, 2)
 
 
 def engine_noise_probe() -> float:

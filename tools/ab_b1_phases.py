@@ -196,10 +196,20 @@ def main() -> None:
         for draw in range(args.draws):
             for ref in (args.ref_a, args.ref_b):  # interleave
                 eng = _engine_probe()
+                # Per-draw scratch dir, reclaimed SYNCHRONOUSLY by the
+                # parent after the child exits: a 100M-row b1 draw spills
+                # ~30-35 GB of blockmgr, and Spark's shutdown-hook rm is
+                # asynchronous (and absent entirely when the draw dies on
+                # ENOSPC) — the first run of this tool lost all four
+                # draws to the PREVIOUS draws' orphaned spill.
+                scratch = tempfile.mkdtemp(prefix="ab_b1_scratch_")
+                env = dict(os.environ, SPARK_LOCAL_DIRS=scratch)
                 p = subprocess.run(
                     [sys.executable, child, trees[ref], args.sf, "run"],
                     capture_output=True, text=True, timeout=args.timeout,
+                    env=env,
                 )
+                subprocess.run(["rm", "-rf", scratch])
                 line = [ln for ln in p.stdout.splitlines()
                         if ln.startswith("RESULT ")]
                 if not line:
