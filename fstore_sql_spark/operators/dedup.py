@@ -744,14 +744,31 @@ def _persist_tok_fits_disk(corpus: DataFrame, n_docs: int) -> bool:
     # would have this gate probing the wrong volume — approving a persist
     # that lands on a smaller disk, the exact ENOSPC class the gate
     # exists to prevent (ADVICE r12).  Mirror Spark: env first, conf
-    # fallback, /tmp default; first entry of a comma list.
-    local_dir = (
+    # fallback, /tmp default.  Spark round-robins blocks across EVERY
+    # listed dir, so the usable pool is the SUM of free space over the
+    # distinct filesystems behind the list (ADVICE r13: probing only the
+    # first entry under- or over-estimated multi-volume deployments,
+    # depending on which dir happened to be listed first); two dirs on
+    # one volume share its free space, hence dedup by st_dev.
+    local_dirs = (
         os.environ.get("SPARK_LOCAL_DIRS")
         or corpus.sparkSession.conf.get("spark.local.dir", "/tmp")
-    ).split(",")[0]
-    try:
-        free = shutil.disk_usage(local_dir).free
-    except OSError:
+    ).split(",")
+    free = 0
+    seen_devs: set[int] = set()
+    for d in local_dirs:
+        d = d.strip()
+        if not d:
+            continue
+        try:
+            dev = os.stat(d).st_dev
+            if dev in seen_devs:
+                continue
+            seen_devs.add(dev)
+            free += shutil.disk_usage(d).free
+        except OSError:
+            continue
+    if not seen_devs:
         return False
     return n_docs * PERSIST_TOK_EST_BYTES_PER_DOC <= free // 2
 

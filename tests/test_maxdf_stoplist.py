@@ -137,6 +137,47 @@ class TestPersistAutoGate:
         prefix_filter_pairs(boiler_corpus).count()
         assert self._cache_mgr_empty(spark)
 
+    def test_multi_dir_list_sums_distinct_filesystems_once(
+        self, spark, boiler_corpus, monkeypatch, tmp_path
+    ):
+        """r14 (ADVICE r13): Spark round-robins blocks across EVERY
+        SPARK_LOCAL_DIRS entry, so the gate sums free space across the
+        list — but two dirs on ONE volume share its free bytes and must
+        be counted once (dedup by st_dev), or a 2-entry list on a single
+        disk would double the apparent pool and re-open the ENOSPC
+        class the gate exists to prevent."""
+        import shutil as _sh
+
+        import fstore_sql_spark.operators.dedup as dd
+
+        a = tmp_path / "spill_a"
+        b = tmp_path / "spill_b"
+        a.mkdir()
+        b.mkdir()
+        monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{a},{b}")
+        free = _sh.disk_usage(str(a)).free
+        # an estimate that fits ONE volume's half-free but not two: same
+        # filesystem twice must read as one pool → gate closes
+        per_doc = (free // 2) + (free // 4)
+        n_docs = 1
+        monkeypatch.setattr(dd, "PERSIST_TOK_EST_BYTES_PER_DOC", per_doc)
+        assert not dd._persist_tok_fits_disk(boiler_corpus, n_docs)
+        # sanity: a fitting estimate passes through the same path
+        monkeypatch.setattr(dd, "PERSIST_TOK_EST_BYTES_PER_DOC", free // 8)
+        assert dd._persist_tok_fits_disk(boiler_corpus, n_docs)
+
+    def test_unresolvable_dir_list_closes_the_gate(
+        self, spark, boiler_corpus, monkeypatch
+    ):
+        """A list of nonexistent dirs must fail CLOSED (no probe-able
+        volume → no persist), not crash the query."""
+        import fstore_sql_spark.operators.dedup as dd
+
+        monkeypatch.setenv(
+            "SPARK_LOCAL_DIRS", "/nonexistent_a,/nonexistent_b, "
+        )
+        assert not dd._persist_tok_fits_disk(boiler_corpus, 1)
+
     def test_explicit_true_bypasses_the_disk_check(
         self, spark, boiler_corpus, monkeypatch
     ):

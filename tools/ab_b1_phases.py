@@ -158,8 +158,11 @@ def main() -> None:
     args = ap.parse_args()
 
     trees: dict[str, str] = {}
-    child = os.path.join(tempfile.gettempdir(), "ab_b1_child.py")
-    with open(child, "w", encoding="utf-8") as f:
+    # Per-run child path (ADVICE r13): a fixed name let two concurrent
+    # invocations (or a stale older harness) clobber each other's child
+    # script mid-run — the A/B would then time two copies of ONE tree.
+    fd, child = tempfile.mkstemp(prefix="ab_b1_child_", suffix=".py")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
         f.write(_CHILD)
     results: dict[str, list[dict]] = {args.ref_a: [], args.ref_b: []}
     plans: dict[str, str] = {}
@@ -178,6 +181,19 @@ def main() -> None:
                     [sys.executable, child, trees[ref], args.sf, "explain"],
                     capture_output=True, text=True, timeout=600,
                 )
+                # A crashed child (missing corpus, import error) emits no
+                # PLAN_BEGIN, and two such crashes would both collapse to
+                # the same empty string — printing "PLANS IDENTICAL", a
+                # false exoneration of Catalyst in the exact attribution
+                # workflow this tool exists for (ADVICE r13).  Die loudly
+                # instead of comparing garbage.
+                if p.returncode != 0 or "PLAN_BEGIN" not in p.stdout:
+                    sys.exit(
+                        f"explain child [{ref}] failed "
+                        f"(rc={p.returncode}, PLAN_BEGIN "
+                        f"{'present' if 'PLAN_BEGIN' in p.stdout else 'ABSENT'})"
+                        f":\n{p.stderr[-2000:]}"
+                    )
                 body = p.stdout.split("PLAN_BEGIN", 1)[-1].split("PLAN_END")[0]
                 plans[ref] = body
                 print(f"--- plan [{ref}]: {len(body.splitlines())} lines")
@@ -229,6 +245,10 @@ def main() -> None:
                 ["git", "-C", HERE, "worktree", "remove", "--force", path],
                 capture_output=True,
             )
+        try:
+            os.unlink(child)
+        except OSError:
+            pass
 
     summary = {"a": args.ref_a, "b": args.ref_b}
     for ref, recs in results.items():

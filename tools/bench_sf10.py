@@ -78,12 +78,20 @@ def main() -> None:
     # pinned sf0.1 analytics probes + the Spark-free engine probe so a
     # cross-round sf10 delta is classifiable box-vs-code from the
     # artifact alone (the r11 +45% wall was not).
-    from bench import engine_noise_probe, noise_probe_draw, scale_noise_fields
+    from bench import (
+        engine_noise_probe,
+        memory_fault_probe,
+        noise_probe_draw,
+        scale_noise_fields,
+    )
 
     timings: dict[str, float] = {}
     load(spark, args.sf, "lineitem").count()  # warm listing/JVM
     probes_start = noise_probe_draw(spark)
     eng_start = engine_noise_probe()
+    # Start-of-sweep fault sample (r14, VERDICT r13 #2): bursty regime,
+    # so the calm-window claim rides a bracket, not a single shot.
+    fault_start = memory_fault_probe()
 
     for name in TOP_QUERIES:
         t0 = time.time()
@@ -172,7 +180,7 @@ def main() -> None:
             round(b3c_eps / b3c1_eps, 2) if b3c1_eps else None
         ),
         "b3c_partitions": args.b3c_parts,
-        **scale_noise_fields(spark, probes_start, eng_start),
+        **scale_noise_fields(spark, probes_start, eng_start, fault_start),
     }
     path = os.path.join(HERE, f"BENCH_SF10_r{rnd:02d}.json")
     with open(path, "w", encoding="utf-8") as f:

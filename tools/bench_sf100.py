@@ -44,9 +44,17 @@ def _shards_for(parts: int) -> int:
 
 #: Probe fields copied verbatim into each ``noise_passes`` entry so the
 #: per-pass box context survives multi-pass composition (ADVICE r12).
+#: Includes the r13/r14 epoch fields (pagefault bracket, env fingerprint,
+#: skip reason): without them a later pass overwrites the top-level
+#: values and the earlier pass's epoch context is lost from the artifact
+#: — the same orphaning the list exists to prevent (ADVICE r13).
 _NOISE_PASS_KEYS = (
     "noise_index", "noise_probe_start", "noise_probe_end",
+    "noise_probe_skipped_reason",
     "engine_noise_index", "engine_probe_start_sec", "engine_probe_end_sec",
+    "pagefault_us_per_4k", "pagefault_us_per_4k_start",
+    "pagefault_us_per_4k_end", "pagefault_us_per_4k_max",
+    "env",
 )
 
 
@@ -132,10 +140,18 @@ def main() -> None:
     # pinned sf0.1 analytics probes + the Spark-free engine probe so a
     # cross-round sf100 delta is classifiable box-vs-code from the
     # artifact alone.
-    from bench import engine_noise_probe, noise_probe_draw, scale_noise_fields
+    from bench import (
+        engine_noise_probe,
+        memory_fault_probe,
+        noise_probe_draw,
+        scale_noise_fields,
+    )
 
     probes_start = noise_probe_draw(spark)
     eng_start = engine_noise_probe()
+    # Start-of-sweep fault sample (r14, VERDICT r13 #2): the regime is
+    # bursty, so "calm window" needs a bracket, not a single shot.
+    fault_start = memory_fault_probe()
     # Warm pass: full-column read of every table the query set touches.
     # This decade's working set (~16 GB) fits the box's RAM, and the
     # dimension under test is the ENGINE's scaling (plan + shuffle +
@@ -268,7 +284,7 @@ def main() -> None:
             "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
             "warm_page_cache": True,
         },
-        **scale_noise_fields(spark, probes_start, eng_start),
+        **scale_noise_fields(spark, probes_start, eng_start, fault_start),
     }
     path = os.path.join(HERE, f"BENCH_SF100_r{rnd:02d}.json")
     # Compose multi-pass runs (query sweep / b-benches in separate
