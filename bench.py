@@ -466,6 +466,9 @@ def main() -> None:
     t_offsets: dict[str, float] = {}
     # warm the JVM + file listing once (excluded from per-query timings)
     load(spark, SF_DIR, "lineitem").count()
+    # fault-regime bracket for the detail artifact (r14, VERDICT r13 #2:
+    # same convention as the scale sweeps)
+    fault_start = memory_fault_probe()
     run_t0 = time.time()
 
     def _mark(name: str) -> float:
@@ -790,8 +793,10 @@ def main() -> None:
         "b3_prefetch_counters": pf,
         "noise_probe_end_sec": noise_probe_end,
         "t_offset_s": t_offsets,
-        # environment epoch identity (r13) — detail file only, the
-        # headline stdout line must stay compact
+        # fault-regime bracket (r14) + environment epoch identity (r13)
+        # — detail file only, the headline stdout line must stay compact
+        "pagefault_us_per_4k_start": fault_start,
+        "pagefault_us_per_4k_end": memory_fault_probe(),
         "env": env_fingerprint(),
     }
     with open(detail_path, "w", encoding="utf-8") as f:
