@@ -131,6 +131,59 @@ def build_doc_subcorpus(sf_dir: str, mod: int) -> str:
     return out
 
 
+#: The sf10 SCALE-EXPOSED oracle subset, canonicalized r14 (VERDICT r13
+#: #7 ratchet): r11 established it as two ad-hoc passes (37 + 29,
+#: BASELINE.md "r10 ratchet" section) whose exact names lived only in
+#: prose — from r14 the list is code, runnable verbatim each round via
+#: ``--scale-exposed``.  Selection rule (unchanged from r11): every
+#: family where a SCALE-dependent wrongness class can appear —
+#: tie-breaks, decimal→double ULP drift past 2^53 (the ols find),
+#: sampling determinism, window frames, sketch thresholds — and whose
+#: oracle DuckDB can finish single-threaded at sf10 (60M lineitem /
+#: 10M events); the shingle-explode documents families are excluded
+#: here and covered by the ``--doc-sample-mod 20`` subcorpus instead.
+SCALE_EXPOSED = [
+    # TPC-H join/agg family
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q12_priority_shipping", "q13_order_distribution",
+    "q14_promo_effect", "q17_small_quantity_revenue",
+    "q21_waiting_suppliers", "top_customers_per_nation",
+    # windows / sessions / time
+    "window_function_family", "user_sessions", "session_window_rollup",
+    "cohort_retention", "funnel_conversion", "scd2_state_at_cutoff",
+    "weekly_revenue_growth", "rolling_7d_median_revenue",
+    "trailing_7d_active_users", "equi_depth_histogram",
+    "winsorized_value_stats",
+    # sampling determinism
+    "sample_deterministic_counts", "stratified_sample_by_lang",
+    "weighted_reservoir_sample", "shuffle_positions",
+    # skew constructions
+    "skew_salted_revenue", "skew_salted_hot_revenue",
+    # event-store kernels
+    "es_get_events", "es_stream_next_offset", "es_high_watermark",
+    "es_t7_backfill", "es_ordering_lag",
+    # ANN / embeddings
+    "ann_topk_bruteforce", "ann_blocked_topk",
+    # hash-heavy text/dedup gates (non-shingle)
+    "vocab_top_terms", "text_fingerprint", "dedup_exact", "dedup_simhash",
+    # stats / profiling (the family that produced the ols ULP find)
+    "ols_price_model", "regr_price_on_quantity", "corr_quantity_price",
+    "mad_quantity", "quantity_percentiles", "approx_value_percentiles",
+    "approx_distinct_users", "zscore_outlier_counts",
+    "weighted_median_price", "value_histogram", "benford_price_digits",
+    "gini_revenue_by_nation", "chi2_lang_source",
+    "autocorr_daily_revenue", "source_decile_profile",
+    "interevent_gap_histogram",
+    # rollup family
+    "rollup_order_stats", "dow_quarter_rollup", "grouping_sets_sales",
+    "cube_lineitem_stats", "two_level_rollup_reuse", "value_band_rollup",
+    "hourly_event_rollup", "sliding_window_rollup",
+    # heavy hitters / layout
+    "frequent_words_mg", "zorder_bucket_stats",
+]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -153,8 +206,18 @@ def main() -> int:
         "extends to lineitem/orders-bound families if a scale-wrongness "
         "hunt ever needs it (see BASELINE.md 'Subcorpus oracle recipe')",
     )
+    ap.add_argument(
+        "--scale-exposed",
+        action="store_true",
+        help="run the canonical sf10 scale-exposed subset (SCALE_EXPOSED, "
+        f"{len(SCALE_EXPOSED)} queries) — the set where scale-dependent "
+        "wrongness classes can appear and DuckDB still finishes at sf10; "
+        "pair with --sf testdata_sf10",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if args.scale_exposed:
+        args.names = SCALE_EXPOSED + args.names
 
     if args.doc_sample_mod:
         args.sf = build_doc_subcorpus(args.sf, args.doc_sample_mod)
