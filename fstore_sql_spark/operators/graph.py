@@ -211,10 +211,19 @@ def triangle_count(spark, sf_dir):
     Σ deg(v)² on the oriented (lower-degree-first) adjacency.  Two
     broadcast-able self-joins on a |top-k|² -bounded edge list."""
     d = load(spark, sf_dir, "documents")
-    _, edges_bidir = _word_graph(d)
+    top, edges_bidir = _word_graph(d)
+    # The closure below references the edge list four times (e1/e2/e3 +
+    # n_edges) and the node set once more; unpersisted, every reference
+    # re-derived the whole explode→top→doc_words subtree (r14: 39
+    # Exchanges, ~13 corpus explodes in one plan).  The oriented edge
+    # list is ≤ TOP_WORDS²/2 rows and top is ≤ TOP_WORDS rows — persist
+    # both (trivially scale-safe) so the corpus is exploded once for the
+    # top-k aggregate and once for doc_words, and nothing else.
+    top = top.persist()
     edges = (
         edges_bidir.filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist()
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
@@ -227,7 +236,5 @@ def triangle_count(spark, sf_dir):
     )
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_node = (
-        _word_graph(d)[0].agg(F.count(F.lit(1)).alias("n_nodes"))
-    )
+    n_node = top.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_tri.crossJoin(F.broadcast(n_edge)).crossJoin(F.broadcast(n_node))

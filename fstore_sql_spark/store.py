@@ -1109,6 +1109,11 @@ class EventStore:
         """Partitions born in this batch, as a DataFrame — never collected
         (a 100 TB backfill batch can open millions of streams)."""
         keys = cand.select("decider_id", "decider").distinct()
+        # Empty-log fast path (r14, same manifest proof as
+        # ``_validate_batch``): with no committed rows every candidate
+        # stream is new — the semi+anti probe of the log is the identity.
+        if self.storage.read_manifest(_EVENTS).max_offset == 0:
+            return keys
         existing = (
             self.events()
             .join(F.broadcast(keys), ["decider_id", "decider"], "leftsemi")
@@ -1128,33 +1133,35 @@ class EventStore:
         in the reference's trigger firing order (alphabetical trigger
         names then constraints, SURVEY.md §3.1): T1, T2, T3, C1, C2, C3.
         """
-        events = self.events()
-        tails = self._stream_tails(cand)
+        # EMPTY-LOG FAST PATH (r14, guide §2.4 — remove shuffles outright):
+        # the first bulk load into a fresh store (the 100 TB bootstrap
+        # shape, and exactly bench b1) validated against FOUR probes of an
+        # empty log — the tails aggregate + three existing-event scans —
+        # each still costing AQE stage rounds and join planning.  The
+        # manifest is already consistent under the committer flock, and
+        # max_offset is monotone (append-only log, no deleting verb), so
+        # ``max_offset == 0`` ⟺ the log has never committed a row; every
+        # probe provably returns no matches and is replaced by its
+        # no-match literal (null flag columns — bit-identical to what the
+        # left joins produce).  The non-empty path is byte-unchanged.
+        log_empty = self.storage.read_manifest(_EVENTS).max_offset == 0
 
         # event_id tiebreaker: caller-supplied seq may tie; hash-derived
         # seq (no-seq DF path) can tie on collisions.  The extra key makes
         # every rank/lag deterministic either way (C1 guarantees unique
         # event_id, so the composite order is total).
         w = Window.partitionBy("decider_id", "decider").orderBy("seq", "event_id")
-        ann = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .withColumn("prev_batch_final", F.lag("final").over(w))
-            .join(F.broadcast(tails), ["decider_id", "decider"], "left")
+        ann = cand.withColumn("rn", F.row_number().over(w)).withColumn(
+            "prev_batch_final", F.lag("final").over(w)
         )
+        if log_empty:
+            ann = ann.withColumn(
+                "tail_event_id", F.lit(None).cast("string")
+            ).withColumn("tail_final", F.lit(None).cast("boolean"))
+        else:
+            tails = self._stream_tails(cand)
+            ann = ann.join(F.broadcast(tails), ["decider_id", "decider"], "left")
 
-        # Existing-event probes, all column-pruned scans joined as flags.
-        # event_id / previous_id are unique in the log (C1/C2 invariants we
-        # maintain), so each left join matches at most one row.
-        ex_eid = events.select("event_id").withColumn("eid_exists", F.lit(True))
-        ex_pid = (
-            events.filter(F.col("previous_id").isNotNull())
-            .select("previous_id")
-            .withColumn("pid_exists", F.lit(True))
-        )
-        # T3: predecessor present in the same existing stream…
-        ex_pred = events.select(
-            "decider_id", "decider", F.col("event_id").alias("previous_id")
-        ).withColumn("pred_in_log", F.lit(True))
         # …or earlier in the batch (event_id intra-batch unique per C1).
         earlier = cand.select(
             "decider_id",
@@ -1168,13 +1175,39 @@ class EventStore:
             .withColumn("registered", F.lit(True))
         )
 
-        flagged = (
-            ann.join(ex_eid, "event_id", "left")
-            .join(ex_pid, "previous_id", "left")
-            .join(ex_pred, ["decider_id", "decider", "previous_id"], "left")
-            .join(earlier, ["decider_id", "decider", "previous_id"], "left")
-            .join(registry, ["decider", "event", "event_version"], "left")
-        )
+        if log_empty:
+            flagged = (
+                ann.withColumn("eid_exists", F.lit(None).cast("boolean"))
+                .withColumn("pid_exists", F.lit(None).cast("boolean"))
+                .withColumn("pred_in_log", F.lit(None).cast("boolean"))
+                .join(earlier, ["decider_id", "decider", "previous_id"], "left")
+                .join(registry, ["decider", "event", "event_version"], "left")
+            )
+        else:
+            events = self.events()
+            # Existing-event probes, all column-pruned scans joined as
+            # flags.  event_id / previous_id are unique in the log (C1/C2
+            # invariants we maintain), so each left join matches at most
+            # one row.
+            ex_eid = events.select("event_id").withColumn(
+                "eid_exists", F.lit(True)
+            )
+            ex_pid = (
+                events.filter(F.col("previous_id").isNotNull())
+                .select("previous_id")
+                .withColumn("pid_exists", F.lit(True))
+            )
+            # T3: predecessor present in the same existing stream…
+            ex_pred = events.select(
+                "decider_id", "decider", F.col("event_id").alias("previous_id")
+            ).withColumn("pred_in_log", F.lit(True))
+            flagged = (
+                ann.join(ex_eid, "event_id", "left")
+                .join(ex_pid, "previous_id", "left")
+                .join(ex_pred, ["decider_id", "decider", "previous_id"], "left")
+                .join(earlier, ["decider_id", "decider", "previous_id"], "left")
+                .join(registry, ["decider", "event", "event_version"], "left")
+            )
 
         nonnull_pid = F.col("previous_id").isNotNull()
         t1_viol = F.when(

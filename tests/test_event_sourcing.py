@@ -492,3 +492,89 @@ def test_dataframe_without_seq_gets_deterministic_hash_order(store, spark):
     ]
     got = sorted(maps[0], key=maps[0].get)
     assert got == expected
+
+
+def test_empty_log_fast_path_validation_parity(store):
+    """r14 optimization pin: on a FRESH store the validator skips the four
+    log probes (manifest.max_offset == 0 proves they match nothing), so
+    every rule that can fire inside a first batch must still fire — and
+    after one commit the probe path must catch log-vs-batch violations
+    exactly as before."""
+    store.register_decider_event("d", "e", "x")
+
+    # C1 intra-batch duplicate (two fresh streams, so no T-rule preempts),
+    # caught on the empty log (fast path)
+    dup = uid()
+    with pytest.raises(DuplicateEventIdError):
+        store.append_batch(
+            [
+                {"event": "e", "event_id": dup, "decider": "d", "decider_id": "s1"},
+                {"event": "e", "event_id": dup, "decider": "d", "decider_id": "s2"},
+            ]
+        )
+
+    # T3 dangling previous_id: nothing in the (empty) log can satisfy it
+    with pytest.raises(PreviousIdError):
+        store.append_batch(
+            [
+                {
+                    "event": "e",
+                    "event_id": uid(),
+                    "decider": "d",
+                    "decider_id": "s1",
+                    "previous_id": uid(),
+                }
+            ]
+        )
+
+    # T2 second-in-batch with null previous_id (window rules, no log probe)
+    with pytest.raises(FirstEventError):
+        store.append_batch(
+            [
+                {"event": "e", "event_id": uid(), "decider": "d", "decider_id": "s1"},
+                {"event": "e", "event_id": uid(), "decider": "d", "decider_id": "s1"},
+            ]
+        )
+
+    # C3 unregistered event type, fast path
+    with pytest.raises(UnregisteredEventError):
+        store.append_batch(
+            [{"event": "nope", "event_id": uid(), "decider": "d", "decider_id": "s1"}]
+        )
+
+    # happy first commit through the fast path…
+    e1 = uid()
+    out = store.append_batch(
+        [{"event": "e", "event_id": e1, "decider": "d", "decider_id": "s1"}]
+    ).collect()
+    assert [r["offset"] for r in out] == [1]
+
+    # …and the non-empty path (log probes) still catches cross-batch C1/C2
+    with pytest.raises(DuplicateEventIdError):
+        store.append_batch(
+            [{"event": "e", "event_id": e1, "decider": "d", "decider_id": "s2"}]
+        )
+    e2, e3 = uid(), uid()
+    store.append_batch(
+        [
+            {
+                "event": "e",
+                "event_id": e2,
+                "decider": "d",
+                "decider_id": "s1",
+                "previous_id": e1,
+            }
+        ]
+    )
+    with pytest.raises(OptimisticLockError):
+        store.append_batch(
+            [
+                {
+                    "event": "e",
+                    "event_id": e3,
+                    "decider": "d",
+                    "decider_id": "s1",
+                    "previous_id": e1,
+                }
+            ]
+        )
