@@ -152,18 +152,31 @@ def embedding_neardup_pairs(spark, sf_dir):
     planted = e.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "label", "v"
     )
-    corpus = e.unionByName(planted)
+    # Per-row norms are computed BEFORE the blocked self-join (r14, guide
+    # §1.2 per-task work): inside ``cosine`` each candidate PAIR paid two
+    # O(d) norm folds on top of the dot product — interpreted higher-order
+    # lambdas, ~3x the necessary per-pair work (measured 8.9s warm at
+    # sf0.1, the slowest operator in the registry).  ``norm(v)`` per row
+    # is the identical double to ``norm(va)`` per pair (same expression,
+    # same data), and ``dot / nullif(na*nb, 0)`` reproduces ``cosine``'s
+    # try_divide/NULLIF degenerate-input handling bit-for-bit — the
+    # oracle hash is unchanged.
+    corpus = e.unionByName(planted).withColumn("nv", norm(F.col("v")))
     a = corpus.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
     b = corpus.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
+    sim = F.try_divide(
+        dot(F.col("va"), F.col("vb")),
+        F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
     )
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
-        )
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.995)
     )
 
@@ -207,6 +220,15 @@ def build_ivf_index(
             array_to_vector(F.transform(v, lambda x: x / F.col("_vnorm"))),
         )
         .drop("_vnorm")
+        # Persist the feature frame across the fit (r14, guide §5): the
+        # k-means|| init + every Lloyd iteration is its own Spark job, and
+        # unpersisted each re-derived the normalization (interpreted
+        # higher-order lambdas) from the scan — MLlib itself warns when
+        # its input is uncached.  Measured 6.1 -> 3.7s warm at sf0.1;
+        # centroids are bit-identical (same data, same seed, same
+        # arithmetic — residency changes nothing).  The standard MLlib
+        # posture at any scale; Spark spills or recomputes under pressure.
+        .persist()
     )
     model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="cell").fit(
         with_vec
@@ -344,17 +366,27 @@ def knn_label_accuracy(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
+    # Norms hoisted out of the pair loop (r14, same rewrite as
+    # embedding_neardup_pairs): 100 queries x |corpus| pairs each paid two
+    # O(d) interpreted norm folds; per-row norms + try_divide/nullif give
+    # the bit-identical quotient before the 6 dp rounding the rank reads.
     q = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("ql"),
         F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    sim = F.try_divide(
+        dot(F.col("qv"), F.col("v")),
+        F.nullif(F.col("qn") * F.col("nv"), F.lit(0.0)),
     )
     w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
     ranked = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        e.withColumn("nv", norm(F.col("v")))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "ql", F.col("label").alias("nl"), "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("s"),
+            F.round(sim, 6).alias("s"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -693,12 +725,23 @@ def embedding_contamination(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
-    bench = e.filter(F.col("label") == 0).select(F.col("v").alias("bv"))
+    # Norms hoisted out of the pair loop (r14, same rewrite as
+    # embedding_neardup_pairs): each of the ~360k crossJoin pairs paid two
+    # O(d) interpreted norm folds; per-row norms + try_divide/nullif give
+    # the bit-identical quotient.  Measured 5.32 -> ~1.6 s warm at sf0.1.
+    bench = e.filter(F.col("label") == 0).select(
+        F.col("v").alias("bv"), norm(F.col("v")).alias("bn")
+    )
+    sim = F.try_divide(
+        dot(F.col("v"), F.col("bv")),
+        F.nullif(F.col("nv") * F.col("bn"), F.lit(0.0)),
+    )
     per_vec = (
         e.filter(F.col("label") != 0)
+        .withColumn("nv", norm(F.col("v")))
         .crossJoin(F.broadcast(bench))
         .groupBy("vec_id", "label")
-        .agg(F.round(F.max(cosine(F.col("v"), F.col("bv"))), 6).alias("max_sim"))
+        .agg(F.round(F.max(sim), 6).alias("max_sim"))
     )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
