@@ -481,6 +481,24 @@ def main() -> None:
         force(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
+    # r14 ADDED entries (contract: entries may be ADDED, never removed or
+    # renamed): the four registry operators the r14 full-registry sweep
+    # found slowest and then optimized (similarity-family norm hoists +
+    # k-means input caching — OPTIMIZATION_r14.md #2/#2b/#3).  Timed with
+    # the same methodology but kept OUT of the headline total, whose
+    # composition is pinned since r01 (same treatment as b3c); they land
+    # in ``queries`` so the driver's artifact tracks them round-over-round.
+    extra_timings: dict[str, float] = {}
+    for name in (
+        "embedding_neardup_pairs",
+        "embedding_contamination",
+        "knn_label_accuracy",
+        "ann_ivf_kmeans_topk",
+    ):
+        t0 = _mark(name)
+        force(QUERIES[name](spark, SF_DIR))
+        extra_timings[name] = round(time.time() - t0, 3)
+
     # Engine noise probe, RUN-START draw (r10, VERDICT r9 #1): bracket
     # the b-benches the way q1/q3/q5 bracket the analytics loop, so a
     # cross-round engine delta (e.g. r9's unattributed 34% b3 drop) is
@@ -723,9 +741,11 @@ def main() -> None:
         noise_index = round(statistics.median(start_ratios + end_ratios), 3)
 
     regression_redraws = redraw_pin_breaches(timings, pins, HEADLINE, rerun)
-    # b3c reported as separate fields, NOT summed into the headline total
-    # (the total's composition is pinned since r01).
+    # b3c and the r14 ADDED entries are reported as ``queries`` members but
+    # NOT summed into the headline total (the total's composition is pinned
+    # since r01).
     total = round(sum(timings.values()), 3)
+    timings.update(extra_timings)
     timings["b3c_concurrent_deliver_ack"] = round(b3c, 3)
     regressions = {
         name: {"sec": t, "pinned": pins[name]}
