@@ -28,11 +28,37 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a, b) -> Column:
-    """Σ aᵢ·bᵢ as a left-fold — sequential summation, deterministic."""
-    return F.aggregate(
+# Embedding dimension of the testdata corpus (all SFs).  Pair-loop dot
+# products unroll to this width; rows of any other width take the generic
+# fold below, so the result is identical for arbitrary inputs.
+_PAIR_DOT_DIM = 64
+
+
+def dot(a, b, expand: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ as a left-fold — sequential summation, deterministic.
+
+    The ``aggregate``/``zip_with`` fold is an interpreted higher-order
+    lambda (~10 µs/pair at 64 dims — expression-tree eval per element).
+    With ``expand=d`` the same left-fold is unrolled to a fixed-width
+    ``0.0 + a[0]*b[0] + … + a[d-1]*b[d-1]`` sum that expression codegen
+    compiles: the identical left-associated IEEE-754 addition sequence,
+    so the double is bit-identical, and NULL elements propagate the same
+    way through ``+``.  A size guard keeps any row whose arrays are not
+    exactly ``d`` wide on the fold path (``F.get`` is out-of-bounds-NULL,
+    but the guard means it is never exercised).  Only pass ``expand``
+    when ``a``/``b`` are plain column references — the unrolled tree
+    repeats them 2·d times, which would re-evaluate a transform/cast
+    subexpression per term.
+    """
+    fold = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
+    if expand is None:
+        return fold
+    s = F.lit(0.0)
+    for i in range(expand):
+        s = s + F.get(a, i) * F.get(b, i)
+    return F.when((F.size(a) == expand) & (F.size(b) == expand), s).otherwise(fold)
 
 
 def norm(a) -> Column:
@@ -171,7 +197,7 @@ def embedding_neardup_pairs(spark, sf_dir):
         F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     sim = F.try_divide(
-        dot(F.col("va"), F.col("vb")),
+        dot(F.col("va"), F.col("vb"), expand=_PAIR_DOT_DIM),
         F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
     )
     return (
@@ -377,7 +403,7 @@ def knn_label_accuracy(spark, sf_dir):
         norm(F.col("v")).alias("qn"),
     )
     sim = F.try_divide(
-        dot(F.col("qv"), F.col("v")),
+        dot(F.col("qv"), F.col("v"), expand=_PAIR_DOT_DIM),
         F.nullif(F.col("qn") * F.col("nv"), F.lit(0.0)),
     )
     w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
@@ -733,7 +759,7 @@ def embedding_contamination(spark, sf_dir):
         F.col("v").alias("bv"), norm(F.col("v")).alias("bn")
     )
     sim = F.try_divide(
-        dot(F.col("v"), F.col("bv")),
+        dot(F.col("v"), F.col("bv"), expand=_PAIR_DOT_DIM),
         F.nullif(F.col("nv") * F.col("bn"), F.lit(0.0)),
     )
     per_vec = (

@@ -95,6 +95,37 @@ def test_cosine_topk(spark):
     assert got == [2, 3]
 
 
+def test_dot_expand_bit_identical_to_fold(spark):
+    """The unrolled pair-dot (r14 opt: `dot(..., expand=d)`) must produce
+    the bit-identical double of the aggregate/zip_with left-fold on every
+    input class: the guarded width (codegen'd expansion path), any OTHER
+    width (fold fallback via the size guard), mismatched widths, a NULL
+    element (propagates through +), and a zero vector."""
+    import math
+    import struct
+
+    d = similarity._PAIR_DOT_DIM
+    vec = [math.sin(i * 0.7) * 1e3 for i in range(d)]  # non-trivial doubles
+    rows = [
+        (1, vec, [math.cos(i * 0.3) for i in range(d)]),          # expansion path
+        (2, vec[:10], [float(i) for i in range(10)]),             # non-guard width
+        (3, vec, vec[:d - 1]),                                    # mismatched widths
+        (4, vec[:5] + [None] + vec[6:], vec),                     # NULL element
+        (5, [0.0] * d, vec),                                      # zero vector
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        similarity.dot(F.col("a"), F.col("b")).alias("fold"),
+        similarity.dot(F.col("a"), F.col("b"), expand=d).alias("exp"),
+    ).collect()
+    for r in out:
+        if r["fold"] is None:
+            assert r["exp"] is None, r
+        else:
+            assert struct.pack("<d", r["fold"]) == struct.pack("<d", r["exp"]), r
+
+
 def test_multimodal_feature_extraction(spark):
     rows = [(1, "image", bytearray(b"payload-one")), (2, "image", bytearray(b"payload-two"))]
     media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
