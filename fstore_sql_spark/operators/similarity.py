@@ -34,6 +34,31 @@ def _as_double(col) -> Column:
 _PAIR_DOT_DIM = 64
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for pair-loop probe sides (guide §2.5/§2.6).
+
+    A corpus small enough to broadcast usually also arrives as ONE scan
+    task (a single small parquet file with a single row group is one
+    split no matter what ``maxPartitionBytes`` says), so a pair join —
+    whose output is quadratically larger than its input — runs
+    single-threaded on the probe side while every other core idles
+    (measured: the whole 20M-pair sf1 neardup join executed in one task).
+    Round-robin repartition of the probe side to the session's default
+    parallelism BEFORE the join spreads the pair generation; the exchange
+    moves only the small input rows, never the pairs.  Scale-adaptive by
+    construction: when the scan already has at least that many partitions
+    (any real at-scale input) this is a no-op, so nothing here is tuned
+    to local core counts.  The explicit partition count pins the shuffle
+    origin to REPARTITION_BY_NUM, which AQE's coalescer leaves alone —
+    otherwise the tiny byte size would be coalesced straight back to one
+    partition.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def dot(a, b, expand: int | None = None) -> Column:
     """Σ aᵢ·bᵢ as a left-fold — sequential summation, deterministic.
 
@@ -188,7 +213,10 @@ def embedding_neardup_pairs(spark, sf_dir):
     # try_divide/NULLIF degenerate-input handling bit-for-bit — the
     # oracle hash is unchanged.
     corpus = e.unionByName(planted).withColumn("nv", norm(F.col("v")))
-    a = corpus.select(
+    # The probe side is spread across cores before the pair join (r14,
+    # guide §2.5/§2.6): the corpus arrives as one scan task, so without
+    # the repartition the whole Σ|cell|² pair loop ran single-threaded.
+    a = _spread(corpus).select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
         F.col("v").alias("va"), F.col("nv").alias("na"),
     )
@@ -200,10 +228,30 @@ def embedding_neardup_pairs(spark, sf_dir):
         dot(F.col("va"), F.col("vb"), expand=_PAIR_DOT_DIM),
         F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
     )
+    # Raw-threshold pair filter (r14, guide §1.2 per-task work): the
+    # declared ``round(sim, 6) >= 0.995`` predicate gets pushed into the
+    # join condition, costing one BigDecimal construction per candidate
+    # pair.  Spark's Round(double) is ``BigDecimal.valueOf(x)`` (i.e. the
+    # shortest-decimal representation of x) rounded HALF_UP — a MONOTONE
+    # map — so the predicate is exactly ``sim >= T`` where T is the
+    # smallest double whose rounding clears the bar.  T == the double
+    # literal 0.9949995: its shortest repr IS the decimal boundary
+    # 0.9949995 which HALF_UP-rounds to 0.995, while the next double down
+    # reprs as 0.99499949…9 and rounds to 0.994999 (boundary pinned by
+    # test_neardup_raw_threshold_equivalent_to_round, which sweeps the
+    # adjacent doubles through Spark's own Round).  NULL (zero-norm via
+    # NULLIF + try_divide) and NaN fail both predicates identically; ±Inf
+    # passes/fails both identically (Round passes non-finite through).
+    # The 6 dp rounding itself now runs only on surviving pairs, in the
+    # output projection below.
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("vec_a") < F.col("vec_b"))
+            & (sim >= F.lit(0.9949995)),
+        )
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.995)
     )
 
 
@@ -407,8 +455,10 @@ def knn_label_accuracy(spark, sf_dir):
         F.nullif(F.col("qn") * F.col("nv"), F.lit(0.0)),
     )
     w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
+    # corpus side spread before the broadcast join (r14): one scan task
+    # otherwise evaluates all |q|·|corpus| pair scores serially.
     ranked = (
-        e.withColumn("nv", norm(F.col("v")))
+        _spread(e).withColumn("nv", norm(F.col("v")))
         .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "ql", F.col("label").alias("nl"), "vec_id",
@@ -762,8 +812,10 @@ def embedding_contamination(spark, sf_dir):
         dot(F.col("v"), F.col("bv"), expand=_PAIR_DOT_DIM),
         F.nullif(F.col("nv") * F.col("bn"), F.lit(0.0)),
     )
+    # training side spread before the broadcast cross join (r14): the
+    # |train|·|bench| score map otherwise runs in the single scan task.
     per_vec = (
-        e.filter(F.col("label") != 0)
+        _spread(e.filter(F.col("label") != 0))
         .withColumn("nv", norm(F.col("v")))
         .crossJoin(F.broadcast(bench))
         .groupBy("vec_id", "label")

@@ -126,6 +126,39 @@ def test_dot_expand_bit_identical_to_fold(spark):
             assert struct.pack("<d", r["fold"]) == struct.pack("<d", r["exp"]), r
 
 
+def test_neardup_raw_threshold_equivalent_to_round(spark):
+    """embedding_neardup_pairs (r14 opt) replaces the pushed-down
+    ``round(sim, 6) >= 0.995`` join predicate with the raw compare
+    ``sim >= 0.9949995``.  Spark's Round(double, 6) is the HALF_UP
+    rounding of BigDecimal.valueOf(x) — a monotone map — so the two
+    predicates agree everywhere iff they agree on the doubles bracketing
+    the decimal boundary 0.9949995.  Sweep the 400 adjacent doubles
+    around the boundary (plus NaN/±Inf/NULL and far values) through
+    Spark's OWN Round and assert predicate equality row by row."""
+    import math
+
+    vals: list[tuple[float | None]] = [(None,), (float("nan",),)][:1]
+    vals = [(None,), (float("nan"),), (float("inf"),), (float("-inf"),),
+            (0.0,), (1.0,), (0.9,), (0.994,), (0.996,)]
+    x = 0.9949995
+    for _ in range(200):
+        x = math.nextafter(x, 0.0)
+    for _ in range(400):
+        vals.append((x,))
+        x = math.nextafter(x, 2.0)
+    df = spark.createDataFrame(vals, "x double")
+    out = df.select(
+        "x",
+        (F.round(F.col("x"), 6) >= 0.995).alias("rounded"),
+        (F.col("x") >= F.lit(0.9949995)).alias("raw"),
+    ).collect()
+    for r in out:
+        assert r["rounded"] == r["raw"], (r["x"], r["rounded"], r["raw"])
+    # and the boundary itself behaves as documented
+    b = [r for r in out if r["x"] == 0.9949995]
+    assert b and b[0]["raw"] is True and b[0]["rounded"] is True
+
+
 def test_multimodal_feature_extraction(spark):
     rows = [(1, "image", bytearray(b"payload-one")), (2, "image", bytearray(b"payload-two"))]
     media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
