@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fstore_sql_spark.queries import load, query
+from fstore_sql_spark.queries import load, query, spread
 
 N_PLANTED = 25
 _SHIFT = 100000
@@ -307,7 +307,9 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs (shingle → minhash → band → bucket
     self-join) — SURVEY.md §7.7 / the build brief's scale path for near-dup
     detection."""
-    sigs = minhash_signatures(_corpus(spark, sf_dir))
+    # spread (r14): the corpus is one scan task, so the shingle explode +
+    # 4 md5/shingle signature map otherwise runs single-threaded.
+    sigs = minhash_signatures(spread(_corpus(spark, sf_dir)))
     return lsh_candidate_pairs(sigs)
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fstore_sql_spark.queries import load, query
+from fstore_sql_spark.queries import load, query, spread
 
 
 def _as_double(col) -> Column:
@@ -34,29 +34,12 @@ def _as_double(col) -> Column:
 _PAIR_DOT_DIM = 64
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Parallelism floor for pair-loop probe sides (guide §2.5/§2.6).
-
-    A corpus small enough to broadcast usually also arrives as ONE scan
-    task (a single small parquet file with a single row group is one
-    split no matter what ``maxPartitionBytes`` says), so a pair join —
-    whose output is quadratically larger than its input — runs
-    single-threaded on the probe side while every other core idles
-    (measured: the whole 20M-pair sf1 neardup join executed in one task).
-    Round-robin repartition of the probe side to the session's default
-    parallelism BEFORE the join spreads the pair generation; the exchange
-    moves only the small input rows, never the pairs.  Scale-adaptive by
-    construction: when the scan already has at least that many partitions
-    (any real at-scale input) this is a no-op, so nothing here is tuned
-    to local core counts.  The explicit partition count pins the shuffle
-    origin to REPARTITION_BY_NUM, which AQE's coalescer leaves alone —
-    otherwise the tiny byte size would be coalesced straight back to one
-    partition.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+# Parallelism floor for the pair-loop probe sides: the corpus arrives as
+# one scan task (single small parquet file), so without the repartition
+# the quadratic pair evaluation runs single-threaded (measured: the whole
+# 20M-pair sf1 neardup join executed in one task).  Rationale and the
+# scale-adaptivity argument live on ``queries.spread``.
+_spread = spread
 
 
 def dot(a, b, expand: int | None = None) -> Column:

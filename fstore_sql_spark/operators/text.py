@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from fstore_sql_spark.queries import hash32, hash32_sql, load, query
+from fstore_sql_spark.queries import hash32, hash32_sql, load, query, spread
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -182,7 +182,10 @@ def text_fingerprint(spark, sf_dir):
         F.lit("g"),
         lambda acc, i: F.least(acc, F.md5(F.hex(F.substring(b, i, 8)))),
     )
-    return load(spark, sf_dir, "documents").select(
+    # spread (r14): one md5 per byte position per doc — by far the most
+    # compute per input byte of any scan-shaped operator — otherwise runs
+    # entirely in the single scan task of the small corpus file.
+    return spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(F.col("text").isNotNull(), fold)
         .otherwise(F.lit(None).cast("string"))

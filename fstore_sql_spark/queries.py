@@ -72,6 +72,32 @@ def _norm_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for heavy derivations over small scans (r14
+    optimization round; guide §2.5 input skew / §2.6 idle capacity).
+
+    A table small enough to live in one parquet file with one row group
+    arrives as ONE scan task no matter what ``maxPartitionBytes`` says —
+    so an operator whose derived work is much larger than its input
+    (pair self-joins, per-token md5 folds, co-occurrence explodes) runs
+    that work single-threaded while every other core idles.  Round-robin
+    repartition to the session's default parallelism BEFORE the heavy
+    derivation spreads it; the exchange moves only the small input rows,
+    never the derived rows.
+
+    Scale-adaptive by construction: applied only when the input has
+    FEWER partitions than the session's parallelism — any at-scale input
+    already exceeds that and the call is a no-op, so nothing here is
+    tuned to a local core count.  The explicit partition count pins the
+    shuffle origin to REPARTITION_BY_NUM, which AQE's coalescer leaves
+    alone (size-based coalescing would fold the tiny byte size straight
+    back to one partition)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def hash32(col) -> F.Column:
     """First 8 md5 hex chars as BIGINT — the cross-engine 32-bit content
     hash (identical in Spark and DuckDB via ``hash32_sql``).  Used by the
