@@ -80,6 +80,34 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     return _count_nodes(df, r"Exchange")
 
 
+def spread_exchange_count(df: DataFrame) -> int:
+    """Round-robin REPARTITION_BY_NUM exchanges — the ``spread()``
+    parallelism floor (r14).  These exist only when the input collapses
+    to fewer partitions than the session's parallelism (single-row-group
+    local test files); on any at-scale input ``spread`` is a no-op and
+    the node disappears, so plan pins should budget them separately from
+    the data shuffles that dominate at 100 TB."""
+    plan = formatted_plan(df)
+    n = 0
+    for m in re.finditer(r"\(\d+\) Exchange\b", plan):
+        # the Arguments: line for this node id names the partitioning
+        node_id = re.match(r"\((\d+)\)", m.group(0)).group(1)
+        detail = re.search(
+            rf"\({node_id}\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan
+        )
+        if detail and "RoundRobinPartitioning" in detail.group(1) \
+                and "REPARTITION_BY_NUM" in detail.group(1):
+            n += 1
+    return n
+
+
+def data_shuffle_count(df: DataFrame) -> int:
+    """Shuffle exchanges EXCLUDING the spread() parallelism floor — the
+    count that actually scales with data volume at 100 TB (the floor
+    exchange only exists on tiny local inputs)."""
+    return shuffle_exchange_count(df) - spread_exchange_count(df)
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return _count_nodes(df, r"(?:BroadcastHashJoin|BroadcastNestedLoopJoin)")
 
@@ -93,6 +121,15 @@ def codegen_span_count(df: DataFrame) -> int:
     more of the plan runs as fused JVM bytecode (Tungsten)."""
     ids = set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
     return len(ids)
+
+
+def plan_node_names(df: DataFrame) -> list[str]:
+    """Physical-plan node names from the formatted detail section (e.g.
+    ['Scan parquet', 'Exchange', 'Project']) — for structural pins that
+    must hold whether or not AQE wraps the plan (AQE hides codegen ids
+    in the pre-execution explain)."""
+    plan = formatted_plan(df)
+    return [m.strip() for m in re.findall(r"^\(\d+\) ([^\n]+?)(?: \[codegen id : \d+\])?$", plan, re.M)]
 
 
 def has_take_ordered(df: DataFrame) -> bool:

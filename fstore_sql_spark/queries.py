@@ -408,7 +408,10 @@ def q1_pricing_summary(spark, sf_dir):
     one = F.lit(1).cast("decimal(18,2)")
     disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
     return (
-        load(spark, sf_dir, "lineitem")
+        # spread (r14): eight exact-decimal aggregates over a single-row-
+        # group scan otherwise fold in one task (measured -25 %, 8-round
+        # interleaved A/B; the exchange moves only the 7 pruned columns).
+        spread(load(spark, sf_dir, "lineitem"))
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1297,8 +1300,10 @@ def pivot_daily_event_counts(spark, sf_dir):
 def cube_lineitem_stats(spark, sf_dir):
     """CUBE (all grouping-set combinations) — the remaining member of the
     grouping-sets family (ROLLUP covered by rollup_order_stats)."""
+    # spread (r14): CUBE's Expand multiplies every input row 4x before
+    # the partial aggregate — single scan task otherwise (measured -36 %).
     return (
-        load(spark, sf_dir, "lineitem")
+        spread(load(spark, sf_dir, "lineitem"))
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -3012,7 +3017,10 @@ def payload_schema_evolution_nested(spark, sf_dir):
     projection — zero shuffle, codegen end-to-end."""
     from fstore_sql_spark.functions.typed_payload import typed_payload_column
 
-    ev = load(spark, sf_dir, "events")
+    # spread (r14): the per-row from_json parse of the synthesized
+    # 3-version payloads otherwise runs in the single scan task of the
+    # small events file (measured -29/-36/-49 % across the trio).
+    ev = spread(load(spark, sf_dir, "events"))
     inner_v3 = F.concat(
         F.expr("trim(TRAILING '}' FROM replace(props, '\"k\"', '\"k_id\"'))"),
         F.lit(', "note": "'),
@@ -3130,7 +3138,10 @@ def payload_schema_evolution_array(spark, sf_dir):
     end-to-end (plan pinned in tests/test_plans.py)."""
     from fstore_sql_spark.functions.typed_payload import typed_payload_column
 
-    ev = load(spark, sf_dir, "events")
+    # spread (r14): the per-row from_json parse of the synthesized
+    # 3-version payloads otherwise runs in the single scan task of the
+    # small events file (measured -29/-36/-49 % across the trio).
+    ev = spread(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("long")
     ev = (
         ev.withColumn("event_version", (F.col("event_id") % 3 + 1).cast("long"))
@@ -3254,7 +3265,10 @@ def payload_schema_evolution_map(spark, sf_dir):
     projection — zero shuffle, codegen end-to-end."""
     from fstore_sql_spark.functions.typed_payload import typed_payload_column
 
-    ev = load(spark, sf_dir, "events")
+    # spread (r14): the per-row from_json parse of the synthesized
+    # 3-version payloads otherwise runs in the single scan task of the
+    # small events file (measured -29/-36/-49 % across the trio).
+    ev = spread(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("long")
     ev = (
         ev.withColumn("event_version", (F.col("event_id") % 3 + 1).cast("long"))

@@ -77,7 +77,10 @@ class TestShuffleBudget:
     @pytest.mark.parametrize(
         ("name", "max_shuffles"),
         [
-            ("q1_pricing_summary", 1),     # one partial→final agg exchange
+            # one partial→final agg exchange + the spread() parallelism
+            # floor (r14, measured -25 %; vanishes on at-scale inputs —
+            # TestSpreadFloor pins that the extra one IS the floor)
+            ("q1_pricing_summary", 2),
             ("q6_forecast_revenue", 1),    # single-row agg
             ("user_sessions", 1),          # 3 windows + agg share one hash partitioning
             ("es_ingest_mapping", 1),      # lag window: one hash partitioning
@@ -88,6 +91,35 @@ class TestShuffleBudget:
     )
     def test_shuffle_budget(self, spark, name, max_shuffles):
         assert P.shuffle_exchange_count(q(spark, name)) <= max_shuffles
+
+
+class TestSpreadFloor:
+    """The r14 spread() sites add exactly ONE round-robin
+    REPARTITION_BY_NUM exchange (the parallelism floor for single-row-
+    group local files) and nothing else: no hash shuffle appears, and on
+    inputs that already have >= defaultParallelism partitions spread() is
+    a no-op by construction (queries.spread returns the frame unchanged),
+    so the floor is not a scale cost."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q1_pricing_summary",
+            "cube_lineitem_stats",
+            "payload_schema_evolution_nested",
+            "payload_schema_evolution_array",
+            "payload_schema_evolution_map",
+        ],
+    )
+    def test_spread_floor_is_single_round_robin(self, spark, name):
+        df = q(spark, name)
+        assert P.spread_exchange_count(df) == 1, P.simple_plan(df)
+
+    def test_q1_pushdown_survives_spread(self, spark):
+        # the shipdate predicate must still reach the parquet scan
+        # through the repartition (guide §6: pushdown is load-bearing)
+        pushed = P.pushed_filters(q(spark, "q1_pricing_summary"))
+        assert any("l_shipdate" in f for f in pushed), pushed
 
 
 class TestTopK:
@@ -666,10 +698,16 @@ class TestR5TypedPayload:
         """payload_schema_evolution_nested (r7): dotted-path renames and
         nested widening recurse at expression-BUILD time into struct
         rebuilds — runtime plan structure is unchanged: a pure
-        scan+project, zero exchanges."""
+        scan+project, zero data shuffles (the only exchange permitted is
+        the spread() parallelism floor, r14 — absent on at-scale inputs)."""
         df = q(spark, "payload_schema_evolution_nested")
-        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
-        assert P.codegen_span_count(df) >= 1
+        assert P.data_shuffle_count(df) == 0, P.simple_plan(df)
+        # AQE (entered via the spread floor exchange) hides codegen ids in
+        # the static explain; pin the structure instead — nothing but
+        # scan, the floor exchange, and pure projections.
+        names = {n.split(" [")[0] for n in P.plan_node_names(df)}
+        assert names <= {"Scan parquet", "Exchange", "Project",
+                        "AdaptiveSparkPlan"}, names
 
     def test_array_evolution_is_zero_shuffle_codegen_projection(self, spark):
         """payload_schema_evolution_array (r8): the F.transform
@@ -678,8 +716,13 @@ class TestR5TypedPayload:
         expression-BUILD time, so the runtime plan stays a scan+project
         with zero exchanges."""
         df = q(spark, "payload_schema_evolution_array")
-        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
-        assert P.codegen_span_count(df) >= 1
+        assert P.data_shuffle_count(df) == 0, P.simple_plan(df)
+        # AQE (entered via the spread floor exchange) hides codegen ids in
+        # the static explain; pin the structure instead — nothing but
+        # scan, the floor exchange, and pure projections.
+        names = {n.split(" [")[0] for n in P.plan_node_names(df)}
+        assert names <= {"Scan parquet", "Exchange", "Project",
+                        "AdaptiveSparkPlan"}, names
 
     def test_map_evolution_is_zero_shuffle_codegen_projection(self, spark):
         """payload_schema_evolution_map (r9): the F.transform_values
@@ -688,5 +731,10 @@ class TestR5TypedPayload:
         time, so the runtime plan stays a scan+project with zero
         exchanges."""
         df = q(spark, "payload_schema_evolution_map")
-        assert P.shuffle_exchange_count(df) == 0, P.simple_plan(df)
-        assert P.codegen_span_count(df) >= 1
+        assert P.data_shuffle_count(df) == 0, P.simple_plan(df)
+        # AQE (entered via the spread floor exchange) hides codegen ids in
+        # the static explain; pin the structure instead — nothing but
+        # scan, the floor exchange, and pure projections.
+        names = {n.split(" [")[0] for n in P.plan_node_names(df)}
+        assert names <= {"Scan parquet", "Exchange", "Project",
+                        "AdaptiveSparkPlan"}, names
