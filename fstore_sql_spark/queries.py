@@ -72,7 +72,7 @@ def _norm_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, starved_only: bool = False) -> DataFrame:
     """Parallelism floor for heavy derivations over small scans (r14
     optimization round; guide §2.5 input skew / §2.6 idle capacity).
 
@@ -91,9 +91,24 @@ def spread(df: DataFrame) -> DataFrame:
     tuned to a local core count.  The explicit partition count pins the
     shuffle origin to REPARTITION_BY_NUM, which AQE's coalescer leaves
     alone (size-based coalescing would fold the tiny byte size straight
-    back to one partition)."""
+    back to one partition).
+
+    ``starved_only`` (r14 session 5) is for operators whose per-row work
+    is MODEST relative to their row width — JSON parsing, decimal
+    partial aggregates, Expand — where re-exchanging the full input only
+    pays off in the degenerate one-scan-task case.  Measured both ways:
+    at a 1-partition scan the repartition won −17…−49 %; at a
+    16-partition scan of the same operators it LOST 8–84 % (interleaved
+    A/B, sf1 16-file inputs — the exchange of heavy rows outweighed the
+    16→32 lift).  With ``starved_only`` the repartition fires only when
+    the input has ≤ 2 partitions, i.e. only the single-row-group
+    pathology — which no at-scale input exhibits, so the guard stays
+    scale-neutral.  The quadratic/md5 operators (pair self-joins,
+    per-token digests) keep the default aggressive guard: their derived
+    work dwarfs any input exchange (measured sf1 wins up to 2×)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    parts = df.rdd.getNumPartitions()
+    if parts >= target or (starved_only and parts > 2):
         return df
     return df.repartition(target)
 
@@ -411,7 +426,7 @@ def q1_pricing_summary(spark, sf_dir):
         # spread (r14): eight exact-decimal aggregates over a single-row-
         # group scan otherwise fold in one task (measured -25 %, 8-round
         # interleaved A/B; the exchange moves only the 7 pruned columns).
-        spread(load(spark, sf_dir, "lineitem"))
+        spread(load(spark, sf_dir, "lineitem"), starved_only=True)
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1302,8 +1317,10 @@ def cube_lineitem_stats(spark, sf_dir):
     grouping-sets family (ROLLUP covered by rollup_order_stats)."""
     # spread (r14): CUBE's Expand multiplies every input row 4x before
     # the partial aggregate — single scan task otherwise (measured -36 %).
+    # starved_only: at 16-partition inputs (sf1) the exchange measured
+    # neutral-to-worse, so fire only on the 1-row-group pathology.
     return (
-        spread(load(spark, sf_dir, "lineitem"))
+        spread(load(spark, sf_dir, "lineitem"), starved_only=True)
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -3020,7 +3037,10 @@ def payload_schema_evolution_nested(spark, sf_dir):
     # spread (r14): the per-row from_json parse of the synthesized
     # 3-version payloads otherwise runs in the single scan task of the
     # small events file (measured -29/-36/-49 % across the trio).
-    ev = spread(load(spark, sf_dir, "events"))
+    # starved_only: at 16-partition inputs (sf1) the exchange of the
+    # heavy props rows LOST (up to +84 %), so fire only on the
+    # 1-row-group pathology.
+    ev = spread(load(spark, sf_dir, "events"), starved_only=True)
     inner_v3 = F.concat(
         F.expr("trim(TRAILING '}' FROM replace(props, '\"k\"', '\"k_id\"'))"),
         F.lit(', "note": "'),
@@ -3141,7 +3161,10 @@ def payload_schema_evolution_array(spark, sf_dir):
     # spread (r14): the per-row from_json parse of the synthesized
     # 3-version payloads otherwise runs in the single scan task of the
     # small events file (measured -29/-36/-49 % across the trio).
-    ev = spread(load(spark, sf_dir, "events"))
+    # starved_only: at 16-partition inputs (sf1) the exchange of the
+    # heavy props rows LOST (up to +84 %), so fire only on the
+    # 1-row-group pathology.
+    ev = spread(load(spark, sf_dir, "events"), starved_only=True)
     k = F.get_json_object("props", "$.k").cast("long")
     ev = (
         ev.withColumn("event_version", (F.col("event_id") % 3 + 1).cast("long"))
@@ -3268,7 +3291,10 @@ def payload_schema_evolution_map(spark, sf_dir):
     # spread (r14): the per-row from_json parse of the synthesized
     # 3-version payloads otherwise runs in the single scan task of the
     # small events file (measured -29/-36/-49 % across the trio).
-    ev = spread(load(spark, sf_dir, "events"))
+    # starved_only: at 16-partition inputs (sf1) the exchange of the
+    # heavy props rows LOST (up to +84 %), so fire only on the
+    # 1-row-group pathology.
+    ev = spread(load(spark, sf_dir, "events"), starved_only=True)
     k = F.get_json_object("props", "$.k").cast("long")
     ev = (
         ev.withColumn("event_version", (F.col("event_id") % 3 + 1).cast("long"))

@@ -115,6 +115,23 @@ class TestSpreadFloor:
         df = q(spark, name)
         assert P.spread_exchange_count(df) == 1, P.simple_plan(df)
 
+    def test_starved_only_gate(self, spark):
+        """spread(df, starved_only=True) fires ONLY on the <=2-partition
+        pathology (single-row-group local files): a 16-partition frame —
+        the sf1 shape where the heavy-row exchange measured a loss — must
+        pass through untouched, while the default mode still lifts it to
+        full parallelism."""
+        from fstore_sql_spark.queries import spread
+
+        target = spark.sparkContext.defaultParallelism
+        sixteen = spark.range(1000).repartition(16)
+        assert spread(sixteen, starved_only=True) is sixteen
+        if target > 16:
+            assert spread(sixteen).rdd.getNumPartitions() == target
+        one = spark.range(1000).coalesce(1)
+        assert spread(one, starved_only=True).rdd.getNumPartitions() == target
+        assert spread(one).rdd.getNumPartitions() == target
+
     def test_q1_pushdown_survives_spread(self, spark):
         # the shipdate predicate must still reach the parquet scan
         # through the repartition (guide §6: pushdown is load-bearing)
