@@ -183,18 +183,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     toks = toks.select(id_col, h.alias("h"))
+    # The 32 conditional sums and the 32-term bit assembly are built as
+    # PARSED SQL expressions, one py4j call each, instead of ~8 Column-API
+    # py4j round trips per term (r15, guide §1.2 per-task work applied to
+    # the DRIVER: plan construction alone measured 0.9 s of the 1.2 s cold
+    # draw).  The parsed trees are the same expressions the Column API
+    # built — CASE WHEN (h & mask) != 0 THEN 1 ELSE -1 END and a
+    # left-associated sum of CAST(CASE WHEN s_b > 0 THEN 2^b ELSE 0 END AS
+    # BIGINT) — integer arithmetic, bit-identical results (oracle-hash
+    # verified at sf0.001/0.01/0.1).
     aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.expr(f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS s{b}")
         for b in range(_SIMHASH_BITS)
     ]
     per_bit = toks.groupBy(id_col).agg(*aggs)
-    sim = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        sim = term if sim is None else sim + term
-    return per_bit.select(id_col, sim.alias("simhash"))
+    sim = " + ".join(
+        f"CAST(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END AS BIGINT)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return per_bit.select(id_col, F.expr(sim).alias("simhash"))
 
 
 # --------------------------------------------------------------------- #

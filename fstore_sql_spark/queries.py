@@ -22,6 +22,7 @@ decider_id = user_id, offset = event_id, created_at = ts.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -45,14 +46,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     -1 µs on both engines; NOT floor, which would give -2), so oracle
     comparisons agree even for pre-epoch values; truncation is monotone
     non-decreasing, so min/max/range predicates commute with it.
+
+    The returned (lazy, immutable) DataFrame handle is memoized PER
+    SESSION keyed on (path, table, file mtime) — r15, guide §6 "file
+    listing … is cached per session".  Measured: each uncached
+    ``spark.read.parquet`` costs 100-200 ms of driver work (listing +
+    footer schema inference + py4j), and one bench/oracle pass issues
+    ~130 load() calls over 10 distinct tables — ~15 s of pure repeated
+    metadata work.  This is exactly what a catalog table (``spark.table``)
+    would amortize; it caches NO data and NO results — every action
+    still scans parquet.  The mtime key drops the memo if the file (or
+    partfile directory) is replaced; the cache dies with the session
+    object.
     """
+    cache = getattr(spark, "_fstore_load_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fstore_load_cache = cache
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (path, name)
+    hit = cache.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _norm_ntz(df)
-    return _norm_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = _norm_ntz(df)
+    else:
+        df = _norm_ntz(spark.read.parquet(path))
+    cache[key] = (mtime, df)
+    return df
 
 
 def _norm_ntz(df: DataFrame) -> DataFrame:
