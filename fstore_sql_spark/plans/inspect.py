@@ -89,23 +89,38 @@ def spread_exchange_count(df: DataFrame) -> int:
     the data shuffles that dominate at 100 TB."""
     plan = formatted_plan(df)
     n = 0
-    for m in re.finditer(r"\(\d+\) Exchange\b", plan):
-        # the Arguments: line for this node id names the partitioning
-        node_id = re.match(r"\((\d+)\)", m.group(0)).group(1)
-        detail = re.search(
-            rf"\({node_id}\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan
+    for m in re.finditer(r"^\((\d+)\) Exchange\b", plan, re.M):
+        # The Arguments: line for this node, searched ONLY inside the
+        # node's own detail block (ADVICE r14: a lazy forward scan would
+        # silently attribute the NEXT node's Arguments if a formatted-
+        # explain variant ever omitted this node's line).  A detail block
+        # is the run of non-blank lines following the `(N) Name` header.
+        block = re.search(
+            rf"^\({m.group(1)}\) Exchange[^\n]*\n((?:[^\n]+\n)*)", plan, re.M
         )
-        if detail and "RoundRobinPartitioning" in detail.group(1) \
-                and "REPARTITION_BY_NUM" in detail.group(1):
+        args = (
+            re.search(r"^Arguments: ([^\n]*)", block.group(1), re.M)
+            if block
+            else None
+        )
+        if args and "RoundRobinPartitioning" in args.group(1) \
+                and "REPARTITION_BY_NUM" in args.group(1):
             n += 1
     return n
 
 
-def data_shuffle_count(df: DataFrame) -> int:
+def data_shuffle_count(df: DataFrame, max_spread: int = 1) -> int:
     """Shuffle exchanges EXCLUDING the spread() parallelism floor — the
     count that actually scales with data volume at 100 TB (the floor
-    exchange only exists on tiny local inputs)."""
-    return shuffle_exchange_count(df) - spread_exchange_count(df)
+    exchange only exists on tiny local inputs).
+
+    ``max_spread`` caps the subtraction (ADVICE r14): every pinned query
+    has at most ONE spread() site, so a future genuine ``repartition(n)``
+    added for data redistribution — which also plans as a RoundRobin
+    REPARTITION_BY_NUM exchange — still trips the zero-data-shuffle pins
+    instead of being silently excluded.  Pass a higher cap only for a
+    query with more declared spread() sites."""
+    return shuffle_exchange_count(df) - min(spread_exchange_count(df), max_spread)
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -101,6 +101,18 @@ def _norm_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+# starved_only fires only at <= this many input partitions — the single-
+# row-group pathology.  Named constant (ADVICE r14): the value comes from
+# the r14 session-5 interleaved A/B table (OPTIMIZATION_r14.md #8): a
+# 1-partition scan won -17..-49 % from the floor, while the same operators
+# at a 16-partition sf1 scan LOST 8-84 % (the exchange of heavy rows
+# outweighed the 16->32 lift), so the gate admits only near-single-
+# partition inputs.  A >2-partition pruned-but-large input deliberately
+# gets NO floor: Spark's own scan split already parallelizes anything
+# bigger than ~2 row groups.
+_STARVED_MAX_PARTS = 2
+
+
 def spread(df: DataFrame, starved_only: bool = False) -> DataFrame:
     """Parallelism floor for heavy derivations over small scans (r14
     optimization round; guide §2.5 input skew / §2.6 idle capacity).
@@ -137,7 +149,7 @@ def spread(df: DataFrame, starved_only: bool = False) -> DataFrame:
     work dwarfs any input exchange (measured sf1 wins up to 2×)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     parts = df.rdd.getNumPartitions()
-    if parts >= target or (starved_only and parts > 2):
+    if parts >= target or (starved_only and parts > _STARVED_MAX_PARTS):
         return df
     return df.repartition(target)
 

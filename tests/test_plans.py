@@ -112,8 +112,23 @@ class TestSpreadFloor:
         ],
     )
     def test_spread_floor_is_single_round_robin(self, spark, name):
+        # Encode the no-op CONTRACT, not the local fixture shape (ADVICE
+        # r14): all five sites are starved_only spreads, which fire only
+        # when the scan has <= 2 partitions AND fewer than the session's
+        # defaultParallelism.  On a 1-core runner (or multi-file data)
+        # spread is a no-op and the floor exchange must be ABSENT.
+        from fstore_sql_spark.queries import load
+
+        tbl = (
+            "lineitem"
+            if name in ("q1_pricing_summary", "cube_lineitem_stats")
+            else "events"
+        )
+        parts = load(spark, SF, tbl).rdd.getNumPartitions()
+        target = spark.sparkContext.defaultParallelism
+        expected = 1 if (parts < target and parts <= 2) else 0
         df = q(spark, name)
-        assert P.spread_exchange_count(df) == 1, P.simple_plan(df)
+        assert P.spread_exchange_count(df) == expected, P.simple_plan(df)
 
     def test_starved_only_gate(self, spark):
         """spread(df, starved_only=True) fires ONLY on the <=2-partition
