@@ -53,10 +53,23 @@ TOP_QUERIES = [
     "es_ingest_mapping",
     "user_sessions",
     "ann_blocked_topk",
+    # r15 (VERDICT r14 #4): the four r14-optimized similarity entries the
+    # sf0.1 bench ADDED — tracked at the next decade so the norm-hoist +
+    # guarded dot expansion + spread-floor wins have an at-scale point
+    # (spread must no-op here: sf10 inputs are multi-file).
+    "embedding_neardup_pairs",
+    "embedding_contamination",
+    "knn_label_accuracy",
+    "ann_ivf_kmeans_topk",
 ]
 
 
 def main() -> None:
+    # Same convention as the sf100 tools (BASELINE.md "sf100 decade
+    # refresh"): at this tier the 8g session default silently produces an
+    # incomparable artifact (extra spill) or a broadcast-build OOM — the
+    # r15 first attempt died exactly there.  48g on the 128 GiB box.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/repo/testdata_sf10")
     ap.add_argument("--b3c-parts", type=int, default=200_000)
