@@ -245,3 +245,48 @@ class TestOrcAndZorder:
         avg_cust = sum(r.cust_span for r in spans) / len(spans)
         avg_day = sum(r.day_span for r in spans) / len(spans)
         assert avg_cust < g.cs and avg_day < g.ds, (avg_cust, g.cs, avg_day, g.ds)
+
+
+class TestLoadMemo:
+    """r15: load() memoizes the lazy DataFrame handle per session keyed on
+    (path, table, file mtime) — metadata amortization only.  The contract:
+    same table twice = same handle (no repeated listing/inference); a
+    REPLACED file (mtime change) must drop the memo so a session never
+    serves a stale file list."""
+
+    def test_same_table_returns_memoized_handle(self, spark, sf_dir):
+        from fstore_sql_spark.queries import load
+
+        a = load(spark, sf_dir, "orders")
+        b = load(spark, sf_dir, "orders")
+        assert a is b
+
+    def test_mtime_change_invalidates(self, spark, sf_dir, tmp_path):
+        import os
+        import shutil
+
+        from fstore_sql_spark.queries import load
+
+        src = os.path.join(sf_dir, "orders.parquet")
+        dst = tmp_path / "orders.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+        a = load(spark, str(tmp_path), "orders")
+        n1 = a.count()
+        # replace the file: new mtime => memo must miss and re-read
+        os.utime(dst, None)
+        b = load(spark, str(tmp_path), "orders")
+        assert b is not a
+        assert b.count() == n1  # same bytes, fresh handle
+
+    def test_results_not_cached(self, spark, sf_dir):
+        # the memo holds a LAZY plan: every action recomputes from parquet
+        # (spot-check: no InMemoryRelation in the memoized frame's plan)
+        from fstore_sql_spark.plans.inspect import formatted_plan
+        from fstore_sql_spark.queries import load
+
+        df = load(spark, sf_dir, "orders")
+        assert "InMemoryRelation" not in formatted_plan(df)
+        assert "InMemoryTableScan" not in formatted_plan(df)
