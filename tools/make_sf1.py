@@ -24,13 +24,18 @@ every join in the query registry keeps its selectivity shape:
 Usage: python tools/make_sf1.py [--out /root/repo/testdata_sf1]
 
 sf10 (VERDICT r4 #3) is the same composition run at 100 replicas of the
-SAME sf0.1 source — single-level, so every replica's document permutation
-(reverse + rotate-by-i, i = 0..99) is distinct and no cross-replica
-near-duplicates are planted (two-level replication of sf1 would compose
-two reverse-rotations into a pure rotation and collide replica pairs
-with equal index differences):
+SAME sf0.1 source.  At high replica counts BOTH corpus-disjointness flags
+are REQUIRED (r15, measured): the reverse+rotate-by-i permutations are
+mutual ROTATIONS of each other (perm_i(x) = rot_{i-j}(perm_j(x))), which
+share ~95% of their 3-shingles — so untagged documents plant an
+R²-quadratic near-dup corpus (measured Jaccard 0.949-0.974 between
+replicas; ppjoin ran 14+ min at R=100 untagged vs ~2 min tagged) — and
+verbatim embedding replication plants the same artifact in the
+label-blocked pair operators (neardup 18.9x, contamination 36.5x
+superlinear at R=100).  The canonical sf10 recipe:
 
-    python tools/make_sf1.py --replicas 100 --out /root/repo/testdata_sf10
+    python tools/make_sf1.py --replicas 100 --tag-doc-tokens \
+        --disjoint-embeddings --out /root/repo/testdata_sf10
 """
 
 from __future__ import annotations
